@@ -1,0 +1,45 @@
+"""Run configuration.
+
+Mirrors the reference CLI contract (/root/reference/README.md:38-59):
+mandatory -file plus -c/-d; optional -nb-cores, -kmer-size (default 31),
+-abundance (default auto), -lossless, -seq-only, -noheader, -noqual.
+Unlike the reference (compile-time KSIZE_LIST, CMakeLists.txt:42), k is a
+runtime parameter here: k <= 64 needs no recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class LeonConfig:
+    # Reference-parity knobs
+    kmer_size: int = 31
+    abundance: Optional[int] = None  # None = automatic from count histogram
+    lossless: bool = False           # qualities: lossy (default) vs lossless
+    seq_only: bool = False           # = noheader + noqual, decompress to FASTA
+    noheader: bool = False
+    noqual: bool = False
+    nb_cores: Optional[int] = None   # host-side worker threads (entropy/IO)
+
+    # leon_tpu-specific knobs (all recorded in the container where they
+    # affect decoding; see FORMAT.md)
+    bloom_bits_per_kmer: float = 12.0
+    bloom_hashes: int = 4
+    seed: int = 0x1234ABCD
+    reads_per_block: int = 65536     # parallel-decode unit
+    batch_reads: int = 4096          # device batch lanes
+    verbose: int = 1
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.kmer_size <= 64):
+            raise ValueError(f"kmer-size must be in [1, 64], got {self.kmer_size}")
+        if self.abundance is not None and self.abundance < 1:
+            raise ValueError("abundance must be >= 1")
+        if not (1 <= self.bloom_hashes <= 8):
+            raise ValueError("bloom hashes must be in [1, 8]")
+        if self.seq_only:
+            self.noheader = True
+            self.noqual = True
