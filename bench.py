@@ -1,0 +1,127 @@
+"""Benchmark driver: end-to-end compression throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: BASELINE.json config #2 analog — synthetic E.coli-like FASTQ
+(deterministic seed), k=31, -noheader -noqual, full pipeline (parse ->
+device count -> Bloom -> device walk encode -> streams -> container) plus a
+round-trip verification.
+
+vs_baseline divides by 25_000 reads/s — the single-core reference-era Leon
+throughput estimate recorded in BASELINE.md (the snapshot publishes no
+numbers, /root/reference/README.md has none; the 2015 paper's E.coli runs
+land in this range on one core). North star is >=10x (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_READS_PER_S = 25_000.0
+
+N_READS = 50_000
+READ_LEN = 100
+CONTIG_LEN = 200_000
+
+
+def gen_fastq(path: str) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(0xBE7C4)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    contig = rng.integers(0, 4, CONTIG_LEN, dtype=np.uint8)
+    starts = rng.integers(0, CONTIG_LEN - READ_LEN, N_READS)
+    quals = rng.integers(35, 70, (N_READS, READ_LEN)).astype(np.uint8)
+    with open(path, "wb") as f:
+        chunks = []
+        for i in range(N_READS):
+            r = contig[starts[i] : starts[i] + READ_LEN].copy()
+            mut = rng.random(READ_LEN) < 0.01
+            r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) & 3
+            if i % 2:
+                r = (3 - r)[::-1]
+            chunks.append(
+                b"@SRRX.%d %d/1\n%s\n+\n%s\n"
+                % (i, i, bases[r].tobytes(), quals[i].tobytes())
+            )
+            if len(chunks) >= 4096:
+                f.write(b"".join(chunks))
+                chunks = []
+        f.write(b"".join(chunks))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from leon_tpu import pipeline
+    from leon_tpu.config import LeonConfig
+    from leon_tpu.io import bank
+
+    workdir = "/tmp/leon_bench"
+    os.makedirs(workdir, exist_ok=True)
+    src = os.path.join(workdir, "ecoli_like.fastq")
+    if not os.path.exists(src):
+        gen_fastq(src)
+
+    cfg = LeonConfig(noheader=True, noqual=True)
+
+    # warm-up run: compile everything (first XLA compile is slow)
+    warm = LeonConfig(noheader=True, noqual=True)
+    wsrc = os.path.join(workdir, "warm.fastq")
+    if not os.path.exists(wsrc):
+        with open(src, "rb") as f, open(wsrc, "wb") as g:
+            for _ in range(4 * 8192):
+                g.write(f.readline())
+    pipeline.compress(wsrc, os.path.join(workdir, "warm.leon"), cfg=warm)
+
+    t0 = time.time()
+    stats = pipeline.compress(src, os.path.join(workdir, "out.leon"), cfg=cfg)
+    elapsed = time.time() - t0
+    reads_per_s = N_READS / elapsed
+
+    # verify round-trip (DNA oracle for -noheader -noqual)
+    d = pipeline.decompress(os.path.join(workdir, "out.leon"), os.path.join(workdir, "out.fastq"), cfg=cfg)
+    a = [s for b in bank.read_blocks(src, 1 << 16) for s in b.seqs]
+    b_ = [s for b in bank.read_blocks(d["output"], 1 << 16) for s in b.seqs]
+    ok = a == b_
+
+    print(
+        json.dumps(
+            {
+                "elapsed_s": round(elapsed, 3),
+                "ratio": round(stats["ratio"], 3),
+                "n_anchored": stats["n_anchored"],
+                "roundtrip_ok": ok,
+                "stream_bytes": stats["stream_bytes"],
+                "stages": {
+                    kk: stats[kk] for kk in stats if kk.startswith("time_")
+                },
+                "devices": [str(x) for x in jax.devices()],
+            }
+        ),
+        file=sys.stderr,
+    )
+    if not ok:
+        reads_per_s = 0.0  # a wrong answer is not a result
+    print(
+        json.dumps(
+            {
+                "metric": "compress_reads_per_s_per_chip",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

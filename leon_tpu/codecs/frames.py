@@ -1,0 +1,64 @@
+"""Framed stream encoding (FORMAT.md §7).
+
+Every container stream is `method u8 | varint rawlen | varint paylen |
+payload` — self-delimiting, so block payloads are simple concatenations.
+Method is chosen per stream at encode time (smallest wins); the decoder
+dispatches on the byte. rANS (method 2) is the TPU-friendly entropy backend
+replacing the reference's serial adaptive range coder ([R] gatb-core
+tools/compression/RangeCoder.{hpp,cpp}) — parallel decode,
+ratio-competitive with order-0 adaptive coding on Leon's short streams.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from leon_tpu.utils import varint
+
+METHOD_RAW = 0
+METHOD_ZLIB = 1
+METHOD_RANS = 2
+
+_ZLEVEL = 6  # frozen: deterministic output across runs
+
+
+def frame(data: bytes, try_rans: bool = True) -> bytes:
+    """Encode `data` with the smallest applicable method."""
+    best_m, best = METHOD_RAW, data
+    if len(data) >= 16:
+        z = zlib.compress(data, _ZLEVEL)
+        if len(z) < len(best):
+            best_m, best = METHOD_ZLIB, z
+        if try_rans:
+            from leon_tpu.codecs import rans
+
+            r = rans.encode(data)
+            if r is not None and len(r) < len(best):
+                best_m, best = METHOD_RANS, r
+    out = bytearray([best_m])
+    varint.encode_one(len(data), out)
+    varint.encode_one(len(best), out)
+    out += best
+    return bytes(out)
+
+
+def unframe(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """Decode one framed stream starting at `pos`; returns (data, new_pos)."""
+    method = buf[pos]
+    rawlen, pos = varint.decode_one(buf, pos + 1)
+    paylen, pos = varint.decode_one(buf, pos)
+    payload = buf[pos : pos + paylen]
+    pos += paylen
+    if method == METHOD_RAW:
+        data = payload
+    elif method == METHOD_ZLIB:
+        data = zlib.decompress(payload)
+    elif method == METHOD_RANS:
+        from leon_tpu.codecs import rans
+
+        data = rans.decode(payload, rawlen)
+    else:
+        raise ValueError(f"unknown frame method {method}")
+    if len(data) != rawlen:
+        raise ValueError(f"frame length mismatch: {len(data)} != {rawlen}")
+    return data, pos

@@ -31,6 +31,7 @@ class LeonConfig:
     seed: int = 0x1234ABCD
     reads_per_block: int = 65536     # parallel-decode unit
     batch_reads: int = 4096          # device batch lanes
+    max_device_len: int = 2048       # longer reads take the raw host path
     verbose: int = 1
 
     def __post_init__(self) -> None:

@@ -1,0 +1,400 @@
+"""Compression / decompression drivers.
+
+TPU-native re-design of the reference Leon orchestrator ([R] gatb-core
+tools/compression/Leon.cpp, executeCompression/executeDecompression;
+pipeline shape documented in SURVEY.md §3.2-3.3):
+
+  compress:   parse -> device k-mer count -> abundance cutoff -> Bloom ->
+              device anchor+walk encode -> stream assembly -> container
+  decompress: container -> Bloom + dict -> device re-walk -> reassembly
+
+The reference runs per-read encoders over Dispatcher threads; here every
+read is a device lane and blocks of reads are device sub-batches. Blocks
+are the parallel-decode unit, exactly like the reference's ordered
+Dispatcher blocks (SURVEY.md §2.4 "DP" row).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from leon_tpu.codecs import blocks as blockcodec
+from leon_tpu.codecs import headers as hcodec
+from leon_tpu.config import LeonConfig
+from leon_tpu.io import bank, container
+from leon_tpu.ops import bloom, count
+from leon_tpu.ops import kmer as K
+from leon_tpu.utils import varint
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+_BUCKETS = [64, 128, 256, 512, 1024, 2048]
+
+
+def _bucket_len(maxlen: int, k: int) -> int:
+    need = max(maxlen, k + 1)
+    for b in _BUCKETS:
+        if b >= need:
+            return b
+    return -(-need // 2048) * 2048
+
+
+@dataclass
+class Chunk:
+    """One device sub-batch worth of parsed reads (host representation)."""
+
+    codes: np.ndarray      # (n, L) uint8, exceptions substituted, zero-padded
+    lengths: np.ndarray    # (n,) int32 — true lengths (0 for empty reads)
+    dev_len: np.ndarray    # (n,) int32 — lengths clamped to 0 for device-ineligible reads
+    L: int                 # bucketed width
+    exc_pos: list          # per read: np positions or None
+    exc_byte: list
+    start: int             # read index of first read within the block
+
+
+def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk]:
+    B = cfg.batch_reads
+    n = block.n_reads
+    for s in range(0, n, B):
+        seqs = block.seqs[s : s + B]
+        lens = np.array([len(x) for x in seqs], dtype=np.int64)
+        m = lens.size
+        flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+        codes_f = K._CODE[flat]
+        exc_f = codes_f == 255
+        codes_f = np.where(exc_f, 0, codes_f)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+
+        dev_len = lens.copy()
+        toolong = lens > cfg.max_device_len
+        dev_len[toolong] = 0
+        Lb = _bucket_len(int(dev_len.max()) if m else 0, k)
+
+        codes = np.zeros((m, Lb), dtype=np.uint8)
+        if toolong.any():
+            # per-row fill honoring truncation of device-ineligible long reads
+            for i in range(m):
+                ln = min(int(lens[i]), Lb)
+                codes[i, :ln] = codes_f[starts[i] : starts[i] + ln]
+        else:
+            mask = np.arange(Lb)[None, :] < lens[:, None]
+            codes[mask] = codes_f
+
+        exc_pos: list = [None] * m
+        exc_byte: list = [None] * m
+        if exc_f.any():
+            eidx = np.flatnonzero(exc_f)
+            rows = np.searchsorted(ends, eidx, side="right")
+            for r in np.unique(rows):
+                sel = eidx[rows == r]
+                exc_pos[r] = (sel - starts[r]).astype(np.int64)
+                exc_byte[r] = flat[sel]
+        yield Chunk(
+            codes=codes,
+            lengths=lens.astype(np.int32),
+            dev_len=dev_len.astype(np.int32),
+            L=Lb,
+            exc_pos=exc_pos,
+            exc_byte=exc_byte,
+            start=s,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Compression
+# ---------------------------------------------------------------------------
+
+
+def _count_pass(parse: bank.ParseResult, cfg: LeonConfig, k: int):
+    """Device k-mer counting over all blocks (reference: DSK SortingCount,
+    SURVEY.md §3.4). Returns (uniq (M, W) u32, counts (M,) i64)."""
+    partials = []
+    for block in parse.blocks:
+        for ch in chunk_block(block, cfg, k):
+            if ch.L < k + 1 or not (ch.dev_len >= k).any():
+                continue
+            canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
+            partials.append(count.count_batch(np.asarray(canon), np.asarray(valid)))
+            if len(partials) >= 64:
+                partials = [count.merge_counts(partials)]
+    return count.merge_counts(partials)
+
+
+def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
+    import jax.numpy as jnp
+
+    from leon_tpu.ops import walk
+
+    cfg = cfg or LeonConfig()
+    t0 = time.time()
+    if output_path is None:
+        base = input_path[:-3] if input_path.endswith(".gz") else input_path
+        output_path = base + ".leon"
+
+    k = cfg.kmer_size
+    W = K.words_for_k(k)
+    parse = bank.parse_all(input_path, cfg.reads_per_block)
+    fmt = parse.fmt
+    t_parse = time.time() - t0
+
+    header_mode = 0 if cfg.noheader else 1
+    if fmt == bank.FASTA or cfg.noqual:
+        qual_mode = container.QUAL_NONE
+    else:
+        qual_mode = container.QUAL_LOSSLESS if cfg.lossless else container.QUAL_LOSSY
+    out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
+
+    # --- pass 1: k-mer counting + solidity threshold ---
+    t1 = time.time()
+    uniq, counts = _count_pass(parse, cfg, k)
+    if cfg.abundance is not None:
+        cutoff = cfg.abundance
+    else:
+        cutoff = count.auto_cutoff(count.histogram(counts)) if counts.size else 2
+    solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
+    t_count = time.time() - t1
+
+    # --- Bloom build ---
+    t1 = time.time()
+    log2_m = bloom.choose_log2_m(max(1, solid.shape[0]), cfg.bloom_bits_per_kmer)
+    H = cfg.bloom_hashes
+    seed = cfg.seed
+    bitset = bloom.build_np(solid, log2_m, H, seed)
+    bitset_j = jnp.asarray(bitset)
+    t_bloom = time.time() - t1
+
+    meta = container.Meta(
+        k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
+        n_hashes=H, final_newline=parse.final_newline, log2_mbits=log2_m,
+        seed=seed, n_reads=parse.n_reads, abundance=cutoff,
+        orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
+    )
+
+    # --- pass 2: anchor + walk encode, stream assembly ---
+    t1 = time.time()
+    adict = blockcodec.AnchorDict(W)
+    payloads: list[bytes] = []
+    n_per_block: list[int] = []
+    stream_sizes: dict[int, int] = {}
+    n_anchored = 0
+    for block in parse.blocks:
+        if fmt == bank.FASTQ and cfg.seq_only:
+            block = bank.SeqBlock(
+                bank.FASTA, block.headers, block.seqs,
+                line_lens=[[len(s)] if len(s) else [] for s in block.seqs],
+            )
+        be = blockcodec.BlockEncoder(cfg, meta, adict, block)
+        for ch in chunk_block(block, cfg, k):
+            enc = None
+            if ch.L >= k + 1 and (ch.dev_len >= k).any():
+                enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
+                enc = {kk: np.asarray(v) for kk, v in enc_j.items()}
+                n_anchored += int(enc["anchored"].sum())
+            be.add_subbatch(
+                blockcodec.SubbatchData(
+                    codes=ch.codes, lengths=ch.lengths, enc=enc,
+                    exc_pos=ch.exc_pos, exc_byte=ch.exc_byte,
+                )
+            )
+        payload, sizes = be.finish()
+        payloads.append(payload)
+        n_per_block.append(block.n_reads)
+        for sid, sz in sizes.items():
+            stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
+    t_encode = time.time() - t1
+
+    c = container.Container(
+        meta=meta,
+        dict_payload=adict.payload(),
+        bloom_payload=bitset.astype("<u4").tobytes(),
+        block_payloads=payloads,
+        block_n_reads=n_per_block,
+    )
+    total = container.write(output_path, c)
+    in_bytes = os.path.getsize(input_path)
+    stats = {
+        "input": input_path,
+        "output": output_path,
+        "n_reads": parse.n_reads,
+        "n_anchored": n_anchored,
+        "n_solid_kmers": int(solid.shape[0]),
+        "abundance": cutoff,
+        "bloom_bytes": bitset.nbytes,
+        "dict_entries": len(adict),
+        "input_bytes": in_bytes,
+        "output_bytes": total,
+        "ratio": in_bytes / total if total else 0.0,
+        "stream_bytes": {blockcodec_stream_name(s): v for s, v in sorted(stream_sizes.items())},
+        "time_parse_s": round(t_parse, 3),
+        "time_count_s": round(t_count, 3),
+        "time_bloom_s": round(t_bloom, 3),
+        "time_encode_s": round(t_encode, 3),
+        "time_total_s": round(time.time() - t0, 3),
+    }
+    return stats
+
+
+_STREAM_NAMES = {
+    1: "flags", 2: "readlen", 3: "anchorpos", 4: "dictidx", 5: "nevt",
+    6: "errpos", 7: "errnt", 8: "bif", 9: "rawseq", 10: "excn",
+    11: "headers", 12: "quals", 13: "plusline", 14: "fastalines",
+    15: "excgap", 16: "excbyte",
+}
+
+
+def blockcodec_stream_name(sid: int) -> str:
+    return _STREAM_NAMES.get(sid, str(sid))
+
+
+# ---------------------------------------------------------------------------
+# Decompression
+# ---------------------------------------------------------------------------
+
+
+def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarray,
+                        bitset_j, cfg: LeonConfig) -> list[bytes]:
+    """Reconstruct the sequence bytes of every read in a parsed block."""
+    import jax.numpy as jnp
+
+    from leon_tpu.ops import walk
+
+    k, H, log2_m, seed = meta.k, meta.n_hashes, meta.log2_mbits, meta.seed
+    n = db.n_reads
+    seqs: list[Optional[bytes]] = [None] * n
+
+    # map each anchored read to its forward-orientation anchor words
+    anch_idx = np.flatnonzero(db.anchored)
+    afwd_all = np.zeros((n, dict_words.shape[1] if dict_words.size else K.words_for_k(k)), dtype=np.uint32)
+    for j, i in enumerate(anch_idx):
+        w = dict_words[int(db.dictidx[j])]
+        afwd_all[i] = K.revcomp_words_np(w, k) if db.orient[i] else w
+
+    # device decode in sub-batches (anchored reads only need the walk, but
+    # all lanes ride along; raw lanes are filled from rawseq afterwards)
+    B = cfg.batch_reads
+    for s in range(0, n, B):
+        e = min(n, s + B)
+        lens = db.lengths[s:e]
+        anch = db.anchored[s:e]
+        if not anch.any():
+            continue
+        Lb = _bucket_len(int(lens[anch].max()), k)
+        m = e - s
+        ME = max(1, Lb - k)
+        apos = db.apos[s:e].astype(np.int32)
+        dlen = np.where(anch, lens, 0).astype(np.int32)
+
+        def padevt(lists, dtype):
+            out = np.zeros((m, ME), dtype=dtype)
+            for i in range(m):
+                v = lists[s + i]
+                if v is not None and len(v):
+                    out[i, : len(v)] = v
+            return out
+
+        ep_r = padevt(db.errpos_r, np.int32)
+        ep_l = padevt(db.errpos_l, np.int32)
+        en_r = padevt(db.errnt_r, np.uint8)
+        en_l = padevt(db.errnt_l, np.uint8)
+        bf_r = padevt(db.bif_r, np.uint8)
+        bf_l = padevt(db.bif_l, np.uint8)
+
+        dec = walk.decode_batch(
+            apos, anch, dlen, afwd_all[s:e], bitset_j,
+            db.nbif_r[s:e].astype(np.int32), bf_r, db.nerr_r[s:e].astype(np.int32), ep_r, en_r,
+            db.nbif_l[s:e].astype(np.int32), bf_l, db.nerr_l[s:e].astype(np.int32), ep_l, en_l,
+            k, H, log2_m, seed, Lb,
+        )
+        dec = np.asarray(dec)
+        for i in np.flatnonzero(anch):
+            seqs[s + i] = _BASES[dec[i, : lens[i]]].tobytes()
+
+    # raw reads from the 2-bit stream, in read order
+    off = 0
+    raw = db.rawseq
+    for i in np.flatnonzero(~db.anchored):
+        ln = int(db.lengths[i])
+        nb = (ln + 3) // 4
+        codes = K.unpack_2bit_np(raw[off : off + nb], ln)
+        off += nb
+        seqs[i] = _BASES[codes].tobytes()
+
+    # re-apply exceptions (FORMAT.md §3: final decode step)
+    for i in np.flatnonzero(db.hasexc):
+        b = bytearray(seqs[i])
+        pos = db.exc_pos[i]
+        byt = db.exc_byte[i]
+        for p, v in zip(pos, byt):
+            b[p] = v
+        seqs[i] = bytes(b)
+    return seqs  # type: ignore[return-value]
+
+
+def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
+    import jax.numpy as jnp
+
+    cfg = cfg or LeonConfig()
+    t0 = time.time()
+    c = container.read(input_path)
+    meta = c.meta
+    if output_path is None:
+        stem = input_path[:-5] if input_path.endswith(".leon") else input_path
+        root, _dot, _ext = stem.rpartition(".")
+        ext = meta.orig_ext.decode()
+        output_path = (root if root else stem) + "." + ext + ".d"
+
+    W = K.words_for_k(meta.k)
+    adict = blockcodec.AnchorDict.from_payload(c.dict_payload, W)
+    dict_words = adict.words_array()
+    bitset = np.frombuffer(c.bloom_payload, dtype="<u4")
+    bitset_j = jnp.asarray(bitset)
+
+    read_index = 0
+    with open(output_path, "wb") as out:
+        for payload in c.block_payloads:
+            db = blockcodec.parse_block(payload, meta)
+            seqs = _decode_block_reads(db, meta, dict_words, bitset_j, cfg)
+
+            if meta.header_mode:
+                headers = hcodec.decode(db.headers_payload or b"", db.n_reads)
+            else:
+                headers = hcodec.synth(read_index, db.n_reads)
+
+            quals = None
+            pluses = None
+            line_lens = None
+            if meta.fmt == bank.FASTQ:
+                if meta.qual_mode == container.QUAL_NONE:
+                    # -noqual: qualities were dropped; synthesize constant 'I'
+                    quals = [b"I" * int(db.lengths[i]) for i in range(db.n_reads)]
+                else:
+                    qc = db.quals_concat or b""
+                    quals = []
+                    qoff = 0
+                    for i in range(db.n_reads):
+                        ln = int(db.lengths[i])
+                        quals.append(qc[qoff : qoff + ln])
+                        qoff += ln
+                pluses = db.pluses
+            else:
+                line_lens = db.line_lens
+
+            blk = bank.SeqBlock(
+                fmt=meta.fmt, headers=headers, seqs=seqs,
+                quals=quals, pluses=pluses, line_lens=line_lens,
+            )
+            bank.write_block(out, blk)
+            read_index += db.n_reads
+    bank.finalize_file(output_path, meta.final_newline)
+    return {
+        "input": input_path,
+        "output": output_path,
+        "n_reads": read_index,
+        "output_bytes": os.path.getsize(output_path),
+        "time_total_s": round(time.time() - t0, 3),
+    }

@@ -1,0 +1,237 @@
+"""End-to-end round-trip tests — THE acceptance oracle.
+
+Mirrors the reference's functional test (byte-exact `diff` of the
+decompressed file, /root/reference/scripts/simple_test.sh:59-69 and
+INSTALL:21-23) plus the Zhang-2017 breaker corpus the 1.1.0 changelog calls
+out (/root/reference/README.md:90-91): reads < k, N-rich reads, empty
+records, multiline FASTA, gz input, missing final newline.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from leon_tpu import pipeline
+from leon_tpu.config import LeonConfig
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+REF_TOY = "/root/reference/data/toy.fasta"
+
+
+def small_cfg(**kw):
+    kw.setdefault("batch_reads", 64)
+    kw.setdefault("reads_per_block", 100)
+    return LeonConfig(**kw)
+
+
+def sim_seq(rng, contig, lmin=60, lmax=100, err=0.01):
+    ln = int(rng.integers(lmin, lmax + 1))
+    st = int(rng.integers(0, max(1, len(contig) - ln)))
+    r = contig[st : st + ln].copy()
+    mut = rng.random(ln) < err
+    r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) & 3
+    if rng.random() < 0.5:
+        r = (3 - r)[::-1]
+    return BASES[r].tobytes()
+
+
+def write_fasta(path, seqs, headers=None, wrap=None, final_newline=True):
+    with open(path, "wb") as f:
+        for i, s in enumerate(seqs):
+            h = headers[i] if headers else b"read%d desc_%d" % (i, i * 3)
+            f.write(b">" + h + b"\n")
+            if wrap:
+                for j in range(0, len(s), wrap):
+                    f.write(s[j : j + wrap] + b"\n")
+                if len(s) == 0:
+                    pass
+            else:
+                f.write(s + b"\n")
+    if not final_newline:
+        with open(path, "rb+") as f:
+            f.seek(-1, 2)
+            f.truncate(f.tell())
+
+
+def write_fastq(path, seqs, rng, headers=None, plus_text=False):
+    with open(path, "wb") as f:
+        for i, s in enumerate(seqs):
+            h = headers[i] if headers else b"SRR99.%d %d length=%d" % (i, i, len(s))
+            q = rng.integers(33, 74, len(s)).astype(np.uint8).tobytes()
+            f.write(b"@" + h + b"\n" + s + b"\n")
+            f.write((b"+" + h if plus_text else b"+") + b"\n")
+            f.write(q + b"\n")
+
+
+def roundtrip(tmp_path, src, cfg=None, full_match=True):
+    cfg = cfg or small_cfg()
+    st = pipeline.compress(str(src), cfg=cfg)
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    orig = open(src, "rb").read()
+    dec = open(dd["output"], "rb").read()
+    if full_match:
+        assert dec == orig, f"round-trip mismatch: {len(orig)} vs {len(dec)} bytes"
+    return st, dd
+
+
+@pytest.fixture
+def contig(rng):
+    return rng.integers(0, 4, 600, dtype=np.uint8)
+
+
+def test_reference_toy_fasta_bytes(tmp_path):
+    """Config #1 of BASELINE.json on the reference's own fixture, but with
+    headers kept so the oracle is byte-exact."""
+    import shutil
+
+    src = tmp_path / "toy.fasta"
+    shutil.copy(REF_TOY, src)
+    st, _ = roundtrip(tmp_path, src)
+    assert st["n_reads"] == 200
+    assert st["n_anchored"] >= 190
+    assert st["ratio"] > 2.0
+
+
+def test_reference_toy_seq_only(tmp_path):
+    import shutil
+
+    from leon_tpu.io import bank
+
+    src = tmp_path / "toy.fasta"
+    shutil.copy(REF_TOY, src)
+    cfg = small_cfg(seq_only=True)
+    st = pipeline.compress(str(src), cfg=cfg)
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    a = [s for b in bank.read_blocks(str(src), 1000) for s in b.seqs]
+    b = [s for b in bank.read_blocks(dd["output"], 1000) for s in b.seqs]
+    assert a == b
+    assert st["ratio"] > 8.0  # DNA-only on high-coverage sim reads
+
+
+def test_fastq_lossless(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(150)]
+    src = tmp_path / "x.fastq"
+    write_fastq(src, seqs, rng)
+    roundtrip(tmp_path, src, small_cfg(lossless=True))
+
+
+def test_fastq_lossy_quals(tmp_path, rng, contig):
+    """Lossy mode: DNA + headers byte-exact, qualities per LOSSY-Q1 spec."""
+    seqs = [sim_seq(rng, contig) for _ in range(120)]
+    src = tmp_path / "x.fastq"
+    write_fastq(src, seqs, rng)
+    cfg = small_cfg()
+    st = pipeline.compress(str(src), cfg=cfg)
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    from leon_tpu.io import bank
+
+    a = list(bank.read_blocks(str(src), 1000))[0]
+    b = list(bank.read_blocks(dd["output"], 1000))[0]
+    assert a.seqs == b.seqs and a.headers == b.headers
+    # lossy transform only ever rewrites bytes >= '@' to 'I'
+    for qa, qb in zip(a.quals, b.quals):
+        for x, y in zip(qa, qb):
+            assert y == x or (y == 0x49 and x >= 0x40)
+    # and a second round-trip of the lossy output is a fixed point
+    st2 = pipeline.compress(dd["output"], str(tmp_path / "x2.leon"), cfg=cfg)
+    dd2 = pipeline.decompress(str(tmp_path / "x2.leon"), str(tmp_path / "x2.fastq"), cfg=cfg)
+    assert open(dd2["output"], "rb").read() == open(dd["output"], "rb").read()
+
+
+def test_gz_input(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(80)]
+    plain = tmp_path / "x.fastq"
+    write_fastq(plain, seqs, rng)
+    src = tmp_path / "y.fastq.gz"
+    with gzip.open(src, "wb") as f:
+        f.write(open(plain, "rb").read())
+    cfg = small_cfg(lossless=True)
+    st = pipeline.compress(str(src), cfg=cfg)
+    assert st["output"].endswith("y.fastq.leon")
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    assert open(dd["output"], "rb").read() == open(plain, "rb").read()
+
+
+def test_multiline_fasta(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig, lmin=150, lmax=300) for _ in range(60)]
+    src = tmp_path / "wrapped.fasta"
+    write_fasta(src, seqs, wrap=70)
+    roundtrip(tmp_path, src)
+
+
+def test_no_final_newline(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(50)]
+    src = tmp_path / "nofinal.fasta"
+    write_fasta(src, seqs, final_newline=False)
+    roundtrip(tmp_path, src)
+
+
+def test_edge_corpus(tmp_path, rng, contig):
+    """Zhang-2017 breaker class: reads < k, == k, N-rich, empty, lowercase."""
+    seqs = [sim_seq(rng, contig) for _ in range(60)]
+    seqs += [
+        b"ACGT",                  # < k
+        b"A" * 31,                # == k
+        b"N" * 50,                # all exceptions
+        b"",                      # empty record
+        b"ACGTNNNNACGTACGTACGTNacgtRYKM" * 3,  # mixed junk
+        BASES[rng.integers(0, 4, 31)].tobytes(),
+    ]
+    src = tmp_path / "edge.fasta"
+    write_fasta(src, seqs)
+    st, _ = roundtrip(tmp_path, src)
+    assert st["n_reads"] == 66
+
+
+def test_fastq_plus_text_and_edge(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(40)] + [b"NNNN", b"", b"ACG"]
+    src = tmp_path / "plus.fastq"
+    write_fastq(src, seqs, rng, plus_text=True)
+    roundtrip(tmp_path, src, small_cfg(lossless=True))
+
+
+def test_noheader_mode(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(60)]
+    src = tmp_path / "nh.fastq"
+    write_fastq(src, seqs, rng)
+    cfg = small_cfg(noheader=True, lossless=True)
+    st = pipeline.compress(str(src), cfg=cfg)
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    from leon_tpu.io import bank
+
+    b = list(bank.read_blocks(dd["output"], 1000))[0]
+    assert b.seqs == seqs
+    assert b.headers[0] == b"read_0" and b.headers[59] == b"read_59"
+
+
+def test_noqual_mode(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(60)]
+    src = tmp_path / "nq.fastq"
+    write_fastq(src, seqs, rng)
+    cfg = small_cfg(noqual=True)
+    st = pipeline.compress(str(src), cfg=cfg)
+    dd = pipeline.decompress(st["output"], cfg=cfg)
+    from leon_tpu.io import bank
+
+    b = list(bank.read_blocks(dd["output"], 1000))[0]
+    assert b.seqs == seqs
+    assert all(q == b"I" * len(s) for q, s in zip(b.quals, b.seqs))
+
+
+def test_multiblock_and_k63(tmp_path, rng):
+    contig = rng.integers(0, 4, 2000, dtype=np.uint8)
+    seqs = [sim_seq(rng, contig, lmin=80, lmax=120) for _ in range(350)]
+    src = tmp_path / "mb.fasta"
+    write_fasta(src, seqs)
+    st, _ = roundtrip(tmp_path, src, small_cfg(reads_per_block=100, kmer_size=63, abundance=2))
+    assert len(st["stream_bytes"]) > 0
+
+
+def test_explicit_abundance_and_k15(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(80)]
+    src = tmp_path / "k15.fasta"
+    write_fasta(src, seqs)
+    st, _ = roundtrip(tmp_path, src, small_cfg(kmer_size=15, abundance=3))
+    assert st["abundance"] == 3

@@ -75,7 +75,9 @@ def test_walk_short_and_degenerate_reads(rng):
     reads = [contig[i : i + 80] for i in range(0, 200, 4)]
     reads += [contig[5:20], contig[10 : 10 + k], np.array([0], dtype=np.uint8)]
     codes, lengths = build_batch(reads)
-    bits, log2_m, _ = solid_bloom(codes, lengths, k, abundance=2)
+    # seed must match between Bloom build and probe — it is part of the
+    # format contract (FORMAT.md §4)
+    bits, log2_m, _ = solid_bloom(codes, lengths, k, abundance=2, seed=seed)
 
     import jax.numpy as jnp
 
