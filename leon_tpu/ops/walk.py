@@ -104,7 +104,12 @@ def _walk_encode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, l
         nerr = nerr + is_err.astype(jnp.int32)
         conf = conf.at[ar, jc].set(jnp.where(is_none, True, conf[ar, jc]))
 
-        bu = b.astype(U32)
+        # error correction (FORMAT.md §6): on an error, advance with the
+        # smallest solid base so the walk rejoins the graph path — one event
+        # per sequencing error instead of k
+        b_min_solid = jnp.argmax(si, axis=1)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
+        bu = b_adv.astype(U32)
         if side == "right":
             fwd = shl2(fwd, bu, k)
             rc = shr2_ins(rc, U32(3) - bu, k)
@@ -221,7 +226,11 @@ def _walk_decode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset,
         perr = perr + is_err.astype(jnp.int32)
         pbif = pbif + is_bif.astype(jnp.int32)
 
-        bu = b.astype(U32)
+        # mirror the encoder's error correction (FORMAT.md §6): at an error
+        # position advance with the smallest solid base, not the emitted one
+        b_min_solid = jnp.argmax(si, axis=1)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
+        bu = b_adv.astype(U32)
         if side == "right":
             fwd = shl2(fwd, bu, k)
             rc = shr2_ins(rc, U32(3) - bu, k)
