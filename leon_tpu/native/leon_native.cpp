@@ -1,0 +1,182 @@
+// leon_native: host-side native kernels for leon_tpu.
+//
+// TPU-native framework rule: the JAX/XLA/Pallas path owns device compute;
+// the serial host work that the reference implements in C++ gets C++ here
+// too. This file provides the entropy backend replacing the reference's
+// adaptive range coder ([R] gatb-core tools/compression/RangeCoder.{hpp,cpp};
+// SURVEY.md §2.2): a static order-0 interleaved rANS (FORMAT.md §7 method 2).
+// Static two-pass tables instead of adaptive models so DECODE is branch-light
+// and parallel-friendly; N-way lane interleave for ILP.
+//
+// Payload layout (little-endian):
+//   u8   N                 interleave factor (1 or 4)
+//   u16  S                 number of present symbols (1..256)
+//   S *  (u8 sym, u16 qfreq-1)   quantized frequencies, sum = 4096
+//   N *  u32 state         encoder final states (decoder initial states)
+//   renorm byte stream
+//
+// Build: g++ -O3 -shared -fPIC (see leon_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t PROB_BITS = 12;
+constexpr uint32_t PROB_SCALE = 1u << PROB_BITS;
+constexpr uint32_t RANS_L = 1u << 23;
+
+}  // namespace
+
+extern "C" {
+
+// Returns payload length written to out, 0 if it did not fit in `cap`
+// (caller falls back to another method), or -1 on internal error.
+int64_t leon_rans_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[data[i]]++;
+
+    uint32_t qf[256] = {0};
+    uint64_t assigned = 0;
+    int S = 0;
+    for (int s = 0; s < 256; s++) {
+        if (!counts[s]) continue;
+        S++;
+        uint64_t f = (uint64_t)(((__uint128_t)counts[s] * PROB_SCALE) / (uint64_t)n);
+        if (f == 0) f = 1;
+        qf[s] = (uint32_t)f;
+        assigned += f;
+    }
+    // exact renormalization of the table to PROB_SCALE
+    while (assigned != PROB_SCALE) {
+        int best = -1;
+        if (assigned < PROB_SCALE) {
+            for (int s = 0; s < 256; s++)
+                if (qf[s] && (best < 0 || counts[s] > counts[best])) best = s;
+            if (best < 0) return -1;
+            uint64_t add = PROB_SCALE - assigned;
+            qf[best] += (uint32_t)add;
+            assigned += add;
+        } else {
+            for (int s = 0; s < 256; s++)
+                if (qf[s] > 1 && (best < 0 || qf[s] > qf[best])) best = s;
+            if (best < 0) return -1;
+            uint64_t sub = assigned - PROB_SCALE;
+            uint32_t can = qf[best] - 1;
+            uint32_t d = (uint32_t)(sub < can ? sub : can);
+            qf[best] -= d;
+            assigned -= d;
+        }
+    }
+    uint32_t cum[257];
+    cum[0] = 0;
+    for (int s = 0; s < 256; s++) cum[s + 1] = cum[s] + qf[s];
+
+    const int N = n >= 4096 ? 4 : 1;
+    int64_t pos = 0;
+    auto put8 = [&](uint8_t v) {
+        if (pos < cap) out[pos] = v;
+        pos++;
+    };
+    auto put16 = [&](uint16_t v) {
+        put8((uint8_t)(v & 0xFF));
+        put8((uint8_t)(v >> 8));
+    };
+    put8((uint8_t)N);
+    put16((uint16_t)S);
+    for (int s = 0; s < 256; s++)
+        if (qf[s]) {
+            put8((uint8_t)s);
+            put16((uint16_t)(qf[s] - 1));
+        }
+
+    std::vector<uint8_t> tmp;
+    tmp.reserve((size_t)n / 2 + 64);
+    uint32_t x[8];
+    for (int i = 0; i < N; i++) x[i] = RANS_L;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        const int lane = (int)(i % N);
+        const uint8_t s = data[i];
+        const uint32_t f = qf[s];
+        const uint32_t xmax = ((RANS_L >> PROB_BITS) << 8) * f;
+        uint32_t v = x[lane];
+        while (v >= xmax) {
+            tmp.push_back((uint8_t)(v & 0xFF));
+            v >>= 8;
+        }
+        x[lane] = ((v / f) << PROB_BITS) + (v % f) + cum[s];
+    }
+    for (int i = 0; i < N; i++) {
+        uint32_t v = x[i];
+        put8((uint8_t)(v & 0xFF));
+        put8((uint8_t)((v >> 8) & 0xFF));
+        put8((uint8_t)((v >> 16) & 0xFF));
+        put8((uint8_t)((v >> 24) & 0xFF));
+    }
+    for (int64_t i = (int64_t)tmp.size() - 1; i >= 0; i--) put8(tmp[i]);
+    if (pos > cap) return 0;
+    return pos;
+}
+
+// Decodes exactly n symbols; returns n on success, -1 on corruption.
+int64_t leon_rans_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t n) {
+    if (n <= 0) return n == 0 ? 0 : -1;
+    int64_t pos = 0;
+    auto need = [&](int64_t k) { return pos + k <= plen; };
+    if (!need(3)) return -1;
+    const int N = pl[pos++];
+    if (N != 1 && N != 4) return -1;
+    const int S = pl[pos] | (pl[pos + 1] << 8);
+    pos += 2;
+    if (S < 1 || S > 256 || !need(3 * S + 4 * N)) return -1;
+
+    uint32_t qf[256] = {0};
+    uint32_t cum[257];
+    uint8_t slot2sym[PROB_SCALE];
+    uint64_t assigned = 0;
+    cum[0] = 0;
+    {
+        uint32_t qtmp[256] = {0};
+        for (int i = 0; i < S; i++) {
+            const uint8_t sym = pl[pos];
+            const uint32_t f = (uint32_t)(pl[pos + 1] | (pl[pos + 2] << 8)) + 1;
+            pos += 3;
+            qtmp[sym] = f;
+            assigned += f;
+        }
+        if (assigned != PROB_SCALE) return -1;
+        for (int s = 0; s < 256; s++) {
+            qf[s] = qtmp[s];
+            cum[s + 1] = cum[s] + qf[s];
+        }
+        for (int s = 0; s < 256; s++)
+            for (uint32_t j = cum[s]; j < cum[s + 1]; j++) slot2sym[j] = (uint8_t)s;
+    }
+
+    uint32_t x[8];
+    for (int i = 0; i < N; i++) {
+        x[i] = (uint32_t)pl[pos] | ((uint32_t)pl[pos + 1] << 8) |
+               ((uint32_t)pl[pos + 2] << 16) | ((uint32_t)pl[pos + 3] << 24);
+        pos += 4;
+    }
+    const uint8_t* p = pl + pos;
+    const uint8_t* pend = pl + plen;
+    for (int64_t i = 0; i < n; i++) {
+        const int lane = (int)(i % N);
+        uint32_t v = x[lane];
+        const uint32_t slot = v & (PROB_SCALE - 1);
+        const uint8_t s = slot2sym[slot];
+        out[i] = s;
+        v = qf[s] * (v >> PROB_BITS) + slot - cum[s];
+        while (v < RANS_L) {
+            if (p >= pend) return -1;
+            v = (v << 8) | *p++;
+        }
+        x[lane] = v;
+    }
+    return n;
+}
+
+}  // extern "C"
