@@ -147,10 +147,13 @@ class BlockEncoder:
         n = sb.lengths.shape[0]
         start = self.n_done
         enc = sb.enc
+        acanon = None
         if enc is not None:
             anch = enc["anchored"][:n].astype(bool)
-            orient = enc["aorient"][:n].astype(bool)
             apos = enc["apos"][:n].astype(np.int64)
+            # anchor k-mer words re-derived host-side (not shipped over D2H)
+            acanon, orient = K.kmer_words_batch_np(sb.codes[:n], apos, self.meta.k)
+            orient = orient & anch
         else:
             anch = np.zeros(n, dtype=bool)
             orient = np.zeros(n, dtype=bool)
@@ -180,7 +183,6 @@ class BlockEncoder:
         ai = np.flatnonzero(anch)
         if ai.size:
             self.anchorpos.append(apos[ai].astype(np.uint64))
-            acanon = enc["acanon"][:n]
             for i in ai:
                 self.dictidx.append(self.adict.index(acanon[i]))
             nerr_r = enc["nerr_r"][:n].astype(np.int64)
@@ -190,36 +192,27 @@ class BlockEncoder:
             self.nevt.append(
                 np.stack([nerr_r, nbif_r, nerr_l, nbif_l], axis=1)[ai].reshape(-1).astype(np.uint64)
             )
-            ep_r = enc["errpos_r"][:n].astype(np.int64)
-            ep_l = enc["errpos_l"][:n].astype(np.int64)
-            k = self.meta.k
-            gap_r = np.empty_like(ep_r)
-            gap_r[:, 0] = ep_r[:, 0] - (apos + k)
-            gap_r[:, 1:] = ep_r[:, 1:] - ep_r[:, :-1] - 1
-            gap_l = np.empty_like(ep_l)
-            gap_l[:, 0] = (apos - 1) - ep_l[:, 0]
-            gap_l[:, 1:] = ep_l[:, :-1] - ep_l[:, 1:] - 1
-            gaps = np.concatenate([gap_r, gap_l], axis=1)[ai]
-            counts = np.concatenate(
-                [
-                    np.broadcast_to(nerr_r[ai, None], (ai.size, ep_r.shape[1])),
-                    np.broadcast_to(nerr_l[ai, None], (ai.size, ep_l.shape[1])),
-                ],
-                axis=1,
-            )
-            emask = np.arange(ep_r.shape[1])[None, :]
-            emask2 = np.concatenate(
-                [emask < nerr_r[ai, None], emask < nerr_l[ai, None]], axis=1
-            )
-            del counts
-            self.errpos.append(gaps[emask2].astype(np.uint64))
-            ents = np.concatenate([enc["errnt_r"][:n], enc["errnt_l"][:n]], axis=1)[ai]
-            self.errnt += ents[emask2].astype(np.uint8).tobytes()
-            bmask2 = np.concatenate(
-                [emask < nbif_r[ai, None], emask < nbif_l[ai, None]], axis=1
-            )
-            bifs = np.concatenate([enc["bif_r"][:n], enc["bif_l"][:n]], axis=1)[ai]
-            self.bif += bifs[bmask2].astype(np.uint8).tobytes()
+            if enc.get("compact"):
+                # device already emitted the exact container stream layout
+                self.errpos.append(enc["errgap_flat"].astype(np.uint64))
+                self.errnt += enc["errnt_flat"].tobytes()
+                self.bif += enc["bif_flat"].tobytes()
+            else:
+                # dense fallback: mask-flatten the (B, ME) event planes
+                gaps = np.concatenate([enc["gap_r"][:n], enc["gap_l"][:n]], axis=1)[ai]
+                ME = enc["gap_r"].shape[1]
+                emask = np.arange(ME)[None, :]
+                emask2 = np.concatenate(
+                    [emask < nerr_r[ai, None], emask < nerr_l[ai, None]], axis=1
+                )
+                self.errpos.append(gaps[emask2].astype(np.uint64))
+                ents = np.concatenate([enc["errnt_r"][:n], enc["errnt_l"][:n]], axis=1)[ai]
+                self.errnt += ents[emask2].astype(np.uint8).tobytes()
+                bmask2 = np.concatenate(
+                    [emask < nbif_r[ai, None], emask < nbif_l[ai, None]], axis=1
+                )
+                bifs = np.concatenate([enc["bif_r"][:n], enc["bif_l"][:n]], axis=1)[ai]
+                self.bif += bifs[bmask2].astype(np.uint8).tobytes()
 
         for i in np.flatnonzero(~anch):
             # from the original bytes, not the (possibly truncated) device
@@ -239,7 +232,13 @@ class BlockEncoder:
         if self.meta.qual_mode:
             quals = self.block.quals[start : start + n]
             if self.meta.qual_mode == 2 and enc is not None:
-                conf = enc["confirmed"][:n].astype(bool)
+                from leon_tpu.ops import walk as _walk
+
+                Lc = sb.codes.shape[1]
+                if "conf16" in enc:
+                    conf = _walk.unpack_conf16_bits(enc["conf16"][:n], Lc)
+                else:
+                    conf = enc["confirmed"][:n].astype(bool)
                 L = conf.shape[1]
                 for i in range(n):
                     q = np.frombuffer(quals[i], dtype=np.uint8)

@@ -30,8 +30,15 @@ class LeonConfig:
     bloom_hashes: int = 4
     seed: int = 0x1234ABCD
     reads_per_block: int = 65536     # parallel-decode unit
-    batch_reads: int = 4096          # device batch lanes
+    batch_reads: int = 16384         # device batch lanes
     max_device_len: int = 2048       # longer reads take the raw host path
+    # k-mer multisets up to this size are counted fully in HBM (one device
+    # sort); larger inputs fall back to chunked host-merge counting
+    count_device_max_kmers: int = 128_000_000
+    # compacted-event D2H capacities (per read, averaged over a chunk);
+    # chunks that overflow fall back to the dense transfer automatically
+    event_cap_per_read: int = 16
+    bif_cap_per_read: int = 4
     verbose: int = 1
 
     def __post_init__(self) -> None:

@@ -4,11 +4,17 @@ Reference behavior: DSK disk-streaming sorting-count ([R] gatb-core
 kmer/impl/SortingCountAlgorithm, /root/reference/README.md:13) with an
 automatic abundance cutoff from the count histogram (README.md:54).
 
-TPU-first shape: per-batch k-mers are sorted on device (`lax.sort` with W
-uint32 keys — no 64-bit needed) and run-length counted with segment ops;
-the host merges per-batch (kmer, count) partials. The disk-partition dance
-of DSK is replaced by device sort + host merge; multi-chip sharding of the
-k-mer space comes via the parallel/ layer.
+TPU-first shape (device-resident, transfer-minimal): per-chunk canonical
+k-mers accumulate in HBM; ONE `lax.sort` over the whole multiset (W uint32
+keys — no 64-bit anywhere) + segment run-length count + on-device count
+histogram. Only the 256-entry histogram crosses to the host (to pick the
+abundance cutoff); the Bloom filter is then built on device straight from
+the sorted array (no compaction, no host merge). The disk-partition dance
+of DSK is replaced by HBM accumulation; multi-chip sharding of the k-mer
+space comes via the parallel/ layer.
+
+The legacy host-merge path (count_batch/merge_counts) remains for tests
+and as the fallback when the k-mer multiset exceeds the HBM budget.
 """
 
 from __future__ import annotations
@@ -86,6 +92,92 @@ def merge_counts(partials: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndar
 
 def histogram(counts: np.ndarray, max_count: int = 255) -> np.ndarray:
     return np.bincount(np.minimum(counts, max_count), minlength=max_count + 1)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident counting (the production path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_count",))
+def _sort_count_hist_device(words_t: tuple, valid, max_count: int = 255):
+    """One-shot sort + run-length count + histogram of the whole k-mer
+    multiset. Returns (sorted words tuple MSW-first, boundary, counts,
+    hist (max_count+1,)). hist[c] = number of distinct k-mers with
+    min(count, max_count) == c; hist[0] = 0."""
+    skeys, boundary, counts = _sort_count_device(words_t, valid)
+    cc = jnp.where(boundary, jnp.minimum(counts, max_count), 0)
+    hist = jnp.zeros(max_count + 1, jnp.int32).at[cc].add(1, mode="drop")
+    hist = hist.at[0].set(0)
+    return skeys, boundary, counts, hist
+
+
+@partial(jax.jit, static_argnames=("log2_m", "H", "seed"))
+def _bloom_from_sorted(skeys: tuple, boundary, counts, cutoff, log2_m: int, H: int, seed: int):
+    """Build the Bloom bitset on device from the sorted multiset: scatter
+    the bits of every boundary k-mer whose count >= cutoff. No compaction —
+    non-solid entries scatter into an overflow slot."""
+    from leon_tpu.ops import bloom
+
+    W = len(skeys)
+    words = jnp.stack([skeys[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
+    solid = boundary & (counts >= cutoff)
+    m = 1 << log2_m
+    pos = bloom.bit_positions(words, H, log2_m, seed, jnp)  # (N, H)
+    idx = jnp.where(solid[:, None], pos, jnp.uint32(m)).reshape(-1).astype(jnp.int32)
+    by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))[:m]
+    b = by.reshape(-1, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(b * weights, axis=1, dtype=jnp.uint32)
+
+
+class DeviceCounter:
+    """Accumulates canonical k-mers in HBM, then counts + builds the Bloom
+    filter entirely on device. Host traffic: one 256-entry histogram."""
+
+    def __init__(self, W: int):
+        self.W = W
+        self._chunks: list = []   # device (n, W) uint32
+        self._valids: list = []   # device (n,) bool
+        self.n_total = 0
+
+    def add(self, canon, valid) -> None:
+        """canon (B, P, W) device array, valid (B, P) device bool."""
+        B, P, W = canon.shape
+        self._chunks.append(canon.reshape(B * P, W))
+        self._valids.append(valid.reshape(B * P))
+        self.n_total += B * P
+
+    def finalize(self, abundance, bits_per_kmer: float, H: int, seed: int):
+        """Returns (bitset device array, log2_m, cutoff, n_solid, hist)."""
+        from leon_tpu.ops import bloom
+
+        W = self.W
+        if not self._chunks:
+            hist = np.zeros(256, np.int64)
+            cutoff = abundance if abundance is not None else 2
+            log2_m = bloom.choose_log2_m(1, bits_per_kmer)
+            bitset = jnp.zeros(1 << (log2_m - 5), jnp.uint32)
+            return bitset, log2_m, cutoff, 0, hist
+        flat = jnp.concatenate(self._chunks, axis=0)
+        valid = jnp.concatenate(self._valids, axis=0)
+        # pad to a size bucket so total-N shape changes rarely recompile
+        n = flat.shape[0]
+        bucket = 1 << max(12, (n - 1).bit_length())
+        if bucket > n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((bucket - n, W), jnp.uint32)], axis=0
+            )
+            valid = jnp.concatenate([valid, jnp.zeros(bucket - n, bool)])
+        self._chunks, self._valids = [], []
+        words_t = tuple(flat[:, W - 1 - j] for j in range(W))
+        skeys, boundary, counts, hist_d = _sort_count_hist_device(words_t, valid)
+        hist = np.asarray(hist_d)  # the one transfer
+        cutoff = abundance if abundance is not None else auto_cutoff(hist)
+        n_solid = int(hist[min(cutoff, 255) :].sum())
+        log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
+        bitset = _bloom_from_sorted(skeys, boundary, counts, jnp.int32(cutoff), log2_m, H, seed)
+        return bitset, log2_m, cutoff, n_solid, hist
 
 
 def auto_cutoff(hist: np.ndarray) -> int:

@@ -160,6 +160,48 @@ def revcomp_words_np(words: np.ndarray, k: int) -> np.ndarray:
     return kmer_words_np((3 - codes)[::-1], k)
 
 
+def kmer_words_batch_np(codes: np.ndarray, pos: np.ndarray, k: int):
+    """Vectorized host extraction of the canonical k-mer at `pos` per read.
+
+    codes: (B, L) uint8, pos: (B,) int. Returns (canon (B, W) u32,
+    is_rc (B,) bool). Used to rebuild anchor dictionary entries on the host
+    so the device never ships k-mer words (D2H is latency/bandwidth bound
+    over the TPU tunnel).
+    """
+    B, L = codes.shape
+    W = words_for_k(k)
+    idx = np.clip(pos[:, None] + np.arange(k)[None, :], 0, L - 1)
+    win = np.take_along_axis(codes, idx, axis=1).astype(np.uint64)  # (B, k)
+    rcwin = (3 - win)[:, ::-1]
+
+    def pack(w):
+        # value = sum b[i] << 2*(k-1-i); word j = bits [32j, 32j+32).
+        # shift%32 is even and <= 30, so a 2-bit base never crosses a word
+        # boundary and per-word sum == OR.
+        words = np.zeros((B, W), dtype=np.uint32)
+        shift = 2 * (k - 1 - np.arange(k, dtype=np.uint64))
+        wordi = (shift // 32).astype(np.int64)
+        sh = (shift % 32).astype(np.uint64)
+        for j in range(W):
+            sel = wordi == j
+            if sel.any():
+                words[:, j] = (
+                    (w[:, sel] << sh[sel][None, :]).sum(axis=1, dtype=np.uint64)
+                ).astype(np.uint32)
+        return words
+
+    fwd = pack(win)
+    rc = pack(rcwin)
+    # lexicographic big-int compare, MSW last
+    less = np.zeros(B, dtype=bool)
+    eq = np.ones(B, dtype=bool)
+    for j in range(W - 1, -1, -1):
+        less |= eq & (rc[:, j] < fwd[:, j])
+        eq &= rc[:, j] == fwd[:, j]
+    canon = np.where(less[:, None], rc, fwd)
+    return canon, less
+
+
 def pack_2bit_np(codes: np.ndarray) -> bytes:
     """2-bit pack a code vector, byte aligned (FORMAT.md stream 9)."""
     n = codes.shape[0]

@@ -9,8 +9,12 @@ storing only an anchoring kmer and a list of bifurcations").
 Instead of one thread per read (reference Dispatcher), every read is a
 vector lane: a `lax.scan` over walk steps advances all lanes together, each
 step doing 4 candidate Bloom probes per lane (gathered bit tests in HBM).
-Event emission uses per-lane counters + scatters into fixed-slot event
-tensors (SURVEY.md §7.1.3). The walk policy is frozen in FORMAT.md §6.
+
+Performance shape: the scan body contains NO scatters — each step yields
+per-lane event flags/values (`ys` planes, stacked by the scan itself), and
+event-stream compaction happens afterwards with cumsum-offset scatters over
+whole (B, ME) planes (TPU scatters are serialization-slow; 4 per plane
+beats 4 per step by ~ME x). The walk policy is frozen in FORMAT.md §6.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from leon_tpu.ops import bloom
@@ -43,7 +48,7 @@ def _kmer_scan_full(codes, k: int):
 
 
 def _candidates_right(fwd, rc, k):
-    """Solid-candidate kmer forms when appending base x, for x in 0..3."""
+    """Successor kmer forms when appending base x, for x in 0..3."""
     fs = [shl2(fwd, U32(x), k) for x in range(4)]
     rs = [shr2_ins(rc, U32(3 - x), k) for x in range(4)]
     return fs, rs
@@ -63,17 +68,14 @@ def _probe4(bitset, fs, rs, H, log2_m, seed):
     return bloom.probe(bitset, canon, H, log2_m, seed)
 
 
-def _append(arr, cnt, do, val, ar):
-    old = arr[ar, cnt]
-    return arr.at[ar, cnt].set(jnp.where(do, val.astype(arr.dtype), old))
-
-
-def _walk_encode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, log2_m, seed, side, ME):
+def _walk_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, log2_m, seed, side, ME):
+    """Scan one walk direction; returns step-ordered planes, all (B, ME):
+    is_bif, rank (u8), is_err, bnt (u8, the true base at error steps),
+    is_conf (no-event confirmed steps)."""
     B, L = codes.shape
-    ar = jnp.arange(B)
 
     def step(carry, s):
-        fwd, rc, nbif, nerr, bif, ep, en, conf = carry
+        fwd, rc = carry
         if side == "right":
             j = apos + k + s
         else:
@@ -85,61 +87,41 @@ def _walk_encode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, l
             fs, rs = _candidates_right(fwd, rc, k)
         else:
             fs, rs = _candidates_left(fwd, rc, k)
-        solid = _probe4(bitset, fs, rs, H, log2_m, seed)  # (B,4) bool
+        solid = _probe4(bitset, fs, rs, H, log2_m, seed)  # (B, 4) bool
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         solid_b = jnp.take_along_axis(si, b[:, None], axis=1)[:, 0].astype(bool)
         cum = jnp.cumsum(si, axis=1)
-        cum_b = jnp.take_along_axis(cum, b[:, None], axis=1)[:, 0]
-        rank = cum_b - 1  # valid when solid_b
+        rank = jnp.take_along_axis(cum, b[:, None], axis=1)[:, 0] - 1  # valid when solid_b
 
-        is_none = active & solid_b & (scount == 1)
+        is_conf = active & solid_b & (scount == 1)
         is_bif = active & solid_b & (scount >= 2)
         is_err = active & ~solid_b
 
-        bif = _append(bif, nbif, is_bif, rank, ar)
-        ep = _append(ep, nerr, is_err, j, ar)
-        en = _append(en, nerr, is_err, b, ar)
-        nbif = nbif + is_bif.astype(jnp.int32)
-        nerr = nerr + is_err.astype(jnp.int32)
-        conf = conf.at[ar, jc].set(jnp.where(is_none, True, conf[ar, jc]))
-
         # error correction (FORMAT.md §6): on an error, advance with the
-        # smallest solid base so the walk rejoins the graph path — one event
-        # per sequencing error instead of k
+        # smallest solid base so the walk rejoins the graph path — one
+        # event per sequencing error instead of k
         b_min_solid = jnp.argmax(si, axis=1)
-        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        bu = b_adv.astype(U32)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b).astype(U32)
         if side == "right":
-            fwd = shl2(fwd, bu, k)
-            rc = shr2_ins(rc, U32(3) - bu, k)
+            fwd = shl2(fwd, b_adv, k)
+            rc = shr2_ins(rc, U32(3) - b_adv, k)
         else:
-            fwd = shr2_ins(fwd, bu, k)
-            rc = shl2(rc, U32(3) - bu, k)
-        return (fwd, rc, nbif, nerr, bif, ep, en, conf), None
+            fwd = shr2_ins(fwd, b_adv, k)
+            rc = shl2(rc, U32(3) - b_adv, k)
+        ys = (is_bif, rank.astype(jnp.uint8), is_err, b.astype(jnp.uint8), is_conf)
+        return (fwd, rc), ys
 
-    zero_i = jnp.zeros(B, jnp.int32)
-    carry = (
-        fwd0,
-        rc0,
-        zero_i,
-        zero_i,
-        jnp.zeros((B, ME), jnp.uint8),
-        jnp.zeros((B, ME), jnp.int32),
-        jnp.zeros((B, ME), jnp.uint8),
-        jnp.zeros((B, L), bool),
-    )
-    carry, _ = lax.scan(step, carry, jnp.arange(ME, dtype=jnp.int32))
-    fwd, rc, nbif, nerr, bif, ep, en, conf = carry
-    return nbif, nerr, bif, ep, en, conf
+    _, ys = lax.scan(step, (fwd0, rc0), jnp.arange(ME, dtype=jnp.int32))
+    return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
 
 
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed"))
-def encode_batch(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
-    """Anchor + walk-encode a read batch. Returns a dict of event tensors.
+def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
+    """Anchor search + both walk directions. Returns step-ordered planes.
 
     codes: (B, L) uint8 base codes (exceptions pre-substituted),
-    lengths: (B,) int32, bitset: (2^log2_m/32,) uint32.
+    lengths: (B,) int32, bitset: (2^log2_m/32,) uint32 device array.
     """
     B, L = codes.shape
     ME = max(1, L - k)
@@ -155,26 +137,247 @@ def encode_batch(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int)
     anchored = member.any(axis=1)
     apos = jnp.argmax(member, axis=1).astype(jnp.int32)
     sel = apos[:, None, None]
-    acanon = jnp.take_along_axis(canon, sel, axis=1)[:, 0, :]
     afwd = jnp.take_along_axis(fwds, sel, axis=1)[:, 0, :]
     arc_w = jnp.take_along_axis(rcs, sel, axis=1)[:, 0, :]
-    aorient = jnp.take_along_axis(is_rc, apos[:, None], axis=1)[:, 0]
 
-    nbif_r, nerr_r, bif_r, ep_r, en_r, conf_r = _walk_encode_side(
-        codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "right", ME
-    )
-    nbif_l, nerr_l, bif_l, ep_l, en_l, conf_l = _walk_encode_side(
-        codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "left", ME
-    )
+    r = _walk_side(codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "right", ME)
+    l = _walk_side(codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "left", ME)
     return dict(
-        anchored=anchored,
-        apos=apos,
-        acanon=acanon,
-        aorient=aorient,
-        nbif_r=nbif_r, nerr_r=nerr_r, bif_r=bif_r, errpos_r=ep_r, errnt_r=en_r,
-        nbif_l=nbif_l, nerr_l=nerr_l, bif_l=bif_l, errpos_l=ep_l, errnt_l=en_l,
-        confirmed=conf_r | conf_l,
+        anchored=anchored, apos=apos,
+        bif_r=r[0], rank_r=r[1], err_r=r[2], bnt_r=r[3], conf_r=r[4],
+        bif_l=l[0], rank_l=l[1], err_l=l[2], bnt_l=l[3], conf_l=l[4],
     )
+
+
+def _gap_plane(is_err, ME):
+    """Per-step error gaps (valid where is_err): step index minus previous
+    error step minus one; the first error's gap is its step index — exactly
+    the container's errpos gap semantics (FORMAT.md §6) because step s maps
+    to position apos+k+s (right) / apos-1-s (left)."""
+    s = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    marked = jnp.where(is_err, s, -1)
+    prev_inclusive = lax.associative_scan(jnp.maximum, marked, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((is_err.shape[0], 1), -1, jnp.int32), prev_inclusive[:, :-1]], axis=1
+    )
+    return s - prev - 1
+
+
+def _conf_mask(conf_r, conf_l, apos, k, L):
+    """(B, L) confirmed-position mask from the two step planes (2 scatters)."""
+    B, ME = conf_r.shape
+    ar = jnp.arange(B)[:, None]
+    s = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    jr = apos[:, None] + k + s
+    jl = apos[:, None] - 1 - s
+    out = jnp.zeros((B, L + 1), bool)
+    out = out.at[ar, jnp.where(conf_r, jnp.clip(jr, 0, L), L)].set(True, mode="drop")
+    out = out.at[ar, jnp.where(conf_l, jnp.clip(jl, -1, L - 1), L)].set(True, mode="drop")
+    return out[:, :L]
+
+
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif"))
+def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
+                         cap_err: int, cap_bif: int):
+    """Walk-encode with device-side event-stream compaction into ONE flat
+    u16 buffer (the D2H tunnel charges ~40 ms per transfer and ~15 MB/s,
+    so ship one small array). Event streams come out in exactly the
+    container's layout (read-major, right-then-left; FORMAT.md §6): the
+    host just slices and varint-encodes.
+
+    Layout: [total_err u32x2 | total_bif u32x2] (as 4 u16)
+            scal (B, 6): anchored, apos, nbif_r, nerr_r, nbif_l, nerr_l
+            errgap u16 (cap_err,) | errnt 2-bit in u16 (cap_err/8,)
+            bif 2-bit in u16 (cap_bif/8,) | conf bits u16 (B, ceil(L/16)).
+    Overflowing chunks are detected from the totals; the caller re-runs
+    them with encode_batch_dense.
+    """
+    if cap_err % 8 or cap_bif % 8:
+        raise ValueError("event capacities must be multiples of 8")
+    B, L = codes.shape
+    ME = max(1, L - k)
+    e = walk_planes(codes, lengths, bitset, k, H, log2_m, seed)
+
+    nerr_r = e["err_r"].sum(axis=1, dtype=jnp.int32)
+    nerr_l = e["err_l"].sum(axis=1, dtype=jnp.int32)
+    nbif_r = e["bif_r"].sum(axis=1, dtype=jnp.int32)
+    nbif_l = e["bif_l"].sum(axis=1, dtype=jnp.int32)
+
+    def compact(plane_r, vals_r, plane_l, vals_l, n_r, n_l, cap):
+        """Scatter step-plane values into the read-major right-then-left
+        flat stream. Returns ((cap,) u32 values, total)."""
+        n_tot = n_r + n_l
+        base = jnp.cumsum(n_tot) - n_tot  # exclusive prefix over reads
+        slot_r = jnp.cumsum(plane_r, axis=1, dtype=jnp.int32) - 1
+        slot_l = jnp.cumsum(plane_l, axis=1, dtype=jnp.int32) - 1
+        off_r = jnp.where(plane_r, base[:, None] + slot_r, cap)
+        off_l = jnp.where(plane_l, base[:, None] + n_r[:, None] + slot_l, cap)
+        out = jnp.zeros(cap + 1, jnp.uint32)
+        out = out.at[off_r.reshape(-1)].set(vals_r.reshape(-1).astype(jnp.uint32), mode="drop")
+        out = out.at[off_l.reshape(-1)].set(vals_l.reshape(-1).astype(jnp.uint32), mode="drop")
+        return out[:cap], base[-1] + n_tot[-1]
+
+    gap_r = _gap_plane(e["err_r"], ME)
+    gap_l = _gap_plane(e["err_l"], ME)
+    errgap, total_err = compact(e["err_r"], gap_r, e["err_l"], gap_l, nerr_r, nerr_l, cap_err)
+    errnt, _ = compact(e["err_r"], e["bnt_r"], e["err_l"], e["bnt_l"], nerr_r, nerr_l, cap_err)
+    bifv, total_bif = compact(e["bif_r"], e["rank_r"], e["bif_l"], e["rank_l"], nbif_r, nbif_l, cap_bif)
+
+    def pack2_16(v):  # 2-bit values -> u16 words of 8 symbols
+        v = v.reshape(-1, 8)
+        sh = (jnp.uint32(2) * jnp.arange(8, dtype=jnp.uint32))[None, :]
+        return jnp.sum(v << sh, axis=1, dtype=jnp.uint32).astype(jnp.uint16)
+
+    u16 = lambda x: jnp.maximum(x, 0).astype(jnp.uint16)
+    scal = jnp.concatenate(
+        [
+            e["anchored"].astype(jnp.uint16)[:, None],
+            u16(e["apos"])[:, None],
+            u16(nbif_r)[:, None], u16(nerr_r)[:, None],
+            u16(nbif_l)[:, None], u16(nerr_l)[:, None],
+        ],
+        axis=1,
+    )
+
+    conf = _conf_mask(e["conf_r"], e["conf_l"], e["apos"], k, L)
+    pad = (-L) % 16
+    if pad:
+        conf = jnp.concatenate([conf, jnp.zeros((B, pad), bool)], axis=1)
+    conf16 = jnp.sum(
+        conf.reshape(B, -1, 16).astype(jnp.uint32)
+        * (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))[None, None, :],
+        axis=2,
+        dtype=jnp.uint32,
+    ).astype(jnp.uint16)
+
+    hdr = jnp.stack(
+        [
+            (total_err & 0xFFFF).astype(jnp.uint16),
+            (total_err >> 16).astype(jnp.uint16),
+            (total_bif & 0xFFFF).astype(jnp.uint16),
+            (total_bif >> 16).astype(jnp.uint16),
+        ]
+    )
+    return jnp.concatenate(
+        [
+            hdr,
+            scal.reshape(-1),
+            u16(errgap),
+            pack2_16(errnt),
+            pack2_16(bifv),
+            conf16.reshape(-1),
+        ]
+    )
+
+
+def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
+                   cap_err: int, cap_bif: int) -> dict | None:
+    """Host-side unpack of encode_batch_compact's flat u16 buffer. Returns
+    None on capacity overflow (caller re-runs the dense path). `n` = true
+    reads (pad lanes have anchored=0 and no events)."""
+    total_err = int(buf[0]) | (int(buf[1]) << 16)
+    total_bif = int(buf[2]) | (int(buf[3]) << 16)
+    if total_err > cap_err or total_bif > cap_bif:
+        return None
+    o = 4
+    scal = buf[o : o + 6 * B].reshape(B, 6)
+    o += 6 * B
+    errgap = buf[o : o + cap_err]
+    o += cap_err
+    errnt16 = buf[o : o + cap_err // 8]
+    o += cap_err // 8
+    bif16 = buf[o : o + cap_bif // 8]
+    o += cap_bif // 8
+    L16 = (L + 15) // 16
+    conf16 = buf[o : o + B * L16].reshape(B, L16)
+
+    def unpack2_16(v, m):
+        out = np.empty((v.shape[0], 8), dtype=np.uint8)
+        for i in range(8):
+            out[:, i] = (v >> (2 * i)) & 3
+        return out.reshape(-1)[:m]
+
+    return dict(
+        anchored=scal[:n, 0].astype(bool),
+        apos=scal[:n, 1].astype(np.int32),
+        nbif_r=scal[:n, 2].astype(np.int32), nerr_r=scal[:n, 3].astype(np.int32),
+        nbif_l=scal[:n, 4].astype(np.int32), nerr_l=scal[:n, 5].astype(np.int32),
+        errgap_flat=errgap[:total_err],
+        errnt_flat=unpack2_16(errnt16, total_err),
+        bif_flat=unpack2_16(bif16, total_bif),
+        conf16=conf16[:n],
+        compact=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed"))
+def encode_batch(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
+    """Dense slot-compacted event tensors (fallback path for chunks that
+    overflow the compact capacities, and the tensor-level test interface).
+
+    Returns a dict of (B,)-scalars and (B, ME) slot-ordered event arrays:
+    bif/errpos(absolute)/errnt per side, + confirmed (B, L) mask.
+    """
+    B, L = codes.shape
+    ME = max(1, L - k)
+    e = walk_planes(codes, lengths, bitset, k, H, log2_m, seed)
+
+    ar = jnp.arange(B)[:, None]
+    s = jnp.arange(ME, dtype=jnp.int32)[None, :]
+
+    def slotify(plane, vals, dtype):
+        """Scatter step-plane values into per-read slot order: out[i, m] =
+        value of the m-th event of read i."""
+        slot = jnp.cumsum(plane, axis=1, dtype=jnp.int32) - 1
+        out = jnp.zeros((B, ME + 1), dtype)
+        return out.at[ar, jnp.where(plane, slot, ME)].set(
+            vals.astype(dtype), mode="drop"
+        )[:, :ME]
+
+    apos = e["apos"]
+    jr = apos[:, None] + k + s
+    jl = apos[:, None] - 1 - s
+    out = dict(
+        anchored=e["anchored"],
+        apos=apos,
+        nbif_r=e["bif_r"].sum(axis=1, dtype=jnp.int32),
+        nerr_r=e["err_r"].sum(axis=1, dtype=jnp.int32),
+        nbif_l=e["bif_l"].sum(axis=1, dtype=jnp.int32),
+        nerr_l=e["err_l"].sum(axis=1, dtype=jnp.int32),
+        bif_r=slotify(e["bif_r"], e["rank_r"], jnp.uint8),
+        errpos_r=slotify(e["err_r"], jr, jnp.int32),
+        errnt_r=slotify(e["err_r"], e["bnt_r"], jnp.uint8),
+        gap_r=slotify(e["err_r"], _gap_plane(e["err_r"], ME), jnp.int32),
+        bif_l=slotify(e["bif_l"], e["rank_l"], jnp.uint8),
+        errpos_l=slotify(e["err_l"], jl, jnp.int32),
+        errnt_l=slotify(e["err_l"], e["bnt_l"], jnp.uint8),
+        gap_l=slotify(e["err_l"], _gap_plane(e["err_l"], ME), jnp.int32),
+        confirmed=_conf_mask(e["conf_r"], e["conf_l"], apos, k, L),
+    )
+    return out
+
+
+def unpack_dense(enc_np: dict, n: int) -> dict:
+    """Adapt a host-transferred encode_batch dict to BlockEncoder's dense
+    form (adds nothing; slices true reads)."""
+    return {kk: v[:n] for kk, v in enc_np.items()}
+
+
+def unpack_conf_bits(conf_bytes: np.ndarray, L: int) -> np.ndarray:
+    """(B, ceil(L/8)) uint8 -> (B, L) bool confirmed mask."""
+    bits = (conf_bytes[:, :, None] >> np.arange(8, dtype=np.uint8)[None, None, :]) & 1
+    return bits.reshape(conf_bytes.shape[0], -1)[:, :L].astype(bool)
+
+
+def unpack_conf16_bits(conf16: np.ndarray, L: int) -> np.ndarray:
+    """(B, ceil(L/16)) uint16 -> (B, L) bool confirmed mask."""
+    bits = (conf16[:, :, None] >> np.arange(16, dtype=np.uint16)[None, None, :]) & 1
+    return bits.reshape(conf16.shape[0], -1)[:, :L].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
 
 
 def _unpack_kmer(words, k: int):
@@ -186,24 +389,26 @@ def _unpack_kmer(words, k: int):
     return jnp.stack(cols, axis=1)
 
 
-def _walk_decode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset,
-                      nbif, bif, nerr, ep, en, k, H, log2_m, seed, side, ME):
-    B, L = codes.shape
+def _walk_decode_side(lengths, apos, anchored, fwd0, rc0, bitset,
+                      err_plane, nbif, bif, k, H, log2_m, seed, side, ME, L):
+    """Re-walk one direction. err_plane: (B, L) uint8, 0 = no error at that
+    position, else 4 + true base code. Returns the decoded base per step
+    (B, ME) and final states."""
+    B = lengths.shape[0]
     ar = jnp.arange(B)
     MEv = max(1, bif.shape[1])
 
     def step(carry, s):
-        fwd, rc, pbif, perr, out = carry
+        fwd, rc, pbif = carry
         if side == "right":
             j = apos + k + s
         else:
             j = apos - 1 - s
         active = anchored & (j >= 0) & (j < lengths)
         jc = jnp.clip(j, 0, L - 1)
-
-        pe = jnp.clip(perr, 0, MEv - 1)
-        is_err = active & (perr < nerr) & (ep[ar, pe] == j)
-        b_err = en[ar, pe].astype(jnp.int32)
+        ev = jnp.take_along_axis(err_plane, jc[:, None], axis=1)[:, 0]
+        is_err = active & (ev >= 4)
+        b_err = (ev & 3).astype(jnp.int32)
 
         if side == "right":
             fs, rs = _candidates_right(fwd, rc, k)
@@ -222,27 +427,22 @@ def _walk_decode_side(codes, lengths, apos, anchored, fwd0, rc0, bitset,
         b_uniq = jnp.argmax(si, axis=1).astype(jnp.int32)
 
         b = jnp.where(is_err, b_err, jnp.where(is_bif, b_bif, b_uniq))
-        out = out.at[ar, jc].set(jnp.where(active, b.astype(jnp.uint8), out[ar, jc]))
-        perr = perr + is_err.astype(jnp.int32)
         pbif = pbif + is_bif.astype(jnp.int32)
 
-        # mirror the encoder's error correction (FORMAT.md §6): at an error
-        # position advance with the smallest solid base, not the emitted one
+        # mirror the encoder's error correction (FORMAT.md §6)
         b_min_solid = jnp.argmax(si, axis=1)
-        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        bu = b_adv.astype(U32)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b).astype(U32)
         if side == "right":
-            fwd = shl2(fwd, bu, k)
-            rc = shr2_ins(rc, U32(3) - bu, k)
+            fwd = shl2(fwd, b_adv, k)
+            rc = shr2_ins(rc, U32(3) - b_adv, k)
         else:
-            fwd = shr2_ins(fwd, bu, k)
-            rc = shl2(rc, U32(3) - bu, k)
-        return (fwd, rc, pbif, perr, out), None
+            fwd = shr2_ins(fwd, b_adv, k)
+            rc = shl2(rc, U32(3) - b_adv, k)
+        return (fwd, rc, pbif), b.astype(jnp.uint8)
 
-    zero_i = jnp.zeros(B, jnp.int32)
-    carry = (fwd0, rc0, zero_i, zero_i, codes)
-    carry, _ = lax.scan(step, carry, jnp.arange(ME, dtype=jnp.int32))
-    return carry[4]
+    carry = (fwd0, rc0, jnp.zeros(B, jnp.int32))
+    carry, bs = lax.scan(step, carry, jnp.arange(ME, dtype=jnp.int32))
+    return jnp.moveaxis(bs, 0, 1), carry[2]  # (B, ME), consumed bif count
 
 
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
@@ -253,13 +453,26 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     """Reconstruct anchored reads by re-walking the graph (FORMAT.md §6).
 
     afwd: (B, W) forward-orientation anchor k-mer words (host resolves the
-    dictionary + orientation bit). Event arrays are (B, ME)-padded, err
-    positions absolute. Returns (B, L) uint8 codes (anchored lanes only).
+    dictionary + orientation bit). Event arrays are (B, ME)-padded with
+    absolute err positions. Returns (B, L) uint8 codes (anchored lanes).
     """
     B = apos.shape[0]
     ME = max(1, L - k)
-    ar = jnp.arange(B)
+    ar = jnp.arange(B)[:, None]
     lengths = lengths.astype(jnp.int32)
+    MEv = errpos_r.shape[1]
+
+    # error planes: one scatter per side instead of per-step event gathers
+    def err_plane_of(ep, en, nerr):
+        slot = jnp.arange(MEv, dtype=jnp.int32)[None, :]
+        okm = slot < nerr[:, None]
+        idx = jnp.where(okm, jnp.clip(ep, 0, L - 1), L)
+        plane = jnp.zeros((B, L + 1), jnp.uint8)
+        return plane.at[ar, idx].set(
+            jnp.where(okm, en.astype(jnp.uint8) + 4, 0), mode="drop"
+        )[:, :L]
+
+    err_plane = err_plane_of(errpos_r, errnt_r, nerr_r) | err_plane_of(errpos_l, errnt_l, nerr_l)
 
     anchor_codes = _unpack_kmer(afwd, k)  # (B, k)
     posm = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -273,10 +486,22 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     for i in range(k - 1, -1, -1):
         rc0 = shl2(rc0, U32(3) - anchor_codes[:, i].astype(U32), k)
 
-    out = _walk_decode_side(codes0, lengths, apos, anchored, afwd, rc0, bitset,
-                            nbif_r, bif_r, nerr_r, errpos_r, errnt_r,
-                            k, H, log2_m, seed, "right", ME)
-    out = _walk_decode_side(out, lengths, apos, anchored, afwd, rc0, bitset,
-                            nbif_l, bif_l, nerr_l, errpos_l, errnt_l,
-                            k, H, log2_m, seed, "left", ME)
-    return out
+    bs_r, _ = _walk_decode_side(lengths, apos, anchored, afwd, rc0, bitset,
+                                err_plane, nbif_r, bif_r, k, H, log2_m, seed, "right", ME, L)
+    bs_l, _ = _walk_decode_side(lengths, apos, anchored, afwd, rc0, bitset,
+                                err_plane, nbif_l, bif_l, k, H, log2_m, seed, "left", ME, L)
+
+    # place the decoded bases with two post-scan scatters
+    s = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    jr = apos[:, None] + k + s
+    jl = apos[:, None] - 1 - s
+    ok_r = anchored[:, None] & (jr < lengths[:, None])
+    ok_l = anchored[:, None] & (jl >= 0)
+    out = jnp.concatenate([codes0, jnp.zeros((B, 1), jnp.uint8)], axis=1)
+    out = out.at[ar, jnp.where(ok_r, jnp.clip(jr, 0, L - 1), L)].set(
+        jnp.where(ok_r, bs_r, 0), mode="drop"
+    )
+    out = out.at[ar, jnp.where(ok_l, jnp.clip(jl, 0, L - 1), L)].set(
+        jnp.where(ok_l, bs_l, 0), mode="drop"
+    )
+    return out[:, :L]

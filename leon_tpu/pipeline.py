@@ -45,12 +45,18 @@ def _bucket_len(maxlen: int, k: int) -> int:
 
 @dataclass
 class Chunk:
-    """One device sub-batch worth of parsed reads (host representation)."""
+    """One device sub-batch worth of parsed reads (host representation).
 
-    codes: np.ndarray      # (n, L) uint8, exceptions substituted, zero-padded
+    `codes`/`dev_len` are padded to exactly cfg.batch_reads lanes (a fixed
+    device shape — unpadded tail chunks would each trigger a fresh XLA
+    compile); `lengths`/`exc_*` cover only the n true reads.
+    """
+
+    codes: np.ndarray      # (B_pad, L) uint8, exceptions substituted, zero-padded
     lengths: np.ndarray    # (n,) int32 — true lengths (0 for empty reads)
-    dev_len: np.ndarray    # (n,) int32 — lengths clamped to 0 for device-ineligible reads
+    dev_len: np.ndarray    # (B_pad,) int32 — 0 for pad lanes / device-ineligible reads
     L: int                 # bucketed width
+    n: int                 # true reads in this chunk
     exc_pos: list          # per read: np positions or None
     exc_byte: list
     start: int             # read index of first read within the block
@@ -75,7 +81,7 @@ def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk
         dev_len[toolong] = 0
         Lb = _bucket_len(int(dev_len.max()) if m else 0, k)
 
-        codes = np.zeros((m, Lb), dtype=np.uint8)
+        codes = np.zeros((B, Lb), dtype=np.uint8)
         if toolong.any():
             # per-row fill honoring truncation of device-ineligible long reads
             for i in range(m):
@@ -83,7 +89,9 @@ def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk
                 codes[i, :ln] = codes_f[starts[i] : starts[i] + ln]
         else:
             mask = np.arange(Lb)[None, :] < lens[:, None]
-            codes[mask] = codes_f
+            codes[:m][mask] = codes_f
+        dev_pad = np.zeros(B, dtype=np.int32)
+        dev_pad[:m] = dev_len
 
         exc_pos: list = [None] * m
         exc_byte: list = [None] * m
@@ -97,8 +105,9 @@ def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk
         yield Chunk(
             codes=codes,
             lengths=lens.astype(np.int32),
-            dev_len=dev_len.astype(np.int32),
+            dev_len=dev_pad,
             L=Lb,
+            n=m,
             exc_pos=exc_pos,
             exc_byte=exc_byte,
             start=s,
@@ -110,9 +119,28 @@ def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk
 # ---------------------------------------------------------------------------
 
 
-def _count_pass(parse: bank.ParseResult, cfg: LeonConfig, k: int):
-    """Device k-mer counting over all blocks (reference: DSK SortingCount,
-    SURVEY.md §3.4). Returns (uniq (M, W) u32, counts (M,) i64)."""
+def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int, seed: int):
+    """Device-resident k-mer counting + Bloom build (reference: DSK
+    SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). All k-mers
+    accumulate in HBM; one sort+count+histogram; the Bloom filter is
+    scattered on device. Host traffic: one 256-entry histogram.
+    Returns (bitset device array, log2_m, cutoff, n_solid)."""
+    counter = count.DeviceCounter(K.words_for_k(k))
+    for block in parse.blocks:
+        for ch in chunk_block(block, cfg, k):
+            if ch.L < k + 1 or not (ch.dev_len >= k).any():
+                continue
+            canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
+            counter.add(canon, valid)
+    bitset, log2_m, cutoff, n_solid, _hist = counter.finalize(
+        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
+    )
+    return bitset, log2_m, cutoff, n_solid
+
+
+def _count_pass_host(parse: bank.ParseResult, cfg: LeonConfig, k: int):
+    """Legacy host-merge counting (fallback for k-mer multisets beyond the
+    HBM budget). Returns (uniq (M, W) u32, counts (M,) i64)."""
     partials = []
     for block in parse.blocks:
         for ch in chunk_block(block, cfg, k):
@@ -149,24 +177,27 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         qual_mode = container.QUAL_LOSSLESS if cfg.lossless else container.QUAL_LOSSY
     out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
 
-    # --- pass 1: k-mer counting + solidity threshold ---
+    # --- pass 1: k-mer counting + solidity threshold + Bloom build ---
     t1 = time.time()
-    uniq, counts = _count_pass(parse, cfg, k)
-    if cfg.abundance is not None:
-        cutoff = cfg.abundance
-    else:
-        cutoff = count.auto_cutoff(count.histogram(counts)) if counts.size else 2
-    solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
-    t_count = time.time() - t1
-
-    # --- Bloom build ---
-    t1 = time.time()
-    log2_m = bloom.choose_log2_m(max(1, solid.shape[0]), cfg.bloom_bits_per_kmer)
     H = cfg.bloom_hashes
     seed = cfg.seed
-    bitset = bloom.build_np(solid, log2_m, H, seed)
-    bitset_j = jnp.asarray(bitset)
-    t_bloom = time.time() - t1
+    total_bases = sum(len(s) for b in parse.blocks for s in b.seqs)
+    if total_bases <= cfg.count_device_max_kmers:
+        bitset_j, log2_m, cutoff, n_solid = _count_pass_device(parse, cfg, k, H, seed)
+        bitset = None  # transferred lazily for the container
+    else:
+        uniq, counts = _count_pass_host(parse, cfg, k)
+        if cfg.abundance is not None:
+            cutoff = cfg.abundance
+        else:
+            cutoff = count.auto_cutoff(count.histogram(counts)) if counts.size else 2
+        solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
+        n_solid = int(solid.shape[0])
+        log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
+        bitset = bloom.build_np(solid, log2_m, H, seed)
+        bitset_j = jnp.asarray(bitset)
+    t_count = time.time() - t1
+    t_bloom = 0.0
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
@@ -176,12 +207,49 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     )
 
     # --- pass 2: anchor + walk encode, stream assembly ---
+    # Double-buffered: while the device walks chunk i+1, the host drains
+    # chunk i's packed result (one async D2H per chunk) and assembles the
+    # container streams.
     t1 = time.time()
     adict = blockcodec.AnchorDict(W)
     payloads: list[bytes] = []
     n_per_block: list[int] = []
     stream_sizes: dict[int, int] = {}
     n_anchored = 0
+
+    def process(item):
+        nonlocal n_anchored
+        be, ch, packed = item
+        if ch is None:  # block finished
+            payload, sizes = be.finish()
+            payloads.append(payload)
+            n_per_block.append(be.block.n_reads)
+            for sid, sz in sizes.items():
+                stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
+            return
+        enc = None
+        if packed is not None:
+            buf, cap_err, cap_bif = packed
+            B = ch.codes.shape[0]
+            enc = walk.unpack_compact(np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif)
+            if enc is None:
+                # event capacity overflow (very high error rate chunk):
+                # recompute with the dense layout
+                enc_j = walk.encode_batch(
+                    ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed
+                )
+                enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
+            n_anchored += int(enc["anchored"].sum())
+        be.add_subbatch(
+            blockcodec.SubbatchData(
+                codes=ch.codes, lengths=ch.lengths, enc=enc,
+                exc_pos=ch.exc_pos, exc_byte=ch.exc_byte,
+            )
+        )
+
+    from collections import deque
+
+    pending: deque = deque()
     for block in parse.blocks:
         if fmt == bank.FASTQ and cfg.seq_only:
             block = bank.SeqBlock(
@@ -190,24 +258,27 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             )
         be = blockcodec.BlockEncoder(cfg, meta, adict, block)
         for ch in chunk_block(block, cfg, k):
-            enc = None
+            packed = None
             if ch.L >= k + 1 and (ch.dev_len >= k).any():
-                enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
-                enc = {kk: np.asarray(v) for kk, v in enc_j.items()}
-                n_anchored += int(enc["anchored"].sum())
-            be.add_subbatch(
-                blockcodec.SubbatchData(
-                    codes=ch.codes, lengths=ch.lengths, enc=enc,
-                    exc_pos=ch.exc_pos, exc_byte=ch.exc_byte,
+                B = ch.codes.shape[0]
+                cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
+                cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
+                buf = walk.encode_batch_compact(
+                    ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed,
+                    cap_err, cap_bif,
                 )
-            )
-        payload, sizes = be.finish()
-        payloads.append(payload)
-        n_per_block.append(block.n_reads)
-        for sid, sz in sizes.items():
-            stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
+                buf.copy_to_host_async()
+                packed = (buf, cap_err, cap_bif)
+            pending.append((be, ch, packed))
+            while len(pending) > 1:
+                process(pending.popleft())
+        pending.append((be, None, None))
+    while pending:
+        process(pending.popleft())
     t_encode = time.time() - t1
 
+    if bitset is None:
+        bitset = np.asarray(bitset_j)
     c = container.Container(
         meta=meta,
         dict_payload=adict.payload(),
@@ -222,7 +293,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         "output": output_path,
         "n_reads": parse.n_reads,
         "n_anchored": n_anchored,
-        "n_solid_kmers": int(solid.shape[0]),
+        "n_solid_kmers": n_solid,
         "abundance": cutoff,
         "bloom_bytes": bitset.nbytes,
         "dict_entries": len(adict),

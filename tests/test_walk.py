@@ -46,13 +46,14 @@ def test_walk_roundtrip(sim_reads, k):
     anchored = enc["anchored"]
     assert anchored.mean() > 0.8  # high-coverage sim: most reads anchor
 
-    # host resolves forward-orientation anchor words from canonical + orient
-    afwd = np.zeros_like(enc["acanon"])
+    # host re-derives forward-orientation anchor words from codes + apos
+    # (the device no longer ships k-mer words, see kmer_words_batch_np)
+    canon_w, is_rc = K.kmer_words_batch_np(codes, enc["apos"].astype(np.int64), k)
+    afwd = np.zeros_like(canon_w)
     for i in range(B):
         if not anchored[i]:
             continue
-        w = enc["acanon"][i]
-        afwd[i] = K.revcomp_words_np(w, k) if enc["aorient"][i] else w
+        afwd[i] = K.revcomp_words_np(canon_w[i], k) if is_rc[i] else canon_w[i]
 
     dec = walk.decode_batch(
         enc["apos"], anchored, lengths, afwd, bits_j,
