@@ -3,9 +3,18 @@
 Behavior contract from the reference's HeaderCoder ([R] gatb-core
 tools/compression/HeaderCoder.{hpp,cpp}): sequencing headers are highly
 structured (instrument:run:flowcell:lane:tile:x:y ...) and compress best
-field-wise against the previous header. v1 payload: headers joined with
-'\\n' (headers are lines, so '\\n' cannot occur inside one); the field-delta
-transform is applied as a byte-stream preconditioner before framing.
+field-wise against the previous header. Headers are tokenized into runs of
+digits and non-digits; when the token structure matches the previous
+header, non-digit tokens are implied and numeric tokens are stored as
+zigzag value deltas (0 = identical string). Anything irregular (structure
+change, huge numbers, leading-zero width changes) falls back to a literal.
+
+Payload layout (all four sections are framed streams, FORMAT.md §7):
+  frame A: modes, 1 byte/header (0 = literal, 1 = token-delta)
+  frame B: literal header lengths (varints, in literal order)
+  frame C: literal header bytes (concatenated)
+  frame D: numeric token codes (varints: 0 = same string as previous
+           header's token, else 1 + zigzag(value - prev_value))
 
 When header_mode=0 at decode, reads are named `read_<i>` (global 0-based
 index), mirroring the reference's -noheader reconstruction.
@@ -13,15 +22,120 @@ index), mirroring the reference's -noheader reconstruction.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+
+from leon_tpu.codecs import frames
+from leon_tpu.utils import varint
+
+_TOKEN_RE = re.compile(rb"\d+|\D+")
+_MAX_DIGITS = 18
+
+
+def _tokenize(h: bytes) -> list[bytes]:
+    return _TOKEN_RE.findall(h)
+
+
+def _deltas(tokens: list[bytes], prev: list[bytes]) -> list[int] | None:
+    """Numeric token codes vs prev, or None when literal fallback is needed."""
+    if len(tokens) != len(prev):
+        return None
+    out: list[int] = []
+    for t, p in zip(tokens, prev):
+        t_num = t[:1].isdigit()
+        p_num = p[:1].isdigit()
+        if t_num != p_num:
+            return None
+        if not t_num:
+            if t != p:
+                return None
+            continue
+        if t == p:
+            out.append(0)
+            continue
+        if len(t) > _MAX_DIGITS or len(p) > _MAX_DIGITS:
+            return None
+        tv, pv = int(t), int(p)
+        # the delta is usable only if the decoder's reconstruction rule
+        # (zero-pad to prev's width when prev had leading zeros) yields the
+        # exact original string
+        recon = str(tv).encode()
+        if p[:1] == b"0" and len(p) > 1:
+            recon = recon.rjust(len(p), b"0")
+        if recon != t:
+            return None
+        out.append(1 + int(varint.zigzag(tv - pv)))
+    return out
+
 
 def encode(headers: list[bytes]) -> bytes:
-    return b"\n".join(headers)
+    modes = bytearray()
+    lit_lens: list[int] = []
+    lit_parts: list[bytes] = []
+    codes: list[int] = []
+    prev_tokens: list[bytes] | None = None
+    for h in headers:
+        tokens = _tokenize(h)
+        d = _deltas(tokens, prev_tokens) if prev_tokens is not None else None
+        if d is None:
+            modes.append(0)
+            lit_lens.append(len(h))
+            lit_parts.append(h)
+        else:
+            modes.append(1)
+            codes.extend(d)
+        prev_tokens = tokens
+    out = bytearray()
+    out += frames.frame(bytes(modes))
+    out += frames.frame(varint.encode_array(np.asarray(lit_lens, dtype=np.uint64)))
+    out += frames.frame(b"".join(lit_parts))
+    out += frames.frame(varint.encode_array(np.asarray(codes, dtype=np.uint64)))
+    return bytes(out)
 
 
 def decode(payload: bytes, n_reads: int) -> list[bytes]:
     if n_reads == 0:
         return []
-    out = payload.split(b"\n")
+    modes, pos = frames.unframe(payload, 0)
+    lit_lens_b, pos = frames.unframe(payload, pos)
+    lit_bytes, pos = frames.unframe(payload, pos)
+    codes_b, pos = frames.unframe(payload, pos)
+    n_lit = sum(1 for m in modes if m == 0)
+    lit_lens = varint.decode_array(lit_lens_b, n_lit).astype(np.int64)
+    codes = varint.decode_array(codes_b)
+
+    out: list[bytes] = []
+    prev_tokens: list[bytes] = []
+    lit_off = 0
+    lit_i = 0
+    code_i = 0
+    for m in modes:
+        if m == 0:
+            ln = int(lit_lens[lit_i])
+            lit_i += 1
+            h = lit_bytes[lit_off : lit_off + ln]
+            lit_off += ln
+            tokens = _tokenize(h)
+        else:
+            tokens = []
+            for p in prev_tokens:
+                if not p[:1].isdigit():
+                    tokens.append(p)
+                    continue
+                c = int(codes[code_i])
+                code_i += 1
+                if c == 0:
+                    tokens.append(p)
+                else:
+                    v = int(p) + int(varint.unzigzag(np.uint64(c - 1)))
+                    t = str(v).encode()
+                    if p[0:1] == b"0" and len(p) > 1:
+                        t = t.rjust(len(p), b"0")
+                    tokens.append(t)
+            h = b"".join(tokens)
+        out.append(h)
+        prev_tokens = tokens
     if len(out) != n_reads:
         raise ValueError(f"header count mismatch: {len(out)} != {n_reads}")
     return out

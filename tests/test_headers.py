@@ -1,0 +1,67 @@
+"""Header field-delta codec tests (FORMAT.md §8; reference behavior:
+[R] gatb-core tools/compression/HeaderCoder)."""
+
+import numpy as np
+import pytest
+
+from leon_tpu.codecs import headers as H
+
+
+def roundtrip(hs):
+    payload = H.encode(hs)
+    out = H.decode(payload, len(hs))
+    assert out == hs
+    return payload
+
+
+def test_sra_style():
+    hs = [b"SRR387476.%d HWI-EAS179:5:1:7:%d length=36" % (i, 800 + 3 * i) for i in range(1000)]
+    payload = roundtrip(hs)
+    raw = sum(len(h) for h in hs)
+    assert len(payload) < raw * 0.05  # pure deltas
+
+
+def test_illumina_style():
+    hs = [
+        b"M00123:45:000000000-A1B2C:1:%d:%d:%d 1:N:0:ACGTACGT" % (1101 + i // 100, 10_000 + 17 * i, 20_000 - 3 * i)
+        for i in range(500)
+    ]
+    roundtrip(hs)
+
+
+def test_structure_changes_and_edge():
+    hs = [
+        b"read1",
+        b"read2",
+        b"completely different !@#",
+        b"read4 with more tokens 7",
+        b"read5 with more tokens 8",
+        b"",
+        b"005 padded",
+        b"006 padded",
+        b"7 unpadded",     # width change after padded: literal fallback
+        b"100",
+        b"099",            # leading zero appears: literal fallback
+        b"98765432109876543210 huge",  # > 18 digits
+        b"98765432109876543211 huge",
+    ]
+    roundtrip(hs)
+
+
+def test_mixed_random(rng):
+    hs = []
+    for i in range(300):
+        if i % 37 == 0:
+            hs.append(bytes(rng.integers(32, 127, rng.integers(0, 60)).astype(np.uint8)))
+        else:
+            hs.append(b"@inst:%d:%d xyz" % (i, rng.integers(0, 10**9)))
+    roundtrip(hs)
+
+
+def test_single_and_empty():
+    roundtrip([b"only one"])
+    assert H.decode(H.encode([]), 0) == []
+
+
+def test_synth_names():
+    assert H.synth(5, 3) == [b"read_5", b"read_6", b"read_7"]
