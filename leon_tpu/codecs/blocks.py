@@ -285,7 +285,11 @@ class BlockEncoder:
 
             add(S_HEADERS, hcodec.encode(block.headers))
         if self.meta.qual_mode:
-            add(S_QUALS, b"".join(self.qual_parts))
+            data = b"".join(self.qual_parts)
+            if data:
+                fr = frames.frame(data, try_o1=True)
+                streams.append((S_QUALS, fr))
+                sizes[S_QUALS] = len(fr)
         if block.fmt == bank.FASTQ:
             plus = bytearray()
             for p in block.pluses:

@@ -18,11 +18,12 @@ from leon_tpu.utils import varint
 METHOD_RAW = 0
 METHOD_ZLIB = 1
 METHOD_RANS = 2
+METHOD_O1 = 3
 
 _ZLEVEL = 6  # frozen: deterministic output across runs
 
 
-def frame(data: bytes, try_rans: bool = True) -> bytes:
+def frame(data: bytes, try_rans: bool = True, try_o1: bool = False) -> bytes:
     """Encode `data` with the smallest applicable method."""
     best_m, best = METHOD_RAW, data
     if len(data) >= 16:
@@ -35,6 +36,12 @@ def frame(data: bytes, try_rans: bool = True) -> bytes:
             r = rans.encode(data)
             if r is not None and len(r) < len(best):
                 best_m, best = METHOD_RANS, r
+        if try_o1:
+            from leon_tpu.codecs import o1
+
+            r = o1.encode(data)
+            if r is not None and len(r) < len(best):
+                best_m, best = METHOD_O1, r
     out = bytearray([best_m])
     varint.encode_one(len(data), out)
     varint.encode_one(len(best), out)
@@ -57,6 +64,10 @@ def unframe(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
         from leon_tpu.codecs import rans
 
         data = rans.decode(payload, rawlen)
+    elif method == METHOD_O1:
+        from leon_tpu.codecs import o1
+
+        data = o1.decode(payload, rawlen)
     else:
         raise ValueError(f"unknown frame method {method}")
     if len(data) != rawlen:

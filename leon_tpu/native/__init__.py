@@ -49,6 +49,14 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.leon_rans_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.leon_o1_encode.restype = ctypes.c_int64
+    lib.leon_o1_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.leon_o1_decode.restype = ctypes.c_int64
+    lib.leon_o1_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
     return lib
 
 

@@ -180,3 +180,143 @@ int64_t leon_rans_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t 
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Order-1 adaptive binary range coder (FORMAT.md §7 method 3) — the quality
+// stream backend. Qualities dominate lossless FASTQ size and the reference
+// only deflates them ([R] Leon.cpp zlib call; SURVEY.md §2.2 "Quality
+// path"); an adaptive order-1 model typically beats zlib by 25-50% on real
+// Phred streams. LZMA-style binary coder: each byte is 8 decisions through
+// a 255-node probability tree selected by the previous byte.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t PBITS = 11;          // probability precision
+constexpr uint32_t PMAX = 1u << PBITS;  // 2048
+constexpr uint32_t MOVE = 5;            // adaptation rate
+constexpr uint32_t TOP = 1u << 24;
+
+struct RangeEnc {
+    uint64_t low = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint8_t cache = 0;
+    int64_t cache_size = 1;
+    uint8_t* out;
+    int64_t pos = 0, cap;
+
+    void shift_low() {
+        if ((uint32_t)(low >> 32) != 0 || (uint32_t)(low >> 24) != 0xFF) {
+            uint8_t carry = (uint8_t)(low >> 32);
+            while (cache_size) {
+                if (pos < cap) out[pos] = (uint8_t)(cache + carry);
+                pos++;
+                cache = 0xFF;
+                cache_size--;
+            }
+            cache = (uint8_t)(low >> 24);
+            cache_size = 0;
+        }
+        cache_size++;
+        low = (low << 8) & 0xFFFFFFFFu;
+    }
+    void encode_bit(uint16_t* p, int bit) {
+        uint32_t bound = (range >> PBITS) * *p;
+        if (!bit) {
+            range = bound;
+            *p = (uint16_t)(*p + ((PMAX - *p) >> MOVE));
+        } else {
+            low += bound;
+            range -= bound;
+            *p = (uint16_t)(*p - (*p >> MOVE));
+        }
+        while (range < TOP) {
+            range <<= 8;
+            shift_low();
+        }
+    }
+    void flush() {
+        for (int i = 0; i < 5; i++) shift_low();
+    }
+};
+
+struct RangeDec {
+    uint32_t range = 0xFFFFFFFFu;
+    uint32_t code = 0;
+    const uint8_t* in;
+    int64_t pos = 0, len;
+
+    uint8_t next() { return pos < len ? in[pos++] : 0; }
+    void init() {
+        next();  // first byte emitted by flush path is always 0
+        for (int i = 0; i < 4; i++) code = (code << 8) | next();
+    }
+    int decode_bit(uint16_t* p) {
+        uint32_t bound = (range >> PBITS) * *p;
+        int bit;
+        if (code < bound) {
+            range = bound;
+            *p = (uint16_t)(*p + ((PMAX - *p) >> MOVE));
+            bit = 0;
+        } else {
+            code -= bound;
+            range -= bound;
+            *p = (uint16_t)(*p - (*p >> MOVE));
+            bit = 1;
+        }
+        while (range < TOP) {
+            range <<= 8;
+            code = (code << 8) | next();
+        }
+        return bit;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns payload length, 0 if it did not fit (caller falls back), -1 error.
+int64_t leon_o1_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    std::vector<uint16_t> probs((size_t)256 * 255, PMAX / 2);
+    RangeEnc rc;
+    rc.out = out;
+    rc.cap = cap;
+    uint8_t ctx = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint16_t* tree = &probs[(size_t)ctx * 255];
+        uint8_t sym = data[i];
+        uint32_t node = 1;
+        for (int b = 7; b >= 0; b--) {
+            int bit = (sym >> b) & 1;
+            rc.encode_bit(&tree[node - 1], bit);
+            node = (node << 1) | bit;
+        }
+        ctx = sym;
+    }
+    rc.flush();
+    if (rc.pos > cap) return 0;
+    return rc.pos;
+}
+
+int64_t leon_o1_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t n) {
+    if (n <= 0) return n == 0 ? 0 : -1;
+    std::vector<uint16_t> probs((size_t)256 * 255, PMAX / 2);
+    RangeDec rc;
+    rc.in = pl;
+    rc.len = plen;
+    rc.init();
+    uint8_t ctx = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint16_t* tree = &probs[(size_t)ctx * 255];
+        uint32_t node = 1;
+        for (int b = 0; b < 8; b++) node = (node << 1) | rc.decode_bit(&tree[node - 1]);
+        uint8_t sym = (uint8_t)(node & 0xFF);
+        out[i] = sym;
+        ctx = sym;
+    }
+    return n;
+}
+
+}  // extern "C"
