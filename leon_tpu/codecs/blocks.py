@@ -4,8 +4,13 @@ Host-side serialization glue between the batched walk kernels
 (leon_tpu/ops/walk.py) and the container (FORMAT.md §6). The reference does
 this per read inside DnaEncoder/DnaDecoder ([R] gatb-core
 tools/compression/DnaCoder.cpp); here the streams are assembled with
-vectorized numpy over whole device sub-batches — the per-read Python loop
-only runs for rare cases (raw reads, exception reads, dictionary inserts).
+vectorized numpy over whole device sub-batches — the per-item Python loop
+only runs for rare cases (raw segments, exception reads, dict inserts).
+
+Long sequences are segmented (FORMAT.md §2 "Segmentation"): device lanes
+are SEGMENTS, not reads. Per-segment streams: flags/anchorpos/dictidx/
+nevt/events/rawseq; per-read streams: readlen/exc/headers/quals/plusline/
+fastalines.
 """
 
 from __future__ import annotations
@@ -90,47 +95,93 @@ class AnchorDict:
         return np.frombuffer(b"".join(self._words), dtype="<u4").reshape(-1, self.W)
 
 
-def _masked_flatten(arr: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Row-major flatten of arr[i, :counts[i]] (arr: (B, M))."""
-    mask = np.arange(arr.shape[1])[None, :] < counts[:, None]
-    return arr[mask]
+def segment_table(lengths: np.ndarray, seglen: int):
+    """(seg_read, seg_off, seg_len) int64 arrays for FORMAT.md §2 rules."""
+    n = lengths.shape[0]
+    if seglen <= 0:
+        ar = np.arange(n, dtype=np.int64)
+        return ar, np.zeros(n, np.int64), lengths.astype(np.int64)
+    nseg = np.maximum(1, -(-lengths.astype(np.int64) // seglen))
+    seg_read = np.repeat(np.arange(n, dtype=np.int64), nseg)
+    first = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+    seg_in_read = np.arange(seg_read.shape[0], dtype=np.int64) - first[seg_read]
+    seg_off = seg_in_read * seglen
+    seg_len = np.minimum(lengths.astype(np.int64)[seg_read] - seg_off, seglen)
+    return seg_read, seg_off, seg_len
 
 
-def _masked_unflatten(flat: np.ndarray, counts: np.ndarray, M: int, dtype) -> np.ndarray:
-    out = np.zeros((counts.shape[0], M), dtype=dtype)
-    mask = np.arange(M)[None, :] < counts[:, None]
-    out[mask] = flat
-    return out
+@dataclass
+class BlockPrep:
+    """Per-block host preprocessing shared by count and encode passes."""
+
+    lens: np.ndarray          # (n_reads,) int64
+    flat_codes: np.ndarray    # concatenated substituted base codes
+    read_start: np.ndarray    # (n_reads,) int64 offsets into flat_codes
+    exc_pos: list             # per read: positions or None
+    exc_byte: list
+    seg_read: np.ndarray
+    seg_off: np.ndarray
+    seg_len: np.ndarray
+
+    @property
+    def n_segs(self) -> int:
+        return self.seg_read.shape[0]
+
+
+def prepare_block(block: bank.SeqBlock, seglen: int) -> BlockPrep:
+    n = block.n_reads
+    lens = np.array([len(s) for s in block.seqs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(block.seqs), dtype=np.uint8)
+    codes_f = K._CODE[flat]
+    exc_f = codes_f == 255
+    codes_f = np.where(exc_f, 0, codes_f)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    exc_pos: list = [None] * n
+    exc_byte: list = [None] * n
+    if exc_f.any():
+        eidx = np.flatnonzero(exc_f)
+        rows = np.searchsorted(ends, eidx, side="right")
+        for r in np.unique(rows):
+            sel = eidx[rows == r]
+            exc_pos[r] = (sel - starts[r]).astype(np.int64)
+            exc_byte[r] = flat[sel]
+    seg_read, seg_off, seg_len = segment_table(lens, seglen)
+    return BlockPrep(
+        lens=lens, flat_codes=codes_f, read_start=starts,
+        exc_pos=exc_pos, exc_byte=exc_byte,
+        seg_read=seg_read, seg_off=seg_off, seg_len=seg_len,
+    )
 
 
 @dataclass
 class SubbatchData:
-    """One device sub-batch worth of inputs + walk-encode outputs.
+    """One device sub-batch of SEGMENTS plus its walk-encode output.
 
-    All arrays trimmed to the true number of reads n (no pad lanes).
-    `enc` is the (numpy-converted) output dict of walk.encode_batch; None
-    when the sub-batch had no device-eligible reads (e.g. all reads < k).
+    Arrays cover the n true segments (pad lanes excluded); `enc` is the
+    unpacked result of encode_batch_compact (or the dense fallback dict),
+    or None when the sub-batch skipped the device entirely.
     """
 
-    codes: np.ndarray                 # (n, L) uint8, exceptions substituted
-    lengths: np.ndarray               # (n,) int32
-    enc: Optional[dict]               # walk.encode_batch outputs or None
-    exc_pos: list[Optional[np.ndarray]]   # per read: positions or None
-    exc_byte: list[Optional[np.ndarray]]  # per read: original bytes or None
+    codes: np.ndarray         # (n_pad, L) uint8 (padded lanes included)
+    seg_len: np.ndarray       # (n,) int
+    seg_read: np.ndarray      # (n,)
+    seg_off: np.ndarray       # (n,)
+    n: int
+    enc: Optional[dict]
 
 
 class BlockEncoder:
     """Accumulates one container block's streams sub-batch by sub-batch."""
 
-    def __init__(self, cfg, meta, adict: AnchorDict, block: bank.SeqBlock):
+    def __init__(self, cfg, meta, adict: AnchorDict, block: bank.SeqBlock,
+                 prep: BlockPrep):
         self.cfg = cfg
         self.meta = meta
         self.adict = adict
         self.block = block
-        self.n_done = 0
-        self.prev_len = 0
+        self.prep = prep
         self.flags = bytearray()
-        self.readlen: list[np.ndarray] = []
         self.anchorpos: list[np.ndarray] = []
         self.dictidx: list[int] = []
         self.nevt: list[np.ndarray] = []
@@ -138,20 +189,30 @@ class BlockEncoder:
         self.errnt = bytearray()
         self.bif = bytearray()
         self.rawseq = bytearray()
-        self.excn: list[int] = []
-        self.excgap: list[np.ndarray] = []
-        self.excbyte = bytearray()
-        self.qual_parts: list[bytes] = []
+        # per-read bits for flag placement on first segments
+        self._read_bits = np.zeros(block.n_reads, dtype=np.uint8)
+        for i, p in enumerate(prep.exc_pos):
+            if p is not None:
+                self._read_bits[i] |= F_HASEXC
+        if block.fmt == bank.FASTQ and block.pluses is not None:
+            for i, p in enumerate(block.pluses):
+                if p:
+                    self._read_bits[i] |= F_HASPLUS
+        # mutable concatenated qualities for the lossy transform
+        self.qual_arr: Optional[np.ndarray] = None
+        self.qual_start: Optional[np.ndarray] = None
+        if meta.qual_mode:
+            qcat = b"".join(block.quals) if block.quals else b""
+            self.qual_arr = np.frombuffer(qcat, dtype=np.uint8).copy()
+            qlens = np.array([len(q) for q in (block.quals or [])], dtype=np.int64)
+            self.qual_start = np.concatenate(([0], np.cumsum(qlens)[:-1])) if qlens.size else np.zeros(0, np.int64)
 
     def add_subbatch(self, sb: SubbatchData) -> None:
-        n = sb.lengths.shape[0]
-        start = self.n_done
+        n = sb.n
         enc = sb.enc
-        acanon = None
         if enc is not None:
             anch = enc["anchored"][:n].astype(bool)
             apos = enc["apos"][:n].astype(np.int64)
-            # anchor k-mer words re-derived host-side (not shipped over D2H)
             acanon, orient = K.kmer_words_batch_np(sb.codes[:n], apos, self.meta.k)
             orient = orient & anch
         else:
@@ -159,26 +220,13 @@ class BlockEncoder:
             orient = np.zeros(n, dtype=bool)
             apos = np.zeros(n, dtype=np.int64)
 
-        hasexc = np.array([p is not None for p in sb.exc_pos], dtype=bool)
-        if self.block.fmt == bank.FASTQ:
-            hasplus = np.array(
-                [len(p) > 0 for p in self.block.pluses[start : start + n]], dtype=bool
-            )
-        else:
-            hasplus = np.zeros(n, dtype=bool)
-
+        first_seg = sb.seg_off == 0
         fl = (
             anch.astype(np.uint8) * F_ANCHORED
             | orient.astype(np.uint8) * F_ORIENT
-            | hasexc.astype(np.uint8) * F_HASEXC
-            | hasplus.astype(np.uint8) * F_HASPLUS
+            | np.where(first_seg, self._read_bits[sb.seg_read], 0).astype(np.uint8)
         )
         self.flags += fl.tobytes()
-
-        lens = sb.lengths.astype(np.int64)
-        prev = np.concatenate(([self.prev_len], lens[:-1]))
-        self.readlen.append(varint.zigzag(lens - prev))
-        self.prev_len = int(lens[-1]) if n else self.prev_len
 
         ai = np.flatnonzero(anch)
         if ai.size:
@@ -198,7 +246,6 @@ class BlockEncoder:
                 self.errnt += enc["errnt_flat"].tobytes()
                 self.bif += enc["bif_flat"].tobytes()
             else:
-                # dense fallback: mask-flatten the (B, ME) event planes
                 gaps = np.concatenate([enc["gap_r"][:n], enc["gap_l"][:n]], axis=1)[ai]
                 ME = enc["gap_r"].shape[1]
                 emask = np.arange(ME)[None, :]
@@ -215,56 +262,43 @@ class BlockEncoder:
                 self.bif += bifs[bmask2].astype(np.uint8).tobytes()
 
         for i in np.flatnonzero(~anch):
-            # from the original bytes, not the (possibly truncated) device
-            # lane — long reads bypass the device entirely
-            codes_i, _ = K.encode_bases_np(self.block.seqs[start + i])
-            self.rawseq += K.pack_2bit_np(codes_i)
+            sl = int(sb.seg_len[i])
+            self.rawseq += K.pack_2bit_np(sb.codes[i, :sl])
 
-        for i in np.flatnonzero(hasexc):
-            pos = sb.exc_pos[i].astype(np.int64)
-            self.excn.append(pos.size)
-            g = np.empty_like(pos)
-            g[0] = pos[0]
-            g[1:] = pos[1:] - pos[:-1] - 1
-            self.excgap.append(g.astype(np.uint64))
-            self.excbyte += sb.exc_byte[i].tobytes()
+        # lossy quality transform at graph-confirmed positions (LOSSY-Q1)
+        if self.meta.qual_mode == 2 and enc is not None and self.qual_arr is not None and ai.size:
+            from leon_tpu.ops import walk as _walk
 
-        if self.meta.qual_mode:
-            quals = self.block.quals[start : start + n]
-            if self.meta.qual_mode == 2 and enc is not None:
-                from leon_tpu.ops import walk as _walk
-
-                Lc = sb.codes.shape[1]
-                if "conf16" in enc:
-                    conf = _walk.unpack_conf16_bits(enc["conf16"][:n], Lc)
-                else:
-                    conf = enc["confirmed"][:n].astype(bool)
-                L = conf.shape[1]
-                for i in range(n):
-                    q = np.frombuffer(quals[i], dtype=np.uint8)
-                    if anch[i] and q.size:
-                        q = q.copy()
-                        c = conf[i, : q.size] if q.size <= L else np.pad(conf[i], (0, q.size - L))
-                        q[c & (q >= 0x40)] = 0x49
-                    self.qual_parts.append(q.tobytes())
+            Lc = sb.codes.shape[1]
+            if "conf16" in enc:
+                conf = _walk.unpack_conf16_bits(enc["conf16"][:n], Lc)
             else:
-                self.qual_parts.extend(quals)
-
-        self.n_done += n
+                conf = enc["confirmed"][:n].astype(bool)
+            for i in ai:
+                cp = np.flatnonzero(conf[i, : int(sb.seg_len[i])])
+                if cp.size == 0:
+                    continue
+                r = int(sb.seg_read[i])
+                qidx = self.qual_start[r] + int(sb.seg_off[i]) + cp
+                q = self.qual_arr[qidx]
+                self.qual_arr[qidx] = np.where(q >= 0x40, 0x49, q)
 
     def finish(self) -> tuple[bytes, dict[int, int]]:
         block = self.block
+        prep = self.prep
         streams: list[tuple[int, bytes]] = []
         sizes: dict[int, int] = {}
 
-        def add(sid: int, data: bytes) -> None:
+        def add(sid: int, data: bytes, **kw) -> None:
             if data:
-                fr = frames.frame(data)
+                fr = frames.frame(data, **kw)
                 streams.append((sid, fr))
                 sizes[sid] = len(fr)
 
         add(S_FLAGS, bytes(self.flags))
-        add(S_READLEN, varint.encode_array(np.concatenate(self.readlen) if self.readlen else np.zeros(0, np.uint64)))
+        lens = prep.lens
+        prev = np.concatenate(([0], lens[:-1]))
+        add(S_READLEN, varint.encode_array(varint.zigzag(lens - prev)))
         if self.anchorpos:
             add(S_ANCHORPOS, varint.encode_array(np.concatenate(self.anchorpos)))
             add(S_DICTIDX, varint.encode_array(np.asarray(self.dictidx, dtype=np.uint64)))
@@ -276,20 +310,27 @@ class BlockEncoder:
         add(S_ERRNT, bytes(self.errnt))
         add(S_BIF, bytes(self.bif))
         add(S_RAWSEQ, bytes(self.rawseq))
-        if self.excn:
-            add(S_EXCN, varint.encode_array(np.asarray(self.excn, dtype=np.uint64)))
-            add(S_EXCGAP, varint.encode_array(np.concatenate(self.excgap)))
-            add(S_EXCBYTE, bytes(self.excbyte))
+        excn = [p.size for p in prep.exc_pos if p is not None]
+        if excn:
+            gaps = []
+            byts = []
+            for p, b in zip(prep.exc_pos, prep.exc_byte):
+                if p is None:
+                    continue
+                g = np.empty_like(p)
+                g[0] = p[0]
+                g[1:] = p[1:] - p[:-1] - 1
+                gaps.append(g.astype(np.uint64))
+                byts.append(b.tobytes())
+            add(S_EXCN, varint.encode_array(np.asarray(excn, dtype=np.uint64)))
+            add(S_EXCGAP, varint.encode_array(np.concatenate(gaps)))
+            add(S_EXCBYTE, b"".join(byts))
         if self.meta.header_mode:
             from leon_tpu.codecs import headers as hcodec
 
             add(S_HEADERS, hcodec.encode(block.headers))
-        if self.meta.qual_mode:
-            data = b"".join(self.qual_parts)
-            if data:
-                fr = frames.frame(data, try_o1=True)
-                streams.append((S_QUALS, fr))
-                sizes[S_QUALS] = len(fr)
+        if self.meta.qual_mode and self.qual_arr is not None:
+            add(S_QUALS, self.qual_arr.tobytes(), try_o1=True)
         if block.fmt == bank.FASTQ:
             plus = bytearray()
             for p in block.pluses:
@@ -299,10 +340,10 @@ class BlockEncoder:
             add(S_PLUSLINE, bytes(plus))
         else:
             vals: list[int] = []
-            for lens in block.line_lens:
-                vals.append(len(lens))
-                if len(lens) > 1:
-                    vals.extend(lens[:-1])
+            for lens_ in block.line_lens:
+                vals.append(len(lens_))
+                if len(lens_) > 1:
+                    vals.extend(lens_[:-1])
             add(S_FASTALINES, varint.encode_array(np.asarray(vals, dtype=np.uint64)))
 
         out = bytearray()
@@ -316,33 +357,36 @@ class BlockEncoder:
 
 @dataclass
 class DecodedBlock:
-    """Parsed block streams, ready for device re-walk + reassembly."""
+    """Parsed block streams, segment-resolved, ready for device re-walk."""
 
     n_reads: int
-    lengths: np.ndarray           # (n,) int64
-    anchored: np.ndarray          # (n,) bool
-    orient: np.ndarray            # (n,) bool
-    hasexc: np.ndarray
-    hasplus: np.ndarray
-    apos: np.ndarray              # (n,) int64 (anchored only meaningful)
-    dictidx: np.ndarray           # per anchored read
-    nerr_r: np.ndarray            # (n,) int64 (0 for unanchored)
+    lengths: np.ndarray       # (n_reads,) int64
+    seg_read: np.ndarray      # (n_segs,)
+    seg_off: np.ndarray
+    seg_len: np.ndarray
+    anchored: np.ndarray      # (n_segs,) bool
+    orient: np.ndarray        # (n_segs,) bool
+    hasexc: np.ndarray        # (n_reads,)
+    hasplus: np.ndarray       # (n_reads,)
+    apos: np.ndarray          # (n_segs,) int64
+    dictidx: np.ndarray       # per anchored segment
+    nerr_r: np.ndarray        # (n_segs,)
     nbif_r: np.ndarray
     nerr_l: np.ndarray
     nbif_l: np.ndarray
-    errpos_r: list                # per read arrays of absolute positions
+    errpos_r: list            # per segment: absolute positions within segment
     errpos_l: list
     errnt_r: list
     errnt_l: list
     bif_r: list
     bif_l: list
-    rawseq: bytes                 # concatenated 2-bit payloads, in raw-read order
-    exc_pos: list                 # per read: positions or None
+    rawseq: bytes
+    exc_pos: list             # per read
     exc_byte: list
     headers_payload: Optional[bytes]
     quals_concat: Optional[bytes]
-    pluses: list                  # per read bytes
-    line_lens: Optional[list]     # FASTA
+    pluses: list
+    line_lens: Optional[list]
 
 
 def parse_block(payload: bytes, meta) -> DecodedBlock:
@@ -354,26 +398,33 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
         data, pos = frames.unframe(payload, pos + 1)
         sdata[sid] = data
 
-    flags = np.frombuffer(sdata.get(S_FLAGS, b"\x00" * n_reads), dtype=np.uint8)
+    deltas = varint.unzigzag(varint.decode_array(sdata.get(S_READLEN, b""), n_reads))
+    lengths = np.cumsum(deltas)
+    seg_read, seg_off, seg_len = segment_table(lengths, meta.seglen)
+    n_segs = seg_read.shape[0]
+
+    flags = np.frombuffer(sdata.get(S_FLAGS, b"\x00" * n_segs), dtype=np.uint8)
+    if flags.shape[0] != n_segs:
+        raise ValueError(f"flags stream has {flags.shape[0]} entries, expected {n_segs}")
     anchored = (flags & F_ANCHORED) != 0
     orient = (flags & F_ORIENT) != 0
-    hasexc = (flags & F_HASEXC) != 0
-    hasplus = (flags & F_HASPLUS) != 0
-
-    deltas = varint.unzigzag(varint.decode_array(sdata.get(S_READLEN, b""), n_reads))
-    lengths = np.cumsum(deltas)  # prev chain starts at 0
+    first_seg = seg_off == 0
+    hasexc = np.zeros(n_reads, dtype=bool)
+    hasplus = np.zeros(n_reads, dtype=bool)
+    hasexc[seg_read[first_seg]] = ((flags & F_HASEXC) != 0)[first_seg]
+    hasplus[seg_read[first_seg]] = ((flags & F_HASPLUS) != 0)[first_seg]
 
     n_anch = int(anchored.sum())
     apos_a = varint.decode_array(sdata.get(S_ANCHORPOS, b""), n_anch).astype(np.int64)
     dictidx = varint.decode_array(sdata.get(S_DICTIDX, b""), n_anch).astype(np.int64)
     nevt = varint.decode_array(sdata.get(S_NEVT, b""), 4 * n_anch).astype(np.int64).reshape(-1, 4)
 
-    apos = np.zeros(n_reads, dtype=np.int64)
+    apos = np.zeros(n_segs, dtype=np.int64)
     apos[anchored] = apos_a
-    nerr_r = np.zeros(n_reads, dtype=np.int64)
-    nbif_r = np.zeros(n_reads, dtype=np.int64)
-    nerr_l = np.zeros(n_reads, dtype=np.int64)
-    nbif_l = np.zeros(n_reads, dtype=np.int64)
+    nerr_r = np.zeros(n_segs, dtype=np.int64)
+    nbif_r = np.zeros(n_segs, dtype=np.int64)
+    nerr_l = np.zeros(n_segs, dtype=np.int64)
+    nbif_l = np.zeros(n_segs, dtype=np.int64)
     if n_anch:
         nerr_r[anchored] = nevt[:, 0]
         nbif_r[anchored] = nevt[:, 1]
@@ -388,26 +439,23 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
     if errnts.size != n_err or bifs.size != n_bif:
         raise ValueError("event stream count mismatch")
 
-    # split the flat event streams back per read (right then left, read order)
-    errpos_r: list = [None] * n_reads
-    errpos_l: list = [None] * n_reads
-    errnt_r: list = [None] * n_reads
-    errnt_l: list = [None] * n_reads
-    bif_r: list = [None] * n_reads
-    bif_l: list = [None] * n_reads
+    errpos_r: list = [None] * n_segs
+    errpos_l: list = [None] * n_segs
+    errnt_r: list = [None] * n_segs
+    errnt_l: list = [None] * n_segs
+    bif_r: list = [None] * n_segs
+    bif_l: list = [None] * n_segs
     k = meta.k
     ei = 0
     bi = 0
     for i in np.flatnonzero(anchored):
         nr, nl = int(nerr_r[i]), int(nerr_l[i])
         g = errgaps[ei : ei + nr]
-        p = apos[i] + k + np.cumsum(g + 1) - 1
-        errpos_r[i] = p
+        errpos_r[i] = apos[i] + k + np.cumsum(g + 1) - 1
         errnt_r[i] = errnts[ei : ei + nr]
         ei += nr
         g = errgaps[ei : ei + nl]
-        p = apos[i] - np.cumsum(g + 1)
-        errpos_l[i] = p
+        errpos_l[i] = apos[i] - np.cumsum(g + 1)
         errnt_l[i] = errnts[ei : ei + nl]
         ei += nl
         nr, nl = int(nbif_r[i]), int(nbif_l[i])
@@ -451,13 +499,15 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
             elif nl == 1:
                 line_lens.append([int(lengths[i])])
             else:
-                lens = [int(x) for x in vals[vp : vp + nl - 1]]
+                lens_ = [int(x) for x in vals[vp : vp + nl - 1]]
                 vp += nl - 1
-                lens.append(int(lengths[i]) - sum(lens))
-                line_lens.append(lens)
+                lens_.append(int(lengths[i]) - sum(lens_))
+                line_lens.append(lens_)
 
     return DecodedBlock(
-        n_reads=n_reads, lengths=lengths, anchored=anchored, orient=orient,
+        n_reads=n_reads, lengths=lengths,
+        seg_read=seg_read, seg_off=seg_off, seg_len=seg_len,
+        anchored=anchored, orient=orient,
         hasexc=hasexc, hasplus=hasplus, apos=apos, dictidx=dictidx,
         nerr_r=nerr_r, nbif_r=nbif_r, nerr_l=nerr_l, nbif_l=nbif_l,
         errpos_r=errpos_r, errpos_l=errpos_l, errnt_r=errnt_r, errnt_l=errnt_l,

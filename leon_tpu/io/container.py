@@ -43,6 +43,7 @@ class Meta:
     seed: int
     n_reads: int
     abundance: int
+    seglen: int = 0  # long reads split into seglen segments (FORMAT.md §2)
     orig_ext: bytes = b"fasta"
 
     def pack(self) -> bytes:
@@ -58,7 +59,9 @@ class Meta:
             self.log2_mbits,
             0,
         )
-        out += struct.pack("<IQI", self.seed & 0xFFFFFFFF, self.n_reads, self.abundance)
+        out += struct.pack(
+            "<IQII", self.seed & 0xFFFFFFFF, self.n_reads, self.abundance, self.seglen
+        )
         varint.encode_one(len(self.orig_ext), out)
         out += self.orig_ext
         return bytes(out)
@@ -66,14 +69,14 @@ class Meta:
     @classmethod
     def unpack(cls, buf: bytes) -> "Meta":
         k, fmt, qual_mode, header_mode, n_hashes, flags, log2_mbits, _r = struct.unpack_from("<8B", buf, 0)
-        seed, n_reads, abundance = struct.unpack_from("<IQI", buf, 8)
-        n, pos = varint.decode_one(buf, 24)
+        seed, n_reads, abundance, seglen = struct.unpack_from("<IQII", buf, 8)
+        n, pos = varint.decode_one(buf, 28)
         ext = buf[pos : pos + n]
         return cls(
             k=k, fmt=fmt, qual_mode=qual_mode, header_mode=header_mode,
             n_hashes=n_hashes, final_newline=bool(flags & 1),
             log2_mbits=log2_mbits, seed=seed, n_reads=n_reads,
-            abundance=abundance, orig_ext=ext,
+            abundance=abundance, seglen=seglen, orig_ext=ext,
         )
 
 

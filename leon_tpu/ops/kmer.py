@@ -160,6 +160,43 @@ def revcomp_words_np(words: np.ndarray, k: int) -> np.ndarray:
     return kmer_words_np((3 - codes)[::-1], k)
 
 
+def pack_codes_batch_np(win: np.ndarray, k: int) -> np.ndarray:
+    """(B, k) base codes -> (B, W) u32 words (LSW first).
+
+    shift%32 is even and <= 30, so a 2-bit base never crosses a word
+    boundary and per-word sum == OR.
+    """
+    B = win.shape[0]
+    W = words_for_k(k)
+    w = win.astype(np.uint64)
+    words = np.zeros((B, W), dtype=np.uint32)
+    shift = 2 * (k - 1 - np.arange(k, dtype=np.uint64))
+    wordi = (shift // 32).astype(np.int64)
+    sh = (shift % 32).astype(np.uint64)
+    for j in range(W):
+        sel = wordi == j
+        if sel.any():
+            words[:, j] = (
+                (w[:, sel] << sh[sel][None, :]).sum(axis=1, dtype=np.uint64)
+            ).astype(np.uint32)
+    return words
+
+
+def words_to_codes_batch_np(words: np.ndarray, k: int) -> np.ndarray:
+    """(B, W) u32 -> (B, k) uint8 base codes (vectorized inverse)."""
+    B = words.shape[0]
+    out = np.empty((B, k), dtype=np.uint8)
+    for i in range(k):
+        t = 2 * (k - 1 - i)
+        out[:, i] = (words[:, t // 32] >> np.uint32(t % 32)) & 3
+    return out
+
+
+def revcomp_words_batch_np(words: np.ndarray, k: int) -> np.ndarray:
+    codes = words_to_codes_batch_np(words, k)
+    return pack_codes_batch_np((3 - codes)[:, ::-1], k)
+
+
 def kmer_words_batch_np(codes: np.ndarray, pos: np.ndarray, k: int):
     """Vectorized host extraction of the canonical k-mer at `pos` per read.
 
@@ -171,27 +208,9 @@ def kmer_words_batch_np(codes: np.ndarray, pos: np.ndarray, k: int):
     B, L = codes.shape
     W = words_for_k(k)
     idx = np.clip(pos[:, None] + np.arange(k)[None, :], 0, L - 1)
-    win = np.take_along_axis(codes, idx, axis=1).astype(np.uint64)  # (B, k)
-    rcwin = (3 - win)[:, ::-1]
-
-    def pack(w):
-        # value = sum b[i] << 2*(k-1-i); word j = bits [32j, 32j+32).
-        # shift%32 is even and <= 30, so a 2-bit base never crosses a word
-        # boundary and per-word sum == OR.
-        words = np.zeros((B, W), dtype=np.uint32)
-        shift = 2 * (k - 1 - np.arange(k, dtype=np.uint64))
-        wordi = (shift // 32).astype(np.int64)
-        sh = (shift % 32).astype(np.uint64)
-        for j in range(W):
-            sel = wordi == j
-            if sel.any():
-                words[:, j] = (
-                    (w[:, sel] << sh[sel][None, :]).sum(axis=1, dtype=np.uint64)
-                ).astype(np.uint32)
-        return words
-
-    fwd = pack(win)
-    rc = pack(rcwin)
+    win = np.take_along_axis(codes, idx, axis=1)  # (B, k)
+    fwd = pack_codes_batch_np(win, k)
+    rc = pack_codes_batch_np((3 - win)[:, ::-1], k)
     # lexicographic big-int compare, MSW last
     less = np.zeros(B, dtype=bool)
     eq = np.ones(B, dtype=bool)

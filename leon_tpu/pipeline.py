@@ -45,72 +45,42 @@ def _bucket_len(maxlen: int, k: int) -> int:
 
 @dataclass
 class Chunk:
-    """One device sub-batch worth of parsed reads (host representation).
+    """One device sub-batch of SEGMENTS (FORMAT.md §2 "Segmentation").
 
     `codes`/`dev_len` are padded to exactly cfg.batch_reads lanes (a fixed
     device shape — unpadded tail chunks would each trigger a fresh XLA
-    compile); `lengths`/`exc_*` cover only the n true reads.
+    compile); the seg_* arrays cover only the n true segments.
     """
 
     codes: np.ndarray      # (B_pad, L) uint8, exceptions substituted, zero-padded
-    lengths: np.ndarray    # (n,) int32 — true lengths (0 for empty reads)
-    dev_len: np.ndarray    # (B_pad,) int32 — 0 for pad lanes / device-ineligible reads
+    dev_len: np.ndarray    # (B_pad,) int32 — 0 for pad lanes
     L: int                 # bucketed width
-    n: int                 # true reads in this chunk
-    exc_pos: list          # per read: np positions or None
-    exc_byte: list
-    start: int             # read index of first read within the block
+    n: int                 # true segments in this chunk
+    seg_read: np.ndarray   # (n,)
+    seg_off: np.ndarray    # (n,)
+    seg_len: np.ndarray    # (n,)
 
 
-def chunk_block(block: bank.SeqBlock, cfg: LeonConfig, k: int) -> Iterator[Chunk]:
+def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator[Chunk]:
     B = cfg.batch_reads
-    n = block.n_reads
-    for s in range(0, n, B):
-        seqs = block.seqs[s : s + B]
-        lens = np.array([len(x) for x in seqs], dtype=np.int64)
-        m = lens.size
-        flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
-        codes_f = K._CODE[flat]
-        exc_f = codes_f == 255
-        codes_f = np.where(exc_f, 0, codes_f)
-        ends = np.cumsum(lens)
-        starts = ends - lens
-
-        dev_len = lens.copy()
-        toolong = lens > cfg.max_device_len
-        dev_len[toolong] = 0
-        Lb = _bucket_len(int(dev_len.max()) if m else 0, k)
-
+    total = prep.n_segs
+    flat = prep.flat_codes
+    for s in range(0, total, B):
+        sr = prep.seg_read[s : s + B]
+        so = prep.seg_off[s : s + B]
+        sl = prep.seg_len[s : s + B]
+        m = sr.shape[0]
+        Lb = _bucket_len(int(sl.max()) if m else 0, k)
         codes = np.zeros((B, Lb), dtype=np.uint8)
-        if toolong.any():
-            # per-row fill honoring truncation of device-ineligible long reads
-            for i in range(m):
-                ln = min(int(lens[i]), Lb)
-                codes[i, :ln] = codes_f[starts[i] : starts[i] + ln]
-        else:
-            mask = np.arange(Lb)[None, :] < lens[:, None]
-            codes[:m][mask] = codes_f
+        if flat.size:
+            base = (prep.read_start[sr] + so)[:, None] + np.arange(Lb)[None, :]
+            mask = np.arange(Lb)[None, :] < sl[:, None]
+            codes[:m] = np.where(mask, flat[np.clip(base, 0, flat.size - 1)], 0)
         dev_pad = np.zeros(B, dtype=np.int32)
-        dev_pad[:m] = dev_len
-
-        exc_pos: list = [None] * m
-        exc_byte: list = [None] * m
-        if exc_f.any():
-            eidx = np.flatnonzero(exc_f)
-            rows = np.searchsorted(ends, eidx, side="right")
-            for r in np.unique(rows):
-                sel = eidx[rows == r]
-                exc_pos[r] = (sel - starts[r]).astype(np.int64)
-                exc_byte[r] = flat[sel]
+        dev_pad[:m] = sl
         yield Chunk(
-            codes=codes,
-            lengths=lens.astype(np.int32),
-            dev_len=dev_pad,
-            L=Lb,
-            n=m,
-            exc_pos=exc_pos,
-            exc_byte=exc_byte,
-            start=s,
+            codes=codes, dev_len=dev_pad, L=Lb, n=m,
+            seg_read=sr, seg_off=so, seg_len=sl,
         )
 
 
@@ -127,7 +97,8 @@ def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int,
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
     counter = count.DeviceCounter(K.words_for_k(k))
     for block in parse.blocks:
-        for ch in chunk_block(block, cfg, k):
+        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+        for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
             canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
@@ -143,7 +114,8 @@ def _count_pass_host(parse: bank.ParseResult, cfg: LeonConfig, k: int):
     HBM budget). Returns (uniq (M, W) u32, counts (M,) i64)."""
     partials = []
     for block in parse.blocks:
-        for ch in chunk_block(block, cfg, k):
+        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+        for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
             canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
@@ -203,6 +175,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
         n_hashes=H, final_newline=parse.final_newline, log2_mbits=log2_m,
         seed=seed, n_reads=parse.n_reads, abundance=cutoff,
+        seglen=cfg.max_device_len,
         orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
     )
 
@@ -242,8 +215,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             n_anchored += int(enc["anchored"].sum())
         be.add_subbatch(
             blockcodec.SubbatchData(
-                codes=ch.codes, lengths=ch.lengths, enc=enc,
-                exc_pos=ch.exc_pos, exc_byte=ch.exc_byte,
+                codes=ch.codes, seg_len=ch.seg_len, seg_read=ch.seg_read,
+                seg_off=ch.seg_off, n=ch.n, enc=enc,
             )
         )
 
@@ -256,8 +229,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 bank.FASTA, block.headers, block.seqs,
                 line_lens=[[len(s)] if len(s) else [] for s in block.seqs],
             )
-        be = blockcodec.BlockEncoder(cfg, meta, adict, block)
-        for ch in chunk_block(block, cfg, k):
+        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+        be = blockcodec.BlockEncoder(cfg, meta, adict, block, prep)
+        for ch in chunk_block(prep, cfg, k):
             packed = None
             if ch.L >= k + 1 and (ch.dev_len >= k).any():
                 B = ch.codes.shape[0]
@@ -279,10 +253,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     if bitset is None:
         bitset = np.asarray(bitset_j)
+    from leon_tpu.codecs import frames as _frames
+
     c = container.Container(
         meta=meta,
         dict_payload=adict.payload(),
-        bloom_payload=bitset.astype("<u4").tobytes(),
+        bloom_payload=_frames.frame(bitset.astype("<u4").tobytes()),
         block_payloads=payloads,
         block_n_reads=n_per_block,
     )
@@ -329,36 +305,44 @@ def blockcodec_stream_name(sid: int) -> str:
 
 def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarray,
                         bitset_j, cfg: LeonConfig) -> list[bytes]:
-    """Reconstruct the sequence bytes of every read in a parsed block."""
-    import jax.numpy as jnp
+    """Reconstruct the sequence bytes of every read in a parsed block.
 
+    Device lanes are segments (FORMAT.md §2); decoded segment bases land in
+    a flat per-block buffer at read_start + seg_off, then exceptions are
+    re-applied and reads sliced out.
+    """
     from leon_tpu.ops import walk
 
     k, H, log2_m, seed = meta.k, meta.n_hashes, meta.log2_mbits, meta.seed
-    n = db.n_reads
-    seqs: list[Optional[bytes]] = [None] * n
+    n_reads = db.n_reads
+    n_segs = db.seg_read.shape[0]
+    lengths = db.lengths
+    read_start = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n_reads else np.zeros(0, np.int64)
+    total = int(lengths.sum()) if n_reads else 0
+    out_flat = np.zeros(total, dtype=np.uint8)
 
-    # map each anchored read to its forward-orientation anchor words
+    # forward-orientation anchor words per anchored segment (vectorized)
+    W = dict_words.shape[1] if dict_words.size else K.words_for_k(k)
+    afwd_all = np.zeros((n_segs, W), dtype=np.uint32)
     anch_idx = np.flatnonzero(db.anchored)
-    afwd_all = np.zeros((n, dict_words.shape[1] if dict_words.size else K.words_for_k(k)), dtype=np.uint32)
-    for j, i in enumerate(anch_idx):
-        w = dict_words[int(db.dictidx[j])]
-        afwd_all[i] = K.revcomp_words_np(w, k) if db.orient[i] else w
+    if anch_idx.size:
+        words = dict_words[db.dictidx]
+        rcw = K.revcomp_words_batch_np(words, k)
+        ori = db.orient[anch_idx]
+        afwd_all[anch_idx] = np.where(ori[:, None], rcw, words)
 
-    # device decode in sub-batches (anchored reads only need the walk, but
-    # all lanes ride along; raw lanes are filled from rawseq afterwards)
     B = cfg.batch_reads
-    for s in range(0, n, B):
-        e = min(n, s + B)
-        lens = db.lengths[s:e]
+    for s in range(0, n_segs, B):
+        e = min(n_segs, s + B)
+        sl = db.seg_len[s:e]
         anch = db.anchored[s:e]
         if not anch.any():
             continue
-        Lb = _bucket_len(int(lens[anch].max()), k)
+        Lb = _bucket_len(int(sl[anch].max()), k)
         m = e - s
         ME = max(1, Lb - k)
         apos = db.apos[s:e].astype(np.int32)
-        dlen = np.where(anch, lens, 0).astype(np.int32)
+        dlen = np.where(anch, sl, 0).astype(np.int32)
 
         def padevt(lists, dtype):
             out = np.zeros((m, ME), dtype=dtype)
@@ -383,27 +367,30 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         )
         dec = np.asarray(dec)
         for i in np.flatnonzero(anch):
-            seqs[s + i] = _BASES[dec[i, : lens[i]]].tobytes()
+            g = int(s + i)
+            dst = read_start[db.seg_read[g]] + db.seg_off[g]
+            out_flat[dst : dst + int(sl[i])] = dec[i, : int(sl[i])]
 
-    # raw reads from the 2-bit stream, in read order
+    # raw segments from the 2-bit stream, in segment order
     off = 0
     raw = db.rawseq
-    for i in np.flatnonzero(~db.anchored):
-        ln = int(db.lengths[i])
+    for g in np.flatnonzero(~db.anchored):
+        ln = int(db.seg_len[g])
         nb = (ln + 3) // 4
         codes = K.unpack_2bit_np(raw[off : off + nb], ln)
         off += nb
-        seqs[i] = _BASES[codes].tobytes()
+        dst = read_start[db.seg_read[g]] + db.seg_off[g]
+        out_flat[dst : dst + ln] = codes
 
-    # re-apply exceptions (FORMAT.md §3: final decode step)
-    for i in np.flatnonzero(db.hasexc):
-        b = bytearray(seqs[i])
-        pos = db.exc_pos[i]
-        byt = db.exc_byte[i]
-        for p, v in zip(pos, byt):
-            b[p] = v
-        seqs[i] = bytes(b)
-    return seqs  # type: ignore[return-value]
+    seq_bytes = _BASES[out_flat]
+    seqs: list[bytes] = []
+    for i in range(n_reads):
+        b = seq_bytes[read_start[i] : read_start[i] + int(lengths[i])]
+        if db.exc_pos[i] is not None:
+            b = b.copy()
+            b[db.exc_pos[i]] = db.exc_byte[i]
+        seqs.append(b.tobytes())
+    return seqs
 
 
 def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
@@ -419,10 +406,13 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
         ext = meta.orig_ext.decode()
         output_path = (root if root else stem) + "." + ext + ".d"
 
+    from leon_tpu.codecs import frames as _frames
+
     W = K.words_for_k(meta.k)
     adict = blockcodec.AnchorDict.from_payload(c.dict_payload, W)
     dict_words = adict.words_array()
-    bitset = np.frombuffer(c.bloom_payload, dtype="<u4")
+    bloom_bytes, _ = _frames.unframe(c.bloom_payload, 0)
+    bitset = np.frombuffer(bloom_bytes, dtype="<u4")
     bitset_j = jnp.asarray(bitset)
 
     read_index = 0

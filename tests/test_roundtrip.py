@@ -235,3 +235,39 @@ def test_explicit_abundance_and_k15(tmp_path, rng, contig):
     write_fasta(src, seqs)
     st, _ = roundtrip(tmp_path, src, small_cfg(kmer_size=15, abundance=3))
     assert st["abundance"] == 3
+
+
+def test_long_sequences_segmented(tmp_path, rng):
+    """Genome-scale FASTA: contigs longer than max_device_len are segmented
+    (FORMAT.md §2) and walk-encoded instead of stored raw."""
+    contig = rng.integers(0, 4, 30_000, dtype=np.uint8)
+    # contigs + reads covering them (so segments anchor into the graph)
+    seqs = [BASES[contig].tobytes(), BASES[contig[1000:15000]].tobytes()]
+    seqs += [sim_seq(rng, contig, lmin=200, lmax=400, err=0.005) for _ in range(300)]
+    src = tmp_path / "genome.fasta"
+    write_fasta(src, seqs, wrap=80)
+    cfg = small_cfg(max_device_len=512, abundance=2)
+    st, _ = roundtrip(tmp_path, src, cfg)
+    # the contigs must ride the graph, not the 2-bit raw fallback (the raw
+    # floor for 44 kb of contig alone would be ~11 kb)
+    assert st["stream_bytes"].get("rawseq", 0) < 2000
+    # low-coverage input (~4.5x), so the stored Bloom filter dominates; the
+    # event streams themselves must stay small
+    assert st["ratio"] > 2.4
+
+
+def test_segment_boundary_cases(tmp_path, rng):
+    contig = rng.integers(0, 4, 3000, dtype=np.uint8)
+    S = 256
+    seqs = [
+        BASES[contig[:S]].tobytes(),          # exactly seglen
+        BASES[contig[: S + 1]].tobytes(),     # seglen + 1 (tail of 1 < k)
+        BASES[contig[: 2 * S]].tobytes(),     # two full segments
+        BASES[contig[: S + 40]].tobytes(),    # tail > k
+        b"",
+        b"ACG",
+    ]
+    seqs += [sim_seq(rng, contig, lmin=100, lmax=200) for _ in range(100)]
+    src = tmp_path / "segedge.fasta"
+    write_fasta(src, seqs)
+    roundtrip(tmp_path, src, small_cfg(max_device_len=S, abundance=2))
