@@ -39,6 +39,10 @@ class LeonConfig:
     # chunks that overflow fall back to the dense transfer automatically
     event_cap_per_read: int = 16
     bif_cap_per_read: int = 4
+    # device-side pipelining depth: chunks dispatched ahead of the host
+    # consuming their results (keeps the device busy across the D2H
+    # latency of the TPU tunnel)
+    max_inflight_chunks: int = 32
     verbose: int = 1
 
     def __post_init__(self) -> None:

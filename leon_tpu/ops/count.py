@@ -112,8 +112,8 @@ def _sort_count_hist_device(words_t: tuple, valid, max_count: int = 255):
     return skeys, boundary, counts, hist
 
 
-@partial(jax.jit, static_argnames=("log2_m", "H", "seed"))
-def _bloom_from_sorted(skeys: tuple, boundary, counts, cutoff, log2_m: int, H: int, seed: int):
+@partial(jax.jit, static_argnames=("log2_m", "H", "seed", "k"))
+def _bloom_from_sorted(skeys: tuple, boundary, counts, cutoff, log2_m: int, H: int, seed: int, k: int):
     """Build the Bloom bitset on device from the sorted multiset: scatter
     the bits of every boundary k-mer whose count >= cutoff. No compaction —
     non-solid entries scatter into an overflow slot."""
@@ -123,7 +123,7 @@ def _bloom_from_sorted(skeys: tuple, boundary, counts, cutoff, log2_m: int, H: i
     words = jnp.stack([skeys[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
     solid = boundary & (counts >= cutoff)
     m = 1 << log2_m
-    pos = bloom.bit_positions(words, H, log2_m, seed, jnp)  # (N, H)
+    pos = bloom.bit_positions(words, H, log2_m, seed, jnp, k)  # (N, H)
     idx = jnp.where(solid[:, None], pos, jnp.uint32(m)).reshape(-1).astype(jnp.int32)
     by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))[:m]
     b = by.reshape(-1, 32).astype(jnp.uint32)
@@ -135,8 +135,11 @@ class DeviceCounter:
     """Accumulates canonical k-mers in HBM, then counts + builds the Bloom
     filter entirely on device. Host traffic: one 256-entry histogram."""
 
-    def __init__(self, W: int):
-        self.W = W
+    def __init__(self, k: int):
+        from leon_tpu.ops.kmer import words_for_k
+
+        self.k = k
+        self.W = words_for_k(k)
         self._chunks: list = []   # device (n, W) uint32
         self._valids: list = []   # device (n,) bool
         self.n_total = 0
@@ -176,7 +179,9 @@ class DeviceCounter:
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
         n_solid = int(hist[min(cutoff, 255) :].sum())
         log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
-        bitset = _bloom_from_sorted(skeys, boundary, counts, jnp.int32(cutoff), log2_m, H, seed)
+        bitset = _bloom_from_sorted(
+            skeys, boundary, counts, jnp.int32(cutoff), log2_m, H, seed, self.k
+        )
         return bitset, log2_m, cutoff, n_solid, hist
 
 

@@ -27,67 +27,113 @@ import numpy as np
 from jax import lax
 
 from leon_tpu.ops import bloom
-from leon_tpu.ops.kmer import U32, canonical, shl2, shr2_ins, words_for_k
+from leon_tpu.ops.kmer import U32, shl2, shr2_ins, words_for_k
 
 
-def _kmer_scan_full(codes, k: int):
-    """(fwds, rcs) at every position: (B, P, W) each."""
+def _rol1(x):
+    return (x << U32(1)) | (x >> U32(31))
+
+
+def _ror1(x):
+    return (x >> U32(1)) | (x << U32(31))
+
+
+def _tab(tab_np, m, kind):
+    return jnp.asarray(tab_np[m, kind])  # (4,) u32 constant
+
+
+def _take4(tabc, idx):
+    """Lookup a (4,) u32 constant table at (B,)-int indices."""
+    return jnp.take(tabc, idx, axis=0)
+
+
+def _anchor_scan(codes, k: int, seed: int):
+    """One pass over base columns: at every k-mer position, the forward
+    words (for walk-state init) and the four rolling strand hashes
+    (FORMAT.md §4 v2). Returns (fwds (B,P,W), hs 4x(B,P))."""
     B, L = codes.shape
-    W = words_for_k(k)
-    cols = codes.T.astype(U32)
+    tab = bloom.tables(seed, k)
+    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    cols = codes.T.astype(jnp.int32)  # (L, B)
+    # leaving-base columns: base at j-k (garbage for j<k, masked by is_slide)
+    leave = jnp.concatenate([jnp.zeros((k, B), jnp.int32), cols[:-k] if L > k else cols[:0]], axis=0)
 
-    def step(state, b):
-        fwd, rc = state
-        fwd = shl2(fwd, b, k)
-        rc = shr2_ins(rc, U32(3) - b, k)
-        return (fwd, rc), (fwd, rc)
+    def step(carry, xs):
+        fwd, f1, r1, f2, r2 = carry
+        x, o, j = xs
+        is_slide = j >= k
+        jm = jnp.minimum(j, k - 1) & 31  # scalar rotate amount (traced)
+        fwd = shl2(fwd, x.astype(U32), k)
 
-    init = (jnp.zeros((B, W), U32), jnp.zeros((B, W), U32))
-    _, (fwds, rcs) = lax.scan(step, init, cols)
-    return jnp.moveaxis(fwds[k - 1 :], 0, 1), jnp.moveaxis(rcs[k - 1 :], 0, 1)
+        def upd(f, r, T, Tc, Trot, Tcrot):
+            f = _rol1(f ^ jnp.where(is_slide, _take4(Trot, o), U32(0))) ^ _take4(T, x)
+            radd = _take4(Tc, x)
+            radd = (radd << jm.astype(U32)) | (radd >> ((U32(32) - jm.astype(U32)) & U32(31)))
+            r_slide = _ror1(r ^ _take4(Tc, o)) ^ _take4(Tcrot, x)
+            r_build = r ^ radd
+            return f, jnp.where(is_slide, r_slide, r_build)
 
+        f1, r1 = upd(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        f2, r2 = upd(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        return (fwd, f1, r1, f2, r2), (fwd, f1, r1, f2, r2)
 
-def _candidates_right(fwd, rc, k):
-    """Successor kmer forms when appending base x, for x in 0..3."""
-    fs = [shl2(fwd, U32(x), k) for x in range(4)]
-    rs = [shr2_ins(rc, U32(3 - x), k) for x in range(4)]
-    return fs, rs
-
-
-def _candidates_left(fwd, rc, k):
-    fs = [shr2_ins(fwd, U32(x), k) for x in range(4)]
-    rs = [shl2(rc, U32(3 - x), k) for x in range(4)]
-    return fs, rs
-
-
-def _probe4(bitset, fs, rs, H, log2_m, seed):
-    """Membership of the 4 canonical candidates: (B, 4) bool."""
-    f = jnp.stack(fs, axis=1)  # (B, 4, W)
-    r = jnp.stack(rs, axis=1)
-    canon, _ = canonical(f, r)
-    return bloom.probe(bitset, canon, H, log2_m, seed)
+    z = jnp.zeros(B, jnp.uint32)
+    init = (jnp.zeros((B, words_for_k(k)), U32), z, z, z, z)
+    js = jnp.arange(L, dtype=jnp.int32)
+    _, ys = lax.scan(step, init, (cols, leave, js))
+    fwds = jnp.moveaxis(ys[0][k - 1 :], 0, 1)  # (B, P, W)
+    hs = tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys[1:])  # 4 x (B, P)
+    return fwds, hs
 
 
-def _walk_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, log2_m, seed, side, ME):
-    """Scan one walk direction; returns step-ordered planes, all (B, ME):
-    is_bif, rank (u8), is_err, bnt (u8, the true base at error steps),
-    is_conf (no-event confirmed steps)."""
+def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m):
+    """Membership of 4 candidates given their strand hashes, each (B, 4)."""
+    h1 = jnp.minimum(cf1, cr1)
+    h2 = jnp.minimum(cf2, cr2) | U32(1)
+    mask = U32((1 << log2_m) - 1 if log2_m < 32 else 0xFFFFFFFF)
+    pos = jnp.stack([(h1 + U32(i) * h2) & mask for i in range(H)], axis=-1)  # (B,4,H)
+    return bloom.probe_positions(bitset, pos, jnp)
+
+
+def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, side, ME):
+    """Scan one walk direction with rolling candidate hashes. state0 =
+    (fwd words, f1, r1, f2, r2) at the anchor. Returns step-ordered planes
+    (B, ME): is_bif, rank, is_err, bnt, is_conf."""
     B, L = codes.shape
+    tab = bloom.tables(seed, k)
+    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    right = side == "right"
+    # bit offset of the base leaving the window when advancing
+    t_out = 2 * (k - 1) if right else 0
 
     def step(carry, s):
-        fwd, rc = carry
-        if side == "right":
-            j = apos + k + s
-        else:
-            j = apos - 1 - s
+        fwd, f1, r1, f2, r2 = carry
+        j = apos + k + s if right else apos - 1 - s
         active = anchored & (j >= 0) & (j < lengths)
         jc = jnp.clip(j, 0, L - 1)
         b = jnp.take_along_axis(codes, jc[:, None], axis=1)[:, 0].astype(jnp.int32)
-        if side == "right":
-            fs, rs = _candidates_right(fwd, rc, k)
-        else:
-            fs, rs = _candidates_left(fwd, rc, k)
-        solid = _probe4(bitset, fs, rs, H, log2_m, seed)  # (B, 4) bool
+        o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
+
+        x4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+        def cands(f, r, T, Tc, Trot, Tcrot):
+            if right:
+                fbase = _rol1(f ^ _take4(Trot, o))
+                rbase = _ror1(r ^ _take4(Tc, o))
+                cf = fbase[:, None] ^ T[x4]
+                cr = rbase[:, None] ^ Tcrot[x4]
+            else:
+                fbase = _ror1(f ^ _take4(T, o))
+                rbase = _rol1(r ^ _take4(Tcrot, o))
+                cf = fbase[:, None] ^ Trot[x4]
+                cr = rbase[:, None] ^ Tc[x4]
+            return cf, cr
+
+        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         solid_b = jnp.take_along_axis(si, b[:, None], axis=1)[:, 0].astype(bool)
@@ -102,17 +148,21 @@ def _walk_side(codes, lengths, apos, anchored, fwd0, rc0, bitset, k, H, log2_m, 
         # smallest solid base so the walk rejoins the graph path — one
         # event per sequencing error instead of k
         b_min_solid = jnp.argmax(si, axis=1)
-        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b).astype(U32)
-        if side == "right":
-            fwd = shl2(fwd, b_adv, k)
-            rc = shr2_ins(rc, U32(3) - b_adv, k)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
+        badv_c = b_adv[:, None]
+        f1n = jnp.take_along_axis(cf1, badv_c, axis=1)[:, 0]
+        r1n = jnp.take_along_axis(cr1, badv_c, axis=1)[:, 0]
+        f2n = jnp.take_along_axis(cf2, badv_c, axis=1)[:, 0]
+        r2n = jnp.take_along_axis(cr2, badv_c, axis=1)[:, 0]
+        bu = b_adv.astype(U32)
+        if right:
+            fwd = shl2(fwd, bu, k)
         else:
-            fwd = shr2_ins(fwd, b_adv, k)
-            rc = shl2(rc, U32(3) - b_adv, k)
+            fwd = shr2_ins(fwd, bu, k)
         ys = (is_bif, rank.astype(jnp.uint8), is_err, b.astype(jnp.uint8), is_conf)
-        return (fwd, rc), ys
+        return (fwd, f1n, r1n, f2n, r2n), ys
 
-    _, ys = lax.scan(step, (fwd0, rc0), jnp.arange(ME, dtype=jnp.int32))
+    _, ys = lax.scan(step, state0, jnp.arange(ME, dtype=jnp.int32))
     return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
 
 
@@ -127,21 +177,26 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     ME = max(1, L - k)
     lengths = lengths.astype(jnp.int32)
 
-    fwds, rcs = _kmer_scan_full(codes, k)
-    canon, is_rc = canonical(fwds, rcs)
-    P = canon.shape[1]
+    fwds, (h1f, h1r, h2f, h2r) = _anchor_scan(codes, k, seed)
+    P = fwds.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
-    member = bloom.probe(bitset, canon, H, log2_m, seed) & valid
+    # membership at every position (B, P)
+    hh1 = jnp.minimum(h1f, h1r)
+    hh2 = jnp.minimum(h2f, h2r) | U32(1)
+    mask = U32((1 << log2_m) - 1 if log2_m < 32 else 0xFFFFFFFF)
+    ppos = jnp.stack([(hh1 + U32(i) * hh2) & mask for i in range(H)], axis=-1)
+    member = bloom.probe_positions(bitset, ppos, jnp) & valid
 
     anchored = member.any(axis=1)
     apos = jnp.argmax(member, axis=1).astype(jnp.int32)
-    sel = apos[:, None, None]
-    afwd = jnp.take_along_axis(fwds, sel, axis=1)[:, 0, :]
-    arc_w = jnp.take_along_axis(rcs, sel, axis=1)[:, 0, :]
+    sel = apos[:, None]
+    afwd = jnp.take_along_axis(fwds, sel[..., None], axis=1)[:, 0, :]
+    a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (h1f, h1r, h2f, h2r))
+    state0 = (afwd, *a_h)
 
-    r = _walk_side(codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "right", ME)
-    l = _walk_side(codes, lengths, apos, anchored, afwd, arc_w, bitset, k, H, log2_m, seed, "left", ME)
+    r = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, "right", ME)
+    l = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, "left", ME)
     return dict(
         anchored=anchored, apos=apos,
         bif_r=r[0], rank_r=r[1], err_r=r[2], bnt_r=r[3], conf_r=r[4],
@@ -389,32 +444,44 @@ def _unpack_kmer(words, k: int):
     return jnp.stack(cols, axis=1)
 
 
-def _walk_decode_side(lengths, apos, anchored, fwd0, rc0, bitset,
+def _walk_decode_side(lengths, apos, anchored, state0, bitset,
                       err_plane, nbif, bif, k, H, log2_m, seed, side, ME, L):
-    """Re-walk one direction. err_plane: (B, L) uint8, 0 = no error at that
-    position, else 4 + true base code. Returns the decoded base per step
-    (B, ME) and final states."""
+    """Re-walk one direction with rolling hashes. err_plane: (B, L) uint8,
+    0 = no error at that position, else 4 + true base code. Returns the
+    decoded base per step (B, ME)."""
     B = lengths.shape[0]
     ar = jnp.arange(B)
     MEv = max(1, bif.shape[1])
+    tab = bloom.tables(seed, k)
+    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    right = side == "right"
+    t_out = 2 * (k - 1) if right else 0
 
     def step(carry, s):
-        fwd, rc, pbif = carry
-        if side == "right":
-            j = apos + k + s
-        else:
-            j = apos - 1 - s
+        fwd, f1, r1, f2, r2, pbif = carry
+        j = apos + k + s if right else apos - 1 - s
         active = anchored & (j >= 0) & (j < lengths)
         jc = jnp.clip(j, 0, L - 1)
         ev = jnp.take_along_axis(err_plane, jc[:, None], axis=1)[:, 0]
         is_err = active & (ev >= 4)
         b_err = (ev & 3).astype(jnp.int32)
+        o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
 
-        if side == "right":
-            fs, rs = _candidates_right(fwd, rc, k)
-        else:
-            fs, rs = _candidates_left(fwd, rc, k)
-        solid = _probe4(bitset, fs, rs, H, log2_m, seed)
+        x4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+        def cands(f, r, T, Tc, Trot, Tcrot):
+            if right:
+                cf = _rol1(f ^ _take4(Trot, o))[:, None] ^ T[x4]
+                cr = _ror1(r ^ _take4(Tc, o))[:, None] ^ Tcrot[x4]
+            else:
+                cf = _ror1(f ^ _take4(T, o))[:, None] ^ Trot[x4]
+                cr = _rol1(r ^ _take4(Tcrot, o))[:, None] ^ Tc[x4]
+            return cf, cr
+
+        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         is_bif = active & ~is_err & (scount >= 2)
@@ -431,18 +498,22 @@ def _walk_decode_side(lengths, apos, anchored, fwd0, rc0, bitset,
 
         # mirror the encoder's error correction (FORMAT.md §6)
         b_min_solid = jnp.argmax(si, axis=1)
-        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b).astype(U32)
-        if side == "right":
-            fwd = shl2(fwd, b_adv, k)
-            rc = shr2_ins(rc, U32(3) - b_adv, k)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
+        badv_c = b_adv[:, None]
+        f1n = jnp.take_along_axis(cf1, badv_c, axis=1)[:, 0]
+        r1n = jnp.take_along_axis(cr1, badv_c, axis=1)[:, 0]
+        f2n = jnp.take_along_axis(cf2, badv_c, axis=1)[:, 0]
+        r2n = jnp.take_along_axis(cr2, badv_c, axis=1)[:, 0]
+        bu = b_adv.astype(U32)
+        if right:
+            fwd = shl2(fwd, bu, k)
         else:
-            fwd = shr2_ins(fwd, b_adv, k)
-            rc = shl2(rc, U32(3) - b_adv, k)
-        return (fwd, rc, pbif), b.astype(jnp.uint8)
+            fwd = shr2_ins(fwd, bu, k)
+        return (fwd, f1n, r1n, f2n, r2n, pbif), b.astype(jnp.uint8)
 
-    carry = (fwd0, rc0, jnp.zeros(B, jnp.int32))
+    carry = (*state0, jnp.zeros(B, jnp.int32))
     carry, bs = lax.scan(step, carry, jnp.arange(ME, dtype=jnp.int32))
-    return jnp.moveaxis(bs, 0, 1), carry[2]  # (B, ME), consumed bif count
+    return jnp.moveaxis(bs, 0, 1)  # (B, ME)
 
 
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
@@ -481,15 +552,14 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     gathered = jnp.take_along_axis(anchor_codes, jnp.clip(rel, 0, k - 1), axis=1)
     codes0 = jnp.where(in_anchor, gathered, jnp.uint8(0))
 
-    # reverse complement of the anchor k-mer, built on device
-    rc0 = jnp.zeros_like(afwd)
-    for i in range(k - 1, -1, -1):
-        rc0 = shl2(rc0, U32(3) - anchor_codes[:, i].astype(U32), k)
+    # initial rolling-hash states of the anchor k-mer (FORMAT.md §4 v2)
+    f1, r1, f2, r2 = bloom.hash_words(afwd, k, seed, jnp)
+    state0 = (afwd, f1, r1, f2, r2)
 
-    bs_r, _ = _walk_decode_side(lengths, apos, anchored, afwd, rc0, bitset,
-                                err_plane, nbif_r, bif_r, k, H, log2_m, seed, "right", ME, L)
-    bs_l, _ = _walk_decode_side(lengths, apos, anchored, afwd, rc0, bitset,
-                                err_plane, nbif_l, bif_l, k, H, log2_m, seed, "left", ME, L)
+    bs_r = _walk_decode_side(lengths, apos, anchored, state0, bitset,
+                             err_plane, nbif_r, bif_r, k, H, log2_m, seed, "right", ME, L)
+    bs_l = _walk_decode_side(lengths, apos, anchored, state0, bitset,
+                             err_plane, nbif_l, bif_l, k, H, log2_m, seed, "left", ME, L)
 
     # place the decoded bases with two post-scan scatters
     s = jnp.arange(ME, dtype=jnp.int32)[None, :]

@@ -30,7 +30,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
-def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, log2_m: int, H: int, seed: int):
+def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, log2_m: int, H: int, seed: int, k: int):
     """Scatter this shard's solid k-mers into a 0/1 byte array of m bits.
 
     Byte-per-bit (not packed) so the scatter is a plain max-scatter and the
@@ -38,7 +38,7 @@ def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, log2_m: int, H: i
     is one. Packing to u32 words happens after the merge.
     """
     m = 1 << log2_m
-    pos = bloom.bit_positions(words, H, log2_m, seed, jnp)  # (S, H)
+    pos = bloom.bit_positions(words, H, log2_m, seed, jnp, k)  # (S, H)
     v = jnp.broadcast_to(valid[:, None], pos.shape)
     idx = jnp.where(v, pos, U32(m)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
     by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))
@@ -52,7 +52,7 @@ def _pack_bits(by: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(b * weights, axis=1, dtype=U32)
 
 
-def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, log2_m: int, H: int, seed: int):
+def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, log2_m: int, H: int, seed: int, k: int):
     """Build the replicated Bloom bitset collectively: shard the solid-kmer
     list over "d", scatter locally, OR-allreduce, pack. Returns a
     fully-replicated (m/32,) uint32 device array.
@@ -74,7 +74,7 @@ def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, log2_m: int, H: int
         out_specs=P(),
     )
     def build(w, v):
-        by = _bloom_bytes_local(w, v, log2_m, H, seed)
+        by = _bloom_bytes_local(w, v, log2_m, H, seed, k)
         by = lax.pmax(by, "d")
         return _pack_bits(by)
 

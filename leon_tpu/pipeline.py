@@ -95,7 +95,7 @@ def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int,
     accumulate in HBM; one sort+count+histogram; the Bloom filter is
     scattered on device. Host traffic: one 256-entry histogram.
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
-    counter = count.DeviceCounter(K.words_for_k(k))
+    counter = count.DeviceCounter(k)
     for block in parse.blocks:
         prep = blockcodec.prepare_block(block, cfg.max_device_len)
         for ch in chunk_block(prep, cfg, k):
@@ -166,7 +166,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
         n_solid = int(solid.shape[0])
         log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
-        bitset = bloom.build_np(solid, log2_m, H, seed)
+        bitset = bloom.build_np(solid, log2_m, H, seed, k)
         bitset_j = jnp.asarray(bitset)
     t_count = time.time() - t1
     t_bloom = 0.0
@@ -244,7 +244,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 buf.copy_to_host_async()
                 packed = (buf, cap_err, cap_bif)
             pending.append((be, ch, packed))
-            while len(pending) > 1:
+            while len(pending) > cfg.max_inflight_chunks:
                 process(pending.popleft())
         pending.append((be, None, None))
     while pending:
@@ -331,7 +331,10 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         ori = db.orient[anch_idx]
         afwd_all[anch_idx] = np.where(ori[:, None], rcw, words)
 
+    # dispatch every sub-batch's re-walk first (async), then drain — keeps
+    # the device busy across the tunnel's D2H latency
     B = cfg.batch_reads
+    dispatched = []
     for s in range(0, n_segs, B):
         e = min(n_segs, s + B)
         sl = db.seg_len[s:e]
@@ -365,6 +368,10 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
             db.nbif_l[s:e].astype(np.int32), bf_l, db.nerr_l[s:e].astype(np.int32), ep_l, en_l,
             k, H, log2_m, seed, Lb,
         )
+        dec.copy_to_host_async()
+        dispatched.append((s, anch, sl, dec))
+
+    for s, anch, sl, dec in dispatched:
         dec = np.asarray(dec)
         for i in np.flatnonzero(anch):
             g = int(s + i)

@@ -5,31 +5,88 @@ from leon_tpu.ops import bloom, count
 from leon_tpu.ops import kmer as K
 
 
-@pytest.mark.parametrize("W", [1, 2, 4])
-def test_hash_np_jnp_identical(rng, W):
+@pytest.mark.parametrize("k", [15, 31, 33, 63])
+def test_hash_np_jnp_identical(rng, k):
+    """Decoder determinism requires numpy and jnp hash paths bit-identical
+    (FORMAT.md §4 v2)."""
     import jax.numpy as jnp
 
-    words = rng.integers(0, 1 << 32, (257, W), dtype=np.uint64).astype(np.uint32)
-    h1n, h2n = bloom.hash2(words, 0xABCD, np)
-    h1j, h2j = bloom.hash2(jnp.asarray(words), 0xABCD, jnp)
-    np.testing.assert_array_equal(h1n, np.asarray(h1j))
-    np.testing.assert_array_equal(h2n, np.asarray(h2j))
-    assert np.all(h2n & 1 == 1)
+    W = K.words_for_k(k)
+    codes = rng.integers(0, 4, (257, k), dtype=np.uint8)
+    words = np.stack([K.kmer_words_np(codes[i], k) for i in range(40)])
+    hn = bloom.hash_words(words, k, 0xABCD, np)
+    hj = bloom.hash_words(jnp.asarray(words), k, 0xABCD, jnp)
+    for a, b in zip(hn, hj):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@pytest.mark.parametrize("k", [15, 31, 33])
+def test_hash_strand_invariance(rng, k):
+    """min(f, r) per hash function must be identical for a k-mer and its
+    reverse complement — the v2 strand-invariance contract."""
+    codes = rng.integers(0, 4, (100, k), dtype=np.uint8)
+    fwd = K.pack_codes_batch_np(codes, k)
+    rc = K.pack_codes_batch_np((3 - codes)[:, ::-1], k)
+    f1, r1, f2, r2 = bloom.hash_words(fwd, k, 99, np)
+    g1, s1, g2, s2 = bloom.hash_words(rc, k, 99, np)
+    # reverse hash of s == forward hash of revcomp(s)
+    np.testing.assert_array_equal(r1, g1)
+    np.testing.assert_array_equal(f1, s1)
+    np.testing.assert_array_equal(np.minimum(f1, r1), np.minimum(g1, s1))
+    np.testing.assert_array_equal(np.minimum(f2, r2), np.minimum(g2, s2))
+
+
+def test_rolling_equals_scratch(rng):
+    """The rolling updates (FORMAT.md §4) must reproduce the from-scratch
+    hashes at every window position, both directions."""
+    k, seed = 31, 0x1234ABCD
+    seq = rng.integers(0, 4, 200, dtype=np.uint8)
+    tab = bloom.tables(seed, k)
+
+    def rol(x, r):
+        r %= 32
+        return ((int(x) << r) | (int(x) >> (32 - r))) & 0xFFFFFFFF
+
+    for m in range(2):
+        T, Tc, Trot, Tcrot = (tab[m, i] for i in range(4))
+        # from-scratch at position p
+        def scratch(p):
+            f = r = 0
+            for i in range(k):
+                f ^= rol(T[seq[p + i]], k - 1 - i)
+                r ^= rol(Tc[seq[p + i]], i)
+            return f, r
+
+        # roll right across the sequence
+        f, r = scratch(0)
+        for p in range(1, 100):
+            o, x = seq[p - 1], seq[p + k - 1]
+            f = (rol(int(f) ^ int(Trot[o]), 1) ^ int(T[x])) & 0xFFFFFFFF
+            r = (rol(int(r) ^ int(Tc[o]), 31) ^ int(Tcrot[x])) & 0xFFFFFFFF
+            assert (f, r) == scratch(p), f"right roll diverged at {p} (fn {m})"
+        # roll left back down
+        f, r = scratch(99)
+        for p in range(98, 50, -1):
+            x, o = seq[p], seq[p + k]
+            f = (int(Trot[x]) ^ rol(int(f) ^ int(T[o]), 31)) & 0xFFFFFFFF
+            r = (rol(int(r) ^ int(Tcrot[o]), 1) ^ int(Tc[x])) & 0xFFFFFFFF
+            assert (f, r) == scratch(p), f"left roll diverged at {p} (fn {m})"
 
 
 def test_bloom_membership(rng):
-    W = 2
-    members = rng.integers(0, 1 << 32, (500, W), dtype=np.uint64).astype(np.uint32)
-    others = rng.integers(0, 1 << 32, (5000, W), dtype=np.uint64).astype(np.uint32)
+    k = 31
+    codes = rng.integers(0, 4, (5500, k), dtype=np.uint8)
+    words = K.pack_codes_batch_np(codes, k)
+    members, others = words[:500], words[500:]
     log2_m = bloom.choose_log2_m(500, 12.0)
-    bits = bloom.build_np(members, log2_m, 4, 7)
-    assert np.all(bloom.probe_np(bits, members, 4, log2_m, 7))
+    bits = bloom.build_np(members, log2_m, 4, 7, k)
+    assert np.all(bloom.probe_np(bits, members, 4, log2_m, 7, k))
     import jax.numpy as jnp
 
-    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, log2_m, 7))
+    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, log2_m, 7, k))
     assert np.all(got)
     # false positive rate sane (< 5% at 12 bits/kmer, 4 hashes)
-    fp = bloom.probe_np(bits, others, 4, log2_m, 7).mean()
+    fp = bloom.probe_np(bits, others, 4, log2_m, 7, k).mean()
     assert fp < 0.05
 
 

@@ -26,7 +26,7 @@ def solid_bloom(codes, lengths, k, abundance=2, H=4, seed=0x1234ABCD):
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= abundance]
     log2_m = bloom.choose_log2_m(max(1, solid.shape[0]), 12.0)
-    bits = bloom.build_np(solid, log2_m, H, seed)
+    bits = bloom.build_np(solid, log2_m, H, seed, k)
     return bits, log2_m, solid
 
 
