@@ -1,0 +1,104 @@
+"""Mesh-parallel kernels + determinism/shard-invariance tests
+(SURVEY.md §4.3: N-shard runs must produce identical results)."""
+
+import numpy as np
+import pytest
+
+from leon_tpu import pipeline
+from leon_tpu.config import LeonConfig
+from leon_tpu.ops import bloom, count, walk
+from leon_tpu.ops import kmer as K
+
+
+@pytest.fixture
+def read_batch(rng):
+    B, L, k = 64, 128, 31
+    contig = rng.integers(0, 4, 2000, dtype=np.uint8)
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lengths = np.full(B, 100, dtype=np.int32)
+    for i in range(B):
+        st = int(rng.integers(0, 1900))
+        codes[i, :100] = contig[st : st + 100]
+    return codes, lengths
+
+
+def test_sharded_bloom_equals_host(read_batch):
+    import jax.numpy as jnp
+
+    from leon_tpu.parallel import mesh as pmesh
+
+    codes, lengths = read_batch
+    k, H, seed, log2_m = 31, 4, 5, 16
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    solid = uniq[counts >= 2]
+
+    m = pmesh.make_mesh(8)
+    dev = np.asarray(pmesh.sharded_bloom_build(m, solid, log2_m, H, seed, k))
+    host = bloom.build_np(solid, log2_m, H, seed, k)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_sharded_encoder_matches_single(read_batch):
+    import jax.numpy as jnp
+
+    from leon_tpu.parallel import mesh as pmesh
+
+    codes, lengths = read_batch
+    k, H, seed = 31, 4, 5
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    solid = uniq[counts >= 2]
+    log2_m = bloom.choose_log2_m(max(1, len(solid)), 12.0)
+    bits = bloom.build_np(solid, log2_m, H, seed, k)
+    bits_j = jnp.asarray(bits)
+
+    single = walk.encode_batch(codes, lengths, bits_j, k, H, log2_m, seed)
+
+    m = pmesh.make_mesh(8)
+    enc_fn = pmesh.make_sharded_encoder(m, k, H, log2_m, seed)
+    sharded = enc_fn(codes, lengths, bits_j)
+    for key in ("anchored", "apos", "nerr_r", "nbif_r", "errpos_r", "bif_r"):
+        np.testing.assert_array_equal(
+            np.asarray(single[key]), np.asarray(sharded[key]), err_msg=key
+        )
+
+
+def test_container_invariant_to_batch_size(tmp_path, rng):
+    """Chunking must not leak into the container bytes: the same input at
+    different device batch sizes produces the identical archive."""
+    contig = rng.integers(0, 4, 800, dtype=np.uint8)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(tmp_path / "x.fasta", "wb") as f:
+        for i in range(150):
+            ln = int(rng.integers(60, 120))
+            st = int(rng.integers(0, 800 - ln))
+            f.write(b">r%d\n%s\n" % (i, BASES[contig[st : st + ln]].tobytes()))
+    outs = []
+    for br in (32, 64, 128):
+        cfg = LeonConfig(batch_reads=br, reads_per_block=1000)
+        out = str(tmp_path / f"x_{br}.leon")
+        pipeline.compress(str(tmp_path / "x.fasta"), out, cfg=cfg)
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_decompress_invariant_to_block_size(tmp_path, rng):
+    """Different reads_per_block produce different containers but must
+    decode to identical bytes."""
+    contig = rng.integers(0, 4, 800, dtype=np.uint8)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    src = tmp_path / "y.fasta"
+    with open(src, "wb") as f:
+        for i in range(170):
+            ln = int(rng.integers(60, 120))
+            st = int(rng.integers(0, 800 - ln))
+            f.write(b">r%d\n%s\n" % (i, BASES[contig[st : st + ln]].tobytes()))
+    decoded = []
+    for rpb in (48, 170):
+        cfg = LeonConfig(batch_reads=64, reads_per_block=rpb)
+        out = str(tmp_path / f"y_{rpb}.leon")
+        pipeline.compress(str(src), out, cfg=cfg)
+        d = pipeline.decompress(out, str(tmp_path / f"y_{rpb}.d"), cfg=cfg)
+        decoded.append(open(d["output"], "rb").read())
+    assert decoded[0] == decoded[1] == open(src, "rb").read()
