@@ -50,6 +50,27 @@ F_HASPLUS = 8
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+_POOL = None
+_POOL_SIZE = 0
+
+
+def _pool_map(fn, items, nb_cores):
+    """Map over items on a shared thread pool (GIL-releasing workloads)."""
+    global _POOL, _POOL_SIZE
+    import os as _os
+
+    n = nb_cores or _os.cpu_count() or 1
+    if n <= 1 or len(items) <= 1:
+        return [fn(t) for t in items]
+    if _POOL is None or _POOL_SIZE != n:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if _POOL is not None:
+            _POOL.shutdown(wait=False)
+        _POOL = ThreadPoolExecutor(max_workers=n)
+        _POOL_SIZE = n
+    return list(_POOL.map(fn, items))
+
 
 class AnchorDict:
     """Global anchor dictionary, first-use order (FORMAT.md §5)."""
@@ -60,7 +81,9 @@ class AnchorDict:
         self._words: list[bytes] = []
 
     def index(self, canon_words: np.ndarray) -> int:
-        key = canon_words.astype("<u4").tobytes()
+        return self.index_key(canon_words.astype("<u4").tobytes())
+
+    def index_key(self, key: bytes) -> int:
         idx = self._map.get(key)
         if idx is None:
             idx = len(self._words)
@@ -183,7 +206,7 @@ class BlockEncoder:
         self.prep = prep
         self.flags = bytearray()
         self.anchorpos: list[np.ndarray] = []
-        self.dictidx: list[int] = []
+        self.anchor_keys: list[bytes] = []  # per anchored segment, in order
         self.nevt: list[np.ndarray] = []
         self.errpos: list[np.ndarray] = []
         self.errnt = bytearray()
@@ -231,8 +254,9 @@ class BlockEncoder:
         ai = np.flatnonzero(anch)
         if ai.size:
             self.anchorpos.append(apos[ai].astype(np.uint64))
-            for i in ai:
-                self.dictidx.append(self.adict.index(acanon[i]))
+            keys = acanon[ai].astype("<u4")
+            for row in keys:
+                self.anchor_keys.append(row.tobytes())
             nerr_r = enc["nerr_r"][:n].astype(np.int64)
             nbif_r = enc["nbif_r"][:n].astype(np.int64)
             nerr_l = enc["nerr_l"][:n].astype(np.int64)
@@ -286,14 +310,11 @@ class BlockEncoder:
     def finish(self) -> tuple[bytes, dict[int, int]]:
         block = self.block
         prep = self.prep
-        streams: list[tuple[int, bytes]] = []
-        sizes: dict[int, int] = {}
+        todo: list[tuple[int, bytes, dict]] = []
 
         def add(sid: int, data: bytes, **kw) -> None:
             if data:
-                fr = frames.frame(data, **kw)
-                streams.append((sid, fr))
-                sizes[sid] = len(fr)
+                todo.append((sid, data, kw))
 
         add(S_FLAGS, bytes(self.flags))
         lens = prep.lens
@@ -301,7 +322,11 @@ class BlockEncoder:
         add(S_READLEN, varint.encode_array(varint.zigzag(lens - prev)))
         if self.anchorpos:
             add(S_ANCHORPOS, varint.encode_array(np.concatenate(self.anchorpos)))
-            add(S_DICTIDX, varint.encode_array(np.asarray(self.dictidx, dtype=np.uint64)))
+            # dictionary indices resolve at finish time, in block order —
+            # this is what lets a multi-host run replay a global first-use
+            # order and still emit byte-identical blocks
+            dictidx = [self.adict.index_key(key) for key in self.anchor_keys]
+            add(S_DICTIDX, varint.encode_array(np.asarray(dictidx, dtype=np.uint64)))
             add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)))
         if self.errpos:
             ep = np.concatenate(self.errpos)
@@ -331,6 +356,7 @@ class BlockEncoder:
             add(S_HEADERS, hcodec.encode(block.headers))
         if self.meta.qual_mode and self.qual_arr is not None:
             add(S_QUALS, self.qual_arr.tobytes(), try_o1=True)
+        self.qual_arr = None
         if block.fmt == bank.FASTQ:
             plus = bytearray()
             for p in block.pluses:
@@ -346,12 +372,19 @@ class BlockEncoder:
                     vals.extend(lens_[:-1])
             add(S_FASTALINES, varint.encode_array(np.asarray(vals, dtype=np.uint64)))
 
+        # entropy-frame the streams on the host worker pool (-nb-cores,
+        # reference: Dispatcher threads, README.md:47-48); zlib and the
+        # native coders release the GIL
+        framed = _pool_map(
+            lambda t: frames.frame(t[1], **t[2]), todo, self.cfg.nb_cores
+        )
+        sizes = {sid: len(fr) for (sid, _, _), fr in zip(todo, framed)}
         out = bytearray()
         varint.encode_one(block.n_reads, out)
-        varint.encode_one(len(streams), out)
-        for sid, data in streams:
+        varint.encode_one(len(todo), out)
+        for (sid, _, _), fr in zip(todo, framed):
             out.append(sid)
-            out += data
+            out += fr
         return bytes(out), sizes
 
 

@@ -13,7 +13,7 @@ import dataclasses
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=True)
 class LeonConfig:
     # Reference-parity knobs
     kmer_size: int = 31
@@ -43,11 +43,22 @@ class LeonConfig:
     # consuming their results (keeps the device busy across the D2H
     # latency of the TPU tunnel)
     max_inflight_chunks: int = 32
+    # when set, wrap compress/decompress in a jax.profiler trace written
+    # here (the TPU-native analog of GATB TimeInfo/Progress tracing,
+    # SURVEY.md §5.1)
+    profile_dir: Optional[str] = None
+    # when set, the count-phase result (abundance cutoff + Bloom bitset)
+    # persists here and a matching re-run skips pass 1 entirely — the
+    # natural restart midpoint (SURVEY.md §5.4: DSK's solid-kmer set)
+    checkpoint: Optional[str] = None
     verbose: int = 1
 
     def __post_init__(self) -> None:
-        if not (1 <= self.kmer_size <= 64):
-            raise ValueError(f"kmer-size must be in [1, 64], got {self.kmer_size}")
+        # the reference supports k up to 256 but only via recompilation with
+        # KSIZE_LIST (/root/reference/README.md:69-81); here any k <= 255 is
+        # a runtime parameter (255 because META stores k as u8)
+        if not (1 <= self.kmer_size <= 255):
+            raise ValueError(f"kmer-size must be in [1, 255], got {self.kmer_size}")
         if self.abundance is not None and self.abundance < 1:
             raise ValueError("abundance must be >= 1")
         if not (1 <= self.bloom_hashes <= 8):

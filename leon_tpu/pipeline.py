@@ -17,6 +17,7 @@ Dispatcher blocks (SURVEY.md §2.4 "DP" row).
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Iterator, Optional
@@ -33,6 +34,14 @@ from leon_tpu.utils import varint
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _BUCKETS = [64, 128, 256, 512, 1024, 2048]
+
+
+def _progress(cfg: LeonConfig, stage: str, done: int, total: int) -> None:
+    """Reference-style progress line ([R] GATB Progress bars, SURVEY.md §5.1)."""
+    if cfg.verbose >= 1 and total > 1 and sys.stderr.isatty():
+        pct = 100.0 * done / total
+        print(f"\r[{stage}] {done}/{total} ({pct:.0f}%)", end="" if done < total else "\n",
+              file=sys.stderr)
 
 
 def _bucket_len(maxlen: int, k: int) -> int:
@@ -89,6 +98,52 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
 # ---------------------------------------------------------------------------
 
 
+_CKPT_VERSION = 1
+
+
+def _ckpt_key(cfg: LeonConfig, k: int, input_path: str) -> tuple:
+    try:
+        size = os.path.getsize(input_path)
+    except OSError:
+        size = -1
+    return (_CKPT_VERSION, k, cfg.seed, cfg.bloom_hashes,
+            cfg.bloom_bits_per_kmer, cfg.abundance, cfg.max_device_len,
+            os.path.basename(input_path), size)
+
+
+def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
+    if not cfg.checkpoint or not os.path.exists(cfg.checkpoint):
+        return None
+    import pickle
+
+    try:
+        with open(cfg.checkpoint, "rb") as f:
+            d = pickle.load(f)
+        if d.get("key") != _ckpt_key(cfg, k, input_path):
+            return None
+        bitset = np.frombuffer(d["bitset"], dtype="<u4")
+        return bitset, d["log2_m"], d["cutoff"], d["n_solid"]
+    except Exception:
+        return None
+
+
+def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
+                           bitset, log2_m, cutoff, n_solid):
+    import pickle
+
+    tmp = cfg.checkpoint + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(
+            {
+                "key": _ckpt_key(cfg, k, input_path),
+                "bitset": bitset.astype("<u4").tobytes(),
+                "log2_m": log2_m, "cutoff": cutoff, "n_solid": n_solid,
+            },
+            f,
+        )
+    os.replace(tmp, cfg.checkpoint)
+
+
 def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int, seed: int):
     """Device-resident k-mer counting + Bloom build (reference: DSK
     SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). All k-mers
@@ -96,13 +151,14 @@ def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int,
     scattered on device. Host traffic: one 256-entry histogram.
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
     counter = count.DeviceCounter(k)
-    for block in parse.blocks:
+    for ib, block in enumerate(parse.blocks):
         prep = blockcodec.prepare_block(block, cfg.max_device_len)
         for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
             canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
             counter.add(canon, valid)
+        _progress(cfg, "count", ib + 1, len(parse.blocks))
     bitset, log2_m, cutoff, n_solid, _hist = counter.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
@@ -131,6 +187,15 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     from leon_tpu.ops import walk
 
     cfg = cfg or LeonConfig()
+    if cfg.profile_dir:
+        import dataclasses as _dc
+
+        import jax
+
+        with jax.profiler.trace(cfg.profile_dir):
+            return compress(
+                input_path, output_path, _dc.replace(cfg, profile_dir=None)
+            )
     t0 = time.time()
     if output_path is None:
         base = input_path[:-3] if input_path.endswith(".gz") else input_path
@@ -153,8 +218,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t1 = time.time()
     H = cfg.bloom_hashes
     seed = cfg.seed
+    ck = _load_count_checkpoint(cfg, k, input_path)
     total_bases = sum(len(s) for b in parse.blocks for s in b.seqs)
-    if total_bases <= cfg.count_device_max_kmers:
+    if ck is not None:
+        bitset, log2_m, cutoff, n_solid = ck
+        bitset_j = jnp.asarray(bitset)
+    elif total_bases <= cfg.count_device_max_kmers:
         bitset_j, log2_m, cutoff, n_solid = _count_pass_device(parse, cfg, k, H, seed)
         bitset = None  # transferred lazily for the container
     else:
@@ -168,6 +237,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
         bitset = bloom.build_np(solid, log2_m, H, seed, k)
         bitset_j = jnp.asarray(bitset)
+    if ck is None and cfg.checkpoint:
+        if bitset is None:
+            bitset = np.asarray(bitset_j)
+        _save_count_checkpoint(cfg, k, input_path, bitset, log2_m, cutoff, n_solid)
     t_count = time.time() - t1
     t_bloom = 0.0
 
@@ -247,6 +320,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             while len(pending) > cfg.max_inflight_chunks:
                 process(pending.popleft())
         pending.append((be, None, None))
+        _progress(cfg, "encode", len(payloads) + 1, len(parse.blocks))
     while pending:
         process(pending.popleft())
     t_encode = time.time() - t1

@@ -1,0 +1,81 @@
+"""Multi-host shard invariance: a 2-process jax.distributed run must write
+a byte-identical archive to the single-process run (SURVEY.md §4.3)."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from leon_tpu import pipeline
+from leon_tpu.config import LeonConfig
+
+WORKER = r"""
+import os, sys, pickle
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+src = sys.argv[4]; out = sys.argv[5]
+from leon_tpu.parallel import distributed
+from leon_tpu.config import LeonConfig
+distributed.initialize(f"localhost:{port}", nproc, pid)
+cfg = LeonConfig(batch_reads=64, reads_per_block=60)
+stats = distributed.compress_distributed(src, out, cfg=cfg)
+print("WORKER_OK", pid, stats.get("output_bytes"))
+"""
+
+
+def _make_input(path, rng):
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    contig = rng.integers(0, 4, 900, dtype=np.uint8)
+    with open(path, "wb") as f:
+        for i in range(250):
+            ln = int(rng.integers(60, 120))
+            st = int(rng.integers(0, 900 - ln))
+            f.write(b">r%d x%d\n%s\n" % (i, i, BASES[contig[st : st + ln]].tobytes()))
+
+
+def test_single_process_distributed_equals_pipeline(tmp_path, rng):
+    """nproc=1 distributed path must equal the standard pipeline output."""
+    src = tmp_path / "d.fasta"
+    _make_input(src, rng)
+    cfg = LeonConfig(batch_reads=64, reads_per_block=60)
+    out_a = str(tmp_path / "a.leon")
+    out_b = str(tmp_path / "b.leon")
+    pipeline.compress(str(src), out_a, cfg=cfg)
+    from leon_tpu.parallel import distributed
+
+    distributed.compress_distributed(str(src), out_b, cfg=cfg)
+    assert open(out_a, "rb").read() == open(out_b, "rb").read()
+
+
+@pytest.mark.slow
+def test_two_process_shard_invariance(tmp_path, rng):
+    src = str(tmp_path / "d.fasta")
+    _make_input(src, rng)
+    cfg = LeonConfig(batch_reads=64, reads_per_block=60)
+    ref_out = str(tmp_path / "single.leon")
+    pipeline.compress(src, ref_out, cfg=cfg)
+
+    out = str(tmp_path / "dist.leon")
+    port = "29517"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(p), "2", port, src, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so.decode()}\n{se.decode()[-2000:]}"
+    assert open(out, "rb").read() == open(ref_out, "rb").read()

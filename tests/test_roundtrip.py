@@ -271,3 +271,30 @@ def test_segment_boundary_cases(tmp_path, rng):
     src = tmp_path / "segedge.fasta"
     write_fasta(src, seqs)
     roundtrip(tmp_path, src, small_cfg(max_device_len=S, abundance=2))
+
+
+def test_k95_multiword(tmp_path, rng):
+    """k > 64 (reference needs a KSIZE_LIST recompile; here it is just a
+    runtime parameter over W=6 u32 words)."""
+    contig = rng.integers(0, 4, 1500, dtype=np.uint8)
+    seqs = [sim_seq(rng, contig, lmin=120, lmax=128, err=0.002) for _ in range(120)]
+    src = tmp_path / "k95.fasta"
+    write_fasta(src, seqs)
+    st, _ = roundtrip(tmp_path, src, small_cfg(kmer_size=95, abundance=2))
+    assert st["n_anchored"] > 60
+
+
+def test_checkpoint_resume(tmp_path, rng, contig):
+    """Count-phase checkpoint (SURVEY.md §5.4): a matching re-run skips
+    counting and produces the identical archive."""
+    seqs = [sim_seq(rng, contig) for _ in range(100)]
+    src = tmp_path / "ck.fasta"
+    write_fasta(src, seqs)
+    ck = str(tmp_path / "count.ckpt")
+    cfg = small_cfg(checkpoint=ck)
+    st1 = pipeline.compress(str(src), str(tmp_path / "a.leon"), cfg=cfg)
+    assert os.path.exists(ck)
+    st2 = pipeline.compress(str(src), str(tmp_path / "b.leon"), cfg=cfg)
+    assert open(tmp_path / "a.leon", "rb").read() == open(tmp_path / "b.leon", "rb").read()
+    dd = pipeline.decompress(str(tmp_path / "b.leon"), cfg=cfg)
+    assert open(dd["output"], "rb").read() == open(src, "rb").read()
