@@ -189,7 +189,12 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     member = bloom.probe_positions(bitset, ppos, jnp) & valid
 
     anchored = member.any(axis=1)
-    apos = jnp.argmax(member, axis=1).astype(jnp.int32)
+    # minimizer-style anchor (FORMAT.md §5): the solid position with the
+    # smallest h1 digest — overlapping reads pick the same anchor k-mer,
+    # keeping the dictionary small; argmin breaks ties at the first index
+    apos = jnp.argmin(
+        jnp.where(member, hh1, jnp.uint32(0xFFFFFFFF)), axis=1
+    ).astype(jnp.int32)
     sel = apos[:, None]
     afwd = jnp.take_along_axis(fwds, sel[..., None], axis=1)[:, 0, :]
     a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (h1f, h1r, h2f, h2r))
