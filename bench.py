@@ -88,7 +88,7 @@ def main() -> int:
 
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--warm"],
-        check=True, capture_output=True, timeout=540,
+        check=True, capture_output=True, timeout=1200,
     )
 
     t0 = time.time()

@@ -325,8 +325,12 @@ class BlockEncoder:
             # dictionary indices resolve at finish time, in block order —
             # this is what lets a multi-host run replay a global first-use
             # order and still emit byte-identical blocks
-            dictidx = [self.adict.index_key(key) for key in self.anchor_keys]
-            add(S_DICTIDX, varint.encode_array(np.asarray(dictidx, dtype=np.uint64)))
+            dictidx = np.asarray(
+                [self.adict.index_key(key) for key in self.anchor_keys],
+                dtype=np.int64,
+            )
+            dd = np.diff(dictidx, prepend=0)
+            add(S_DICTIDX, varint.encode_array(varint.zigzag(dd)))
             add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)))
         if self.errpos:
             ep = np.concatenate(self.errpos)
@@ -449,7 +453,9 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
 
     n_anch = int(anchored.sum())
     apos_a = varint.decode_array(sdata.get(S_ANCHORPOS, b""), n_anch).astype(np.int64)
-    dictidx = varint.decode_array(sdata.get(S_DICTIDX, b""), n_anch).astype(np.int64)
+    dictidx = np.cumsum(
+        varint.unzigzag(varint.decode_array(sdata.get(S_DICTIDX, b""), n_anch))
+    ).astype(np.int64)
     nevt = varint.decode_array(sdata.get(S_NEVT, b""), 4 * n_anch).astype(np.int64).reshape(-1, 4)
 
     apos = np.zeros(n_segs, dtype=np.int64)
