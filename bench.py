@@ -75,13 +75,10 @@ def main() -> int:
     # Warm-up (XLA compiles) runs in a SUBPROCESS: the axon tunnel drops
     # into a degraded per-call mode after a process's first device->host
     # transfer, so the measured process must start clean.
-    wsrc = os.path.join(workdir, "warm.fastq")
-    if not os.path.exists(wsrc):
-        with open(src, "rb") as f, open(wsrc, "wb") as g:
-            for _ in range(4 * 8192):
-                g.write(f.readline())
     if "--warm" in sys.argv:
-        pipeline.compress(wsrc, os.path.join(workdir, "warm.leon"), cfg=LeonConfig(noheader=True, noqual=True))
+        # warm on the SAME input so every shape (incl. the count-sort size
+        # bucket) lands in the persistent compile cache
+        pipeline.compress(src, os.path.join(workdir, "warm.leon"), cfg=LeonConfig(noheader=True, noqual=True))
         pipeline.decompress(os.path.join(workdir, "warm.leon"), os.path.join(workdir, "warm.out"), cfg=cfg)
         return 0
     import subprocess

@@ -411,12 +411,14 @@ class DecodedBlock:
     nbif_r: np.ndarray
     nerr_l: np.ndarray
     nbif_l: np.ndarray
-    errpos_r: list            # per segment: absolute positions within segment
-    errpos_l: list
-    errnt_r: list
-    errnt_l: list
-    bif_r: list
-    bif_l: list
+    # flat event streams (seg-major, right-then-left per segment) plus
+    # per-segment exclusive base offsets — the decoder gathers padded
+    # (B, ME) planes from these without any per-segment Python loop
+    errgaps: np.ndarray       # (n_err,) int64
+    errnts: np.ndarray        # (n_err,) uint8
+    bifs: np.ndarray          # (n_bif,) uint8
+    err_base: np.ndarray      # (n_segs,) offset of segment's right-err run
+    bif_base: np.ndarray
     rawseq: bytes
     exc_pos: list             # per read
     exc_byte: list
@@ -478,30 +480,10 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
     if errnts.size != n_err or bifs.size != n_bif:
         raise ValueError("event stream count mismatch")
 
-    errpos_r: list = [None] * n_segs
-    errpos_l: list = [None] * n_segs
-    errnt_r: list = [None] * n_segs
-    errnt_l: list = [None] * n_segs
-    bif_r: list = [None] * n_segs
-    bif_l: list = [None] * n_segs
-    k = meta.k
-    ei = 0
-    bi = 0
-    for i in np.flatnonzero(anchored):
-        nr, nl = int(nerr_r[i]), int(nerr_l[i])
-        g = errgaps[ei : ei + nr]
-        errpos_r[i] = apos[i] + k + np.cumsum(g + 1) - 1
-        errnt_r[i] = errnts[ei : ei + nr]
-        ei += nr
-        g = errgaps[ei : ei + nl]
-        errpos_l[i] = apos[i] - np.cumsum(g + 1)
-        errnt_l[i] = errnts[ei : ei + nl]
-        ei += nl
-        nr, nl = int(nbif_r[i]), int(nbif_l[i])
-        bif_r[i] = bifs[bi : bi + nr]
-        bi += nr
-        bif_l[i] = bifs[bi : bi + nl]
-        bi += nl
+    err_tot = nerr_r + nerr_l
+    bif_tot = nbif_r + nbif_l
+    err_base = np.cumsum(err_tot) - err_tot
+    bif_base = np.cumsum(bif_tot) - bif_tot
 
     exc_pos: list = [None] * n_reads
     exc_byte: list = [None] * n_reads
@@ -549,8 +531,8 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
         anchored=anchored, orient=orient,
         hasexc=hasexc, hasplus=hasplus, apos=apos, dictidx=dictidx,
         nerr_r=nerr_r, nbif_r=nbif_r, nerr_l=nerr_l, nbif_l=nbif_l,
-        errpos_r=errpos_r, errpos_l=errpos_l, errnt_r=errnt_r, errnt_l=errnt_l,
-        bif_r=bif_r, bif_l=bif_l,
+        errgaps=errgaps, errnts=errnts, bifs=bifs,
+        err_base=err_base, bif_base=bif_base,
         rawseq=sdata.get(S_RAWSEQ, b""),
         exc_pos=exc_pos, exc_byte=exc_byte,
         headers_payload=sdata.get(S_HEADERS),

@@ -418,26 +418,33 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         Lb = _bucket_len(int(sl[anch].max()), k)
         m = e - s
         ME = max(1, Lb - k)
-        apos = db.apos[s:e].astype(np.int32)
+        apos = db.apos[s:e].astype(np.int64)
         dlen = np.where(anch, sl, 0).astype(np.int32)
 
-        def padevt(lists, dtype):
+        # gather padded (m, ME) event planes straight from the flat
+        # streams (no per-segment Python loop)
+        slot = np.arange(ME)[None, :]
+
+        def gather_plane(flat, base, counts, dtype):
+            idx = base[s:e, None] + slot
+            mask = slot < counts[s:e, None]
             out = np.zeros((m, ME), dtype=dtype)
-            for i in range(m):
-                v = lists[s + i]
-                if v is not None and len(v):
-                    out[i, : len(v)] = v
+            if flat.size:
+                out[mask] = flat[np.clip(idx, 0, flat.size - 1)[mask]]
             return out
 
-        ep_r = padevt(db.errpos_r, np.int32)
-        ep_l = padevt(db.errpos_l, np.int32)
-        en_r = padevt(db.errnt_r, np.uint8)
-        en_l = padevt(db.errnt_l, np.uint8)
-        bf_r = padevt(db.bif_r, np.uint8)
-        bf_l = padevt(db.bif_l, np.uint8)
+        gap_r = gather_plane(db.errgaps, db.err_base, db.nerr_r, np.int64)
+        gap_l = gather_plane(db.errgaps, db.err_base + db.nerr_r, db.nerr_l, np.int64)
+        en_r = gather_plane(db.errnts, db.err_base, db.nerr_r, np.uint8)
+        en_l = gather_plane(db.errnts, db.err_base + db.nerr_r, db.nerr_l, np.uint8)
+        bf_r = gather_plane(db.bifs, db.bif_base, db.nbif_r, np.uint8)
+        bf_l = gather_plane(db.bifs, db.bif_base + db.nbif_r, db.nbif_l, np.uint8)
+        # absolute error positions from the gap encoding (FORMAT.md §6)
+        ep_r = (apos[:, None] + k + np.cumsum(gap_r + 1, axis=1) - 1).astype(np.int32)
+        ep_l = (apos[:, None] - np.cumsum(gap_l + 1, axis=1)).astype(np.int32)
 
         dec = walk.decode_batch(
-            apos, anch, dlen, afwd_all[s:e], bitset_j,
+            apos.astype(np.int32), anch, dlen, afwd_all[s:e], bitset_j,
             db.nbif_r[s:e].astype(np.int32), bf_r, db.nerr_r[s:e].astype(np.int32), ep_r, en_r,
             db.nbif_l[s:e].astype(np.int32), bf_l, db.nerr_l[s:e].astype(np.int32), ep_l, en_l,
             k, H, log2_m, seed, Lb,
