@@ -74,22 +74,28 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
     B = cfg.batch_reads
     total = prep.n_segs
     flat = prep.flat_codes
+    # pad the flat code array once so row gathers never need clipping:
+    # rows read [start, start + Lb) and zero out the tail via the mask
+    max_sl = int(prep.seg_len.max()) if total else 0
+    Lb_max = _bucket_len(max_sl, k)
+    flat_pad = np.concatenate([flat, np.zeros(Lb_max, np.uint8)])
+    starts_all = (prep.read_start[prep.seg_read] + prep.seg_off).astype(np.int64)
     for s in range(0, total, B):
-        sr = prep.seg_read[s : s + B]
         so = prep.seg_off[s : s + B]
         sl = prep.seg_len[s : s + B]
-        m = sr.shape[0]
+        m = sl.shape[0]
         Lb = _bucket_len(int(sl.max()) if m else 0, k)
         codes = np.zeros((B, Lb), dtype=np.uint8)
         if flat.size:
-            base = (prep.read_start[sr] + so)[:, None] + np.arange(Lb)[None, :]
-            mask = np.arange(Lb)[None, :] < sl[:, None]
-            codes[:m] = np.where(mask, flat[np.clip(base, 0, flat.size - 1)], 0)
+            idx = starts_all[s : s + B, None] + np.arange(Lb, dtype=np.int64)[None, :]
+            rows = flat_pad[idx]
+            rows[np.arange(Lb)[None, :] >= sl[:, None]] = 0
+            codes[:m] = rows
         dev_pad = np.zeros(B, dtype=np.int32)
         dev_pad[:m] = sl
         yield Chunk(
             codes=codes, dev_len=dev_pad, L=Lb, n=m,
-            seg_read=sr, seg_off=so, seg_len=sl,
+            seg_read=prep.seg_read[s : s + B], seg_off=so, seg_len=sl,
         )
 
 
@@ -144,33 +150,33 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
     os.replace(tmp, cfg.checkpoint)
 
 
-def _count_pass_device(parse: bank.ParseResult, cfg: LeonConfig, k: int, H: int, seed: int):
+def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int):
     """Device-resident k-mer counting + Bloom build (reference: DSK
     SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). All k-mers
     accumulate in HBM; one sort+count+histogram; the Bloom filter is
     scattered on device. Host traffic: one 256-entry histogram.
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
     counter = count.DeviceCounter(k)
-    for ib, block in enumerate(parse.blocks):
-        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+    n_total = len(preps) if hasattr(preps, "__len__") else 0
+    for ib, prep in enumerate(preps):
         for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
             canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
             counter.add(canon, valid)
-        _progress(cfg, "count", ib + 1, len(parse.blocks))
+        if n_total:
+            _progress(cfg, "count", ib + 1, n_total)
     bitset, log2_m, cutoff, n_solid, _hist = counter.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
     return bitset, log2_m, cutoff, n_solid
 
 
-def _count_pass_host(parse: bank.ParseResult, cfg: LeonConfig, k: int):
+def _count_pass_host(preps: list, cfg: LeonConfig, k: int):
     """Legacy host-merge counting (fallback for k-mer multisets beyond the
     HBM budget). Returns (uniq (M, W) u32, counts (M,) i64)."""
     partials = []
-    for block in parse.blocks:
-        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+    for prep in preps:
         for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
@@ -214,20 +220,40 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         qual_mode = container.QUAL_LOSSLESS if cfg.lossless else container.QUAL_LOSSY
     out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
 
+    # seq-only FASTQ input is re-framed as FASTA once, up front
+    blocks = parse.blocks
+    if fmt == bank.FASTQ and cfg.seq_only:
+        blocks = [
+            bank.SeqBlock(
+                bank.FASTA, b.headers, b.seqs,
+                line_lens=[[len(s)] if len(s) else [] for s in b.seqs],
+            )
+            for b in blocks
+        ]
+
     # --- pass 1: k-mer counting + solidity threshold + Bloom build ---
     t1 = time.time()
     H = cfg.bloom_hashes
     seed = cfg.seed
     ck = _load_count_checkpoint(cfg, k, input_path)
     total_bases = sum(len(s) for b in parse.blocks for s in b.seqs)
+    # block preprocessing (code substitution, exceptions, segment table) is
+    # shared by both passes when it fits comfortably in RAM
+    if total_bases <= 1 << 30:
+        preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
+        get_prep = lambda i: preps[i]
+        prep_iter = preps
+    else:
+        get_prep = lambda i: blockcodec.prepare_block(blocks[i], cfg.max_device_len)
+        prep_iter = (get_prep(i) for i in range(len(blocks)))
     if ck is not None:
         bitset, log2_m, cutoff, n_solid = ck
         bitset_j = jnp.asarray(bitset)
     elif total_bases <= cfg.count_device_max_kmers:
-        bitset_j, log2_m, cutoff, n_solid = _count_pass_device(parse, cfg, k, H, seed)
+        bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed)
         bitset = None  # transferred lazily for the container
     else:
-        uniq, counts = _count_pass_host(parse, cfg, k)
+        uniq, counts = _count_pass_host(prep_iter, cfg, k)
         if cfg.abundance is not None:
             cutoff = cfg.abundance
         else:
@@ -296,13 +322,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     from collections import deque
 
     pending: deque = deque()
-    for block in parse.blocks:
-        if fmt == bank.FASTQ and cfg.seq_only:
-            block = bank.SeqBlock(
-                bank.FASTA, block.headers, block.seqs,
-                line_lens=[[len(s)] if len(s) else [] for s in block.seqs],
-            )
-        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+    for ib, block in enumerate(blocks):
+        prep = get_prep(ib)
         be = blockcodec.BlockEncoder(cfg, meta, adict, block, prep)
         for ch in chunk_block(prep, cfg, k):
             packed = None
