@@ -129,6 +129,13 @@ def read(path: str) -> Container:
         raise ValueError(f"{path}: not a LEONTPU container (bad magic)")
     if buf[8] != VERSION:
         raise ValueError(f"{path}: unsupported container version {buf[8]}")
+    try:
+        return _read_sections(path, buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"{path}: truncated or corrupt container ({e})") from e
+
+
+def _read_sections(path: str, buf: bytes) -> Container:
     nsect, pos = varint.decode_one(buf, 9)
 
     meta = None

@@ -443,26 +443,28 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         dlen = np.where(anch, sl, 0).astype(np.int32)
 
         # gather padded (m, ME) event planes straight from the flat
-        # streams (no per-segment Python loop)
-        slot = np.arange(ME)[None, :]
+        # streams (no per-segment Python loop, no clip: flats padded by ME)
+        slot = np.arange(ME, dtype=np.int32)[None, :]
+        errgaps_pad = np.concatenate([db.errgaps.astype(np.int32), np.zeros(ME + 1, np.int32)])
+        errnts_pad = np.concatenate([db.errnts, np.zeros(ME + 1, np.uint8)])
+        bifs_pad = np.concatenate([db.bifs, np.zeros(ME + 1, np.uint8)])
 
-        def gather_plane(flat, base, counts, dtype):
-            idx = base[s:e, None] + slot
-            mask = slot < counts[s:e, None]
-            out = np.zeros((m, ME), dtype=dtype)
-            if flat.size:
-                out[mask] = flat[np.clip(idx, 0, flat.size - 1)[mask]]
+        def gather_plane(flat_pad, base, counts):
+            idx = base[s:e, None].astype(np.int32) + slot
+            out = flat_pad[idx]
+            out[slot >= counts[s:e, None]] = 0
             return out
 
-        gap_r = gather_plane(db.errgaps, db.err_base, db.nerr_r, np.int64)
-        gap_l = gather_plane(db.errgaps, db.err_base + db.nerr_r, db.nerr_l, np.int64)
-        en_r = gather_plane(db.errnts, db.err_base, db.nerr_r, np.uint8)
-        en_l = gather_plane(db.errnts, db.err_base + db.nerr_r, db.nerr_l, np.uint8)
-        bf_r = gather_plane(db.bifs, db.bif_base, db.nbif_r, np.uint8)
-        bf_l = gather_plane(db.bifs, db.bif_base + db.nbif_r, db.nbif_l, np.uint8)
+        gap_r = gather_plane(errgaps_pad, db.err_base, db.nerr_r)
+        gap_l = gather_plane(errgaps_pad, db.err_base + db.nerr_r, db.nerr_l)
+        en_r = gather_plane(errnts_pad, db.err_base, db.nerr_r)
+        en_l = gather_plane(errnts_pad, db.err_base + db.nerr_r, db.nerr_l)
+        bf_r = gather_plane(bifs_pad, db.bif_base, db.nbif_r)
+        bf_l = gather_plane(bifs_pad, db.bif_base + db.nbif_r, db.nbif_l)
         # absolute error positions from the gap encoding (FORMAT.md §6)
-        ep_r = (apos[:, None] + k + np.cumsum(gap_r + 1, axis=1) - 1).astype(np.int32)
-        ep_l = (apos[:, None] - np.cumsum(gap_l + 1, axis=1)).astype(np.int32)
+        ap32 = apos.astype(np.int32)
+        ep_r = ap32[:, None] + k - 1 + np.cumsum(gap_r + 1, axis=1, dtype=np.int32)
+        ep_l = ap32[:, None] - np.cumsum(gap_l + 1, axis=1, dtype=np.int32)
 
         dec = walk.decode_batch(
             apos.astype(np.int32), anch, dlen, afwd_all[s:e], bitset_j,
