@@ -522,6 +522,41 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
 
 
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
+def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
+                      nerr_r, nerr_l, nbif_r, nbif_l,
+                      err_base, bif_base, errgaps, errnts, bifs,
+                      k: int, H: int, log2_m: int, seed: int, L: int):
+    """decode_batch taking the container's FLAT event streams (padded to a
+    static capacity) — ~1-2 bytes/event over the H2D tunnel instead of
+    dense (B, ME) planes. err_base/bif_base are chunk-relative exclusive
+    offsets; gathers + gap-cumsum reconstruct the planes on device."""
+    B = apos.shape[0]
+    ME = max(1, L - k)
+    slot = jnp.arange(ME, dtype=jnp.int32)[None, :]
+
+    def plane(flat, base, counts):
+        idx = jnp.clip(base[:, None] + slot, 0, flat.shape[0] - 1)
+        v = flat[idx]
+        return jnp.where(slot < counts[:, None], v, 0)
+
+    gap_r = plane(errgaps.astype(jnp.int32), err_base, nerr_r)
+    gap_l = plane(errgaps.astype(jnp.int32), err_base + nerr_r, nerr_l)
+    en_r = plane(errnts, err_base, nerr_r)
+    en_l = plane(errnts, err_base + nerr_r, nerr_l)
+    bf_r = plane(bifs, bif_base, nbif_r)
+    bf_l = plane(bifs, bif_base + nbif_r, nbif_l)
+    ap = apos.astype(jnp.int32)
+    ep_r = ap[:, None] + k - 1 + jnp.cumsum(gap_r + 1, axis=1)
+    ep_l = ap[:, None] - jnp.cumsum(gap_l + 1, axis=1)
+    return decode_batch(
+        apos, anchored, lengths, afwd, bitset,
+        nbif_r, bf_r, nerr_r, ep_r, en_r,
+        nbif_l, bf_l, nerr_l, ep_l, en_l,
+        k, H, log2_m, seed, L,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
 def decode_batch(apos, anchored, lengths, afwd, bitset,
                  nbif_r, bif_r, nerr_r, errpos_r, errnt_r,
                  nbif_l, bif_l, nerr_l, errpos_l, errnt_l,

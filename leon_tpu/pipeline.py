@@ -442,34 +442,30 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         apos = db.apos[s:e].astype(np.int64)
         dlen = np.where(anch, sl, 0).astype(np.int32)
 
-        # gather padded (m, ME) event planes straight from the flat
-        # streams (no per-segment Python loop, no clip: flats padded by ME)
-        slot = np.arange(ME, dtype=np.int32)[None, :]
-        errgaps_pad = np.concatenate([db.errgaps.astype(np.int32), np.zeros(ME + 1, np.int32)])
-        errnts_pad = np.concatenate([db.errnts, np.zeros(ME + 1, np.uint8)])
-        bifs_pad = np.concatenate([db.bifs, np.zeros(ME + 1, np.uint8)])
+        # ship the FLAT event streams (padded to a static capacity bucket);
+        # the device reconstructs the (B, ME) planes — 1-2 bytes/event over
+        # the tunnel instead of dense int32 planes
+        e0 = int(db.err_base[s])
+        e1 = int(db.err_base[e]) if e < n_segs else db.errgaps.size
+        b0 = int(db.bif_base[s])
+        b1 = int(db.bif_base[e]) if e < n_segs else db.bifs.size
 
-        def gather_plane(flat_pad, base, counts):
-            idx = base[s:e, None].astype(np.int32) + slot
-            out = flat_pad[idx]
-            out[slot >= counts[s:e, None]] = 0
+        def padded(flat, lo, hi):
+            ln = hi - lo
+            cap = 1 << max(10, (max(1, ln + ME) - 1).bit_length())
+            out = np.zeros(cap, flat.dtype)
+            out[:ln] = flat[lo:hi]
             return out
 
-        gap_r = gather_plane(errgaps_pad, db.err_base, db.nerr_r)
-        gap_l = gather_plane(errgaps_pad, db.err_base + db.nerr_r, db.nerr_l)
-        en_r = gather_plane(errnts_pad, db.err_base, db.nerr_r)
-        en_l = gather_plane(errnts_pad, db.err_base + db.nerr_r, db.nerr_l)
-        bf_r = gather_plane(bifs_pad, db.bif_base, db.nbif_r)
-        bf_l = gather_plane(bifs_pad, db.bif_base + db.nbif_r, db.nbif_l)
-        # absolute error positions from the gap encoding (FORMAT.md §6)
-        ap32 = apos.astype(np.int32)
-        ep_r = ap32[:, None] + k - 1 + np.cumsum(gap_r + 1, axis=1, dtype=np.int32)
-        ep_l = ap32[:, None] - np.cumsum(gap_l + 1, axis=1, dtype=np.int32)
-
-        dec = walk.decode_batch(
+        dec = walk.decode_batch_flat(
             apos.astype(np.int32), anch, dlen, afwd_all[s:e], bitset_j,
-            db.nbif_r[s:e].astype(np.int32), bf_r, db.nerr_r[s:e].astype(np.int32), ep_r, en_r,
-            db.nbif_l[s:e].astype(np.int32), bf_l, db.nerr_l[s:e].astype(np.int32), ep_l, en_l,
+            db.nerr_r[s:e].astype(np.int32), db.nerr_l[s:e].astype(np.int32),
+            db.nbif_r[s:e].astype(np.int32), db.nbif_l[s:e].astype(np.int32),
+            (db.err_base[s:e] - e0).astype(np.int32),
+            (db.bif_base[s:e] - b0).astype(np.int32),
+            padded(db.errgaps.astype(np.uint16), e0, e1),
+            padded(db.errnts, e0, e1),
+            padded(db.bifs, b0, b1),
             k, H, log2_m, seed, Lb,
         )
         dec.copy_to_host_async()
