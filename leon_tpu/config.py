@@ -37,7 +37,7 @@ class LeonConfig:
     count_device_max_kmers: int = 128_000_000
     # compacted-event D2H capacities (per read, averaged over a chunk);
     # chunks that overflow fall back to the dense transfer automatically
-    event_cap_per_read: int = 16
+    event_cap_per_read: int = 8
     bif_cap_per_read: int = 4
     # device-side pipelining depth: chunks dispatched ahead of the host
     # consuming their results (keeps the device busy across the D2H

@@ -236,9 +236,9 @@ def _conf_mask(conf_r, conf_l, apos, k, L):
     return out[:, :L]
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif"))
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif", "with_conf"))
 def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
-                         cap_err: int, cap_bif: int):
+                         cap_err: int, cap_bif: int, with_conf: bool = True):
     """Walk-encode with device-side event-stream compaction into ONE flat
     u16 buffer (the D2H tunnel charges ~40 ms per transfer and ~15 MB/s,
     so ship one small array). Event streams come out in exactly the
@@ -299,16 +299,19 @@ def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, se
         axis=1,
     )
 
-    conf = _conf_mask(e["conf_r"], e["conf_l"], e["apos"], k, L)
-    pad = (-L) % 16
-    if pad:
-        conf = jnp.concatenate([conf, jnp.zeros((B, pad), bool)], axis=1)
-    conf16 = jnp.sum(
-        conf.reshape(B, -1, 16).astype(jnp.uint32)
-        * (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))[None, None, :],
-        axis=2,
-        dtype=jnp.uint32,
-    ).astype(jnp.uint16)
+    if with_conf:  # only the lossy quality transform reads this
+        conf = _conf_mask(e["conf_r"], e["conf_l"], e["apos"], k, L)
+        pad = (-L) % 16
+        if pad:
+            conf = jnp.concatenate([conf, jnp.zeros((B, pad), bool)], axis=1)
+        conf16 = jnp.sum(
+            conf.reshape(B, -1, 16).astype(jnp.uint32)
+            * (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))[None, None, :],
+            axis=2,
+            dtype=jnp.uint32,
+        ).astype(jnp.uint16)
+    else:
+        conf16 = jnp.zeros((B, 0), jnp.uint16)
 
     hdr = jnp.stack(
         [
@@ -331,7 +334,7 @@ def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, se
 
 
 def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
-                   cap_err: int, cap_bif: int) -> dict | None:
+                   cap_err: int, cap_bif: int, with_conf: bool = True) -> dict | None:
     """Host-side unpack of encode_batch_compact's flat u16 buffer. Returns
     None on capacity overflow (caller re-runs the dense path). `n` = true
     reads (pad lanes have anchored=0 and no events)."""
@@ -348,7 +351,7 @@ def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
     o += cap_err // 8
     bif16 = buf[o : o + cap_bif // 8]
     o += cap_bif // 8
-    L16 = (L + 15) // 16
+    L16 = (L + 15) // 16 if with_conf else 0
     conf16 = buf[o : o + B * L16].reshape(B, L16)
 
     def unpack2_16(v, m):

@@ -303,7 +303,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         if packed is not None:
             buf, cap_err, cap_bif = packed
             B = ch.codes.shape[0]
-            enc = walk.unpack_compact(np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif)
+            enc = walk.unpack_compact(
+                np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif,
+                with_conf=meta.qual_mode == container.QUAL_LOSSY,
+            )
             if enc is None:
                 # event capacity overflow (very high error rate chunk):
                 # recompute with the dense layout
@@ -334,6 +337,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 buf = walk.encode_batch_compact(
                     ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed,
                     cap_err, cap_bif,
+                    with_conf=meta.qual_mode == container.QUAL_LOSSY,
                 )
                 buf.copy_to_host_async()
                 packed = (buf, cap_err, cap_bif)
