@@ -50,7 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
     if args.version:
-        print(f"* leon-tpu version {leon_tpu.__version__}")
+        from leon_tpu.io import container as _c
+
+        print(f"* leon-tpu version {leon_tpu.__version__} (container format v{_c.VERSION})")
         import jax
 
         print(f"* jax {jax.__version__}; devices: {[d.device_kind for d in jax.devices()]}")
