@@ -34,7 +34,7 @@ class LeonConfig:
     max_device_len: int = 2048       # longer reads take the raw host path
     # k-mer multisets up to this size are counted fully in HBM (one device
     # sort); larger inputs fall back to chunked host-merge counting
-    count_device_max_kmers: int = 128_000_000
+    count_device_max_kmers: int = 48_000_000
     # compacted-event D2H capacities (per read, averaged over a chunk);
     # chunks that overflow fall back to the dense transfer automatically
     event_cap_per_read: int = 8

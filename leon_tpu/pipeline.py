@@ -246,13 +246,24 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     else:
         get_prep = lambda i: blockcodec.prepare_block(blocks[i], cfg.max_device_len)
         prep_iter = (get_prep(i) for i in range(len(blocks)))
+    use_host_count = total_bases > cfg.count_device_max_kmers
     if ck is not None:
         bitset, log2_m, cutoff, n_solid = ck
         bitset_j = jnp.asarray(bitset)
-    elif total_bases <= cfg.count_device_max_kmers:
-        bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed)
-        bitset = None  # transferred lazily for the container
-    else:
+    elif not use_host_count:
+        try:
+            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed)
+            bitset = None  # transferred lazily for the container
+        except Exception as e:  # device/compiler failure at scale: fall back
+            import sys as _sys
+
+            print(f"[leon-tpu] device count failed ({type(e).__name__}); "
+                  "falling back to host-merge counting", file=_sys.stderr)
+            use_host_count = True
+            prep_iter = preps if preps is not None else (
+                get_prep(i) for i in range(len(blocks))
+            )
+    if ck is None and use_host_count:
         uniq, counts = _count_pass_host(prep_iter, cfg, k)
         if cfg.abundance is not None:
             cutoff = cfg.abundance

@@ -298,3 +298,18 @@ def test_checkpoint_resume(tmp_path, rng, contig):
     assert open(tmp_path / "a.leon", "rb").read() == open(tmp_path / "b.leon", "rb").read()
     dd = pipeline.decompress(str(tmp_path / "b.leon"), cfg=cfg)
     assert open(dd["output"], "rb").read() == open(src, "rb").read()
+
+
+def test_host_count_fallback(tmp_path, rng, contig):
+    """Inputs beyond the HBM count budget take the chunked host-merge
+    path; the archive must be identical to the device-count path."""
+    seqs = [sim_seq(rng, contig) for _ in range(90)]
+    src = tmp_path / "hc.fasta"
+    write_fasta(src, seqs)
+    a = str(tmp_path / "dev.leon")
+    b = str(tmp_path / "host.leon")
+    pipeline.compress(str(src), a, cfg=small_cfg())
+    pipeline.compress(str(src), b, cfg=small_cfg(count_device_max_kmers=1))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    d = pipeline.decompress(b, cfg=small_cfg())
+    assert open(d["output"], "rb").read() == open(src, "rb").read()
