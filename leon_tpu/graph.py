@@ -14,14 +14,14 @@ gathers would not beat it on this hardware).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from leon_tpu.ops import bloom
-from leon_tpu.ops.kmer import U32, shl2, shr2_ins, words_for_k
+from leon_tpu.ops.kmer import U32, shl2, shr2_ins
 
 
 @dataclass(frozen=True)

@@ -209,7 +209,6 @@ def finalize_file(path: str, keep_final_newline: bool) -> None:
     """Strip the trailing newline when the original had none (META bit0)."""
     if keep_final_newline:
         return
-    import os
 
     with open(path, "rb+") as f:
         f.seek(0, 2)

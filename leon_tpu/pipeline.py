@@ -30,7 +30,7 @@ from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
 from leon_tpu.ops import bloom, count
 from leon_tpu.ops import kmer as K
-from leon_tpu.utils import varint
+
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _BUCKETS = [64, 128, 256, 512, 1024, 2048]
