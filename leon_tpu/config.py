@@ -35,6 +35,10 @@ class LeonConfig:
     # k-mer multisets up to this size are counted fully in HBM (one device
     # sort); larger inputs fall back to chunked host-merge counting
     count_device_max_kmers: int = 48_000_000
+    # inputs larger than this stream through both passes (re-parsed per
+    # pass, constant memory — the TPU analog of the reference's
+    # disk-streaming design, README.md:13); smaller inputs are held in RAM
+    stream_threshold_bytes: int = 1 << 30
     # compacted-event D2H capacities (per read, averaged over a chunk);
     # chunks that overflow fall back to the dense transfer automatically
     event_cap_per_read: int = 8

@@ -7,6 +7,10 @@ filter, the anchor dictionary and independently decodable blocks — but a flat
 sectioned binary layout instead of HDF5 (the round-trip oracle diffs the
 decompressed FASTA/FASTQ, never the container:
 /root/reference/scripts/simple_test.sh:62).
+
+Both a streaming `Writer` (blocks appended as they finish; NSECT
+backpatched) and a lazy `Reader` (sections indexed, block payloads read on
+demand) are provided so neither direction needs the archive in RAM.
 """
 
 from __future__ import annotations
@@ -89,85 +93,141 @@ class Container:
     block_n_reads: list[int] = field(default_factory=list)
 
 
-def _section(tag: int, payload: bytes) -> bytes:
-    out = bytearray([tag])
-    varint.encode_one(len(payload), out)
-    out += payload
-    out += struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
-    return bytes(out)
+class Writer:
+    """Streaming container writer: sections append as they are produced;
+    the fixed-width section count is backpatched on close."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb")
+        self.f.write(MAGIC)
+        self.f.write(bytes([VERSION]))
+        self._nsect_pos = self.f.tell()
+        self.f.write(struct.pack("<I", 0))
+        self.nsect = 0
+        self.block_index: list[tuple[int, int]] = []  # (n_reads, offset)
+
+    def section(self, tag: int, payload: bytes) -> None:
+        out = bytearray([tag])
+        varint.encode_one(len(payload), out)
+        self.f.write(bytes(out))
+        self.f.write(payload)
+        self.f.write(struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF))
+        self.nsect += 1
+
+    def block(self, payload: bytes, n_reads: int) -> None:
+        self.block_index.append((n_reads, self.f.tell()))
+        self.section(TAG_BLOCK, payload)
+
+    def close(self) -> int:
+        idx = bytearray()
+        for n, off in self.block_index:
+            varint.encode_one(n, idx)
+            varint.encode_one(off, idx)
+        self.section(TAG_INDEX, bytes(idx))
+        total = self.f.tell()
+        self.f.seek(self._nsect_pos)
+        self.f.write(struct.pack("<I", self.nsect))
+        self.f.close()
+        return total
 
 
 def write(path: str, c: Container) -> int:
-    """Write the container; returns total bytes written."""
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(bytes([VERSION]))
-        nsect = 3 + len(c.block_payloads) + 1
-        head = bytearray()
-        varint.encode_one(nsect, head)
-        f.write(head)
+    """Write a fully-materialized container (canonical section order)."""
+    w = Writer(path)
+    w.section(TAG_META, c.meta.pack())
+    w.section(TAG_BLOOM, c.bloom_payload)
+    for payload, n in zip(c.block_payloads, c.block_n_reads):
+        w.block(payload, n)
+    w.section(TAG_DICT, c.dict_payload)
+    return w.close()
 
-        offsets: list[int] = []
-        f.write(_section(TAG_META, c.meta.pack()))
-        f.write(_section(TAG_DICT, c.dict_payload))
-        f.write(_section(TAG_BLOOM, c.bloom_payload))
-        for payload in c.block_payloads:
-            offsets.append(f.tell())
-            f.write(_section(TAG_BLOCK, payload))
-        idx = bytearray()
-        for n, off in zip(c.block_n_reads, offsets):
-            varint.encode_one(n, idx)
-            varint.encode_one(off, idx)
-        f.write(_section(TAG_INDEX, bytes(idx)))
-        return f.tell()
+
+class Reader:
+    """Lazy container reader: one pass indexes the sections; block
+    payloads are read (and CRC-checked) on demand."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "rb")
+        head = self.f.read(13)
+        if head[:8] != MAGIC:
+            raise ValueError(f"{path}: not a LEONTPU container (bad magic)")
+        if head[8] != VERSION:
+            raise ValueError(f"{path}: unsupported container version {head[8]}")
+        (nsect,) = struct.unpack_from("<I", head, 9)
+        self.meta: Meta | None = None
+        self._dict_span: tuple[int, int] | None = None
+        self._bloom_span: tuple[int, int] | None = None
+        self._block_spans: list[tuple[int, int]] = []
+        try:
+            pos = 13
+            for _ in range(nsect):
+                self.f.seek(pos)
+                hdr = self.f.read(11)  # tag + max varint(u64) length
+                tag = hdr[0]
+                plen, off = varint.decode_one(hdr, 1)
+                start = pos + off
+                if tag == TAG_META:
+                    self.f.seek(start)
+                    self.meta = Meta.unpack(self._checked(start, plen))
+                elif tag == TAG_DICT:
+                    self._dict_span = (start, plen)
+                elif tag == TAG_BLOOM:
+                    self._bloom_span = (start, plen)
+                elif tag == TAG_BLOCK:
+                    self._block_spans.append((start, plen))
+                pos = start + plen + 4
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"{path}: truncated or corrupt container ({e})") from e
+        if self.meta is None:
+            raise ValueError(f"{path}: missing META section")
+
+    def _checked(self, start: int, plen: int) -> bytes:
+        self.f.seek(start)
+        payload = self.f.read(plen)
+        crc_b = self.f.read(4)
+        if len(payload) != plen or len(crc_b) != 4:
+            raise ValueError(f"{self.path}: truncated or corrupt container (short section)")
+        (crc,) = struct.unpack("<I", crc_b)
+        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"{self.path}: CRC mismatch in section at {start}")
+        return payload
+
+    @property
+    def dict_payload(self) -> bytes:
+        if self._dict_span is None:
+            return b""
+        return self._checked(*self._dict_span)
+
+    @property
+    def bloom_payload(self) -> bytes:
+        if self._bloom_span is None:
+            return b""
+        return self._checked(*self._bloom_span)
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self._block_spans)
+
+    def block(self, i: int) -> bytes:
+        return self._checked(*self._block_spans[i])
+
+    def close(self) -> None:
+        self.f.close()
 
 
 def read(path: str) -> Container:
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:8] != MAGIC:
-        raise ValueError(f"{path}: not a LEONTPU container (bad magic)")
-    if buf[8] != VERSION:
-        raise ValueError(f"{path}: unsupported container version {buf[8]}")
+    """Materialize the whole container (small archives / tests)."""
+    r = Reader(path)
     try:
-        return _read_sections(path, buf)
-    except (IndexError, struct.error) as e:
-        raise ValueError(f"{path}: truncated or corrupt container ({e})") from e
-
-
-def _read_sections(path: str, buf: bytes) -> Container:
-    nsect, pos = varint.decode_one(buf, 9)
-
-    meta = None
-    dict_payload = b""
-    bloom_payload = b""
-    blocks: list[bytes] = []
-    index = b""
-    for _ in range(nsect):
-        tag = buf[pos]
-        plen, pos = varint.decode_one(buf, pos + 1)
-        payload = buf[pos : pos + plen]
-        pos += plen
-        (crc,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
-        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
-            raise ValueError(f"{path}: CRC mismatch in section tag {tag}")
-        if tag == TAG_META:
-            meta = Meta.unpack(payload)
-        elif tag == TAG_DICT:
-            dict_payload = payload
-        elif tag == TAG_BLOOM:
-            bloom_payload = payload
-        elif tag == TAG_BLOCK:
-            blocks.append(payload)
-        elif tag == TAG_INDEX:
-            index = payload
-    if meta is None:
-        raise ValueError(f"{path}: missing META section")
-    n_reads_per_block: list[int] = []
-    ipos = 0
-    while ipos < len(index):
-        n, ipos = varint.decode_one(index, ipos)
-        _off, ipos = varint.decode_one(index, ipos)
-        n_reads_per_block.append(n)
-    return Container(meta, dict_payload, bloom_payload, blocks, n_reads_per_block)
+        c = Container(
+            meta=r.meta,
+            dict_payload=r.dict_payload,
+            bloom_payload=r.bloom_payload,
+            block_payloads=[r.block(i) for i in range(r.n_blocks)],
+            block_n_reads=[],
+        )
+    finally:
+        r.close()
+    return c

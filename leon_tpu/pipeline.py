@@ -172,7 +172,7 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int):
     return bitset, log2_m, cutoff, n_solid
 
 
-def _count_pass_host(preps: list, cfg: LeonConfig, k: int):
+def _count_pass_host(preps, cfg: LeonConfig, k: int):
     """Legacy host-merge counting (fallback for k-mer multisets beyond the
     HBM budget). Returns (uniq (M, W) u32, counts (M,) i64)."""
     partials = []
@@ -209,9 +209,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     k = cfg.kmer_size
     W = K.words_for_k(k)
-    parse = bank.parse_all(input_path, cfg.reads_per_block)
-    fmt = parse.fmt
-    t_parse = time.time() - t0
+    fmt = bank.sniff_format(input_path)
+    file_size = os.path.getsize(input_path)
+    stream_mode = file_size > cfg.stream_threshold_bytes
 
     header_mode = 0 if cfg.noheader else 1
     if fmt == bank.FASTA or cfg.noqual:
@@ -219,33 +219,56 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     else:
         qual_mode = container.QUAL_LOSSLESS if cfg.lossless else container.QUAL_LOSSY
     out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
+    seq_only_conv = fmt == bank.FASTQ and cfg.seq_only
 
-    # seq-only FASTQ input is re-framed as FASTA once, up front
-    blocks = parse.blocks
-    if fmt == bank.FASTQ and cfg.seq_only:
-        blocks = [
-            bank.SeqBlock(
+    def conv(b: bank.SeqBlock) -> bank.SeqBlock:
+        if seq_only_conv:
+            return bank.SeqBlock(
                 bank.FASTA, b.headers, b.seqs,
                 line_lens=[[len(s)] if len(s) else [] for s in b.seqs],
             )
-            for b in blocks
-        ]
+        return b
+
+    if not stream_mode:
+        parse = bank.parse_all(input_path, cfg.reads_per_block)
+        blocks = [conv(b) for b in parse.blocks]
+        preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
+        n_reads = parse.n_reads
+        final_nl = parse.final_newline
+        total_bases = sum(int(p.lens.sum()) for p in preps)
+        n_blocks = len(blocks)
+
+        def iter_bp():
+            return zip(blocks, preps)
+    else:
+        # streaming: re-parse per pass, constant memory (the reference's
+        # disk-streaming design, README.md:13)
+        n_reads = None
+        final_nl = bank.final_newline(input_path)
+        total_bases = file_size  # upper-bound proxy for path selection
+        n_blocks = 0  # unknown until a pass completes
+
+        def iter_bp():
+            for b in bank.read_blocks(input_path, cfg.reads_per_block):
+                b = conv(b)
+                yield b, blockcodec.prepare_block(b, cfg.max_device_len)
+
+    t_parse = time.time() - t0
 
     # --- pass 1: k-mer counting + solidity threshold + Bloom build ---
     t1 = time.time()
     H = cfg.bloom_hashes
     seed = cfg.seed
     ck = _load_count_checkpoint(cfg, k, input_path)
-    total_bases = sum(len(s) for b in parse.blocks for s in b.seqs)
-    # block preprocessing (code substitution, exceptions, segment table) is
-    # shared by both passes when it fits comfortably in RAM
-    if total_bases <= 1 << 30:
-        preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
-        get_prep = lambda i: preps[i]
-        prep_iter = preps
-    else:
-        get_prep = lambda i: blockcodec.prepare_block(blocks[i], cfg.max_device_len)
-        prep_iter = (get_prep(i) for i in range(len(blocks)))
+    tally = {"reads": 0}
+
+    def iter_preps():
+        tally["reads"] = 0
+        for b, p in iter_bp():
+            tally["reads"] += b.n_reads
+            yield p
+
+    prep_iter = preps if not stream_mode else iter_preps()
     use_host_count = total_bases > cfg.count_device_max_kmers
     if ck is not None:
         bitset, log2_m, cutoff, n_solid = ck
@@ -260,9 +283,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             print(f"[leon-tpu] device count failed ({type(e).__name__}); "
                   "falling back to host-merge counting", file=_sys.stderr)
             use_host_count = True
-            prep_iter = preps if preps is not None else (
-                get_prep(i) for i in range(len(blocks))
-            )
+            prep_iter = preps if not stream_mode else iter_preps()
     if ck is None and use_host_count:
         uniq, counts = _count_pass_host(prep_iter, cfg, k)
         if cfg.abundance is not None:
@@ -278,35 +299,50 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         if bitset is None:
             bitset = np.asarray(bitset_j)
         _save_count_checkpoint(cfg, k, input_path, bitset, log2_m, cutoff, n_solid)
+    if n_reads is None:
+        if ck is not None:
+            # checkpoint skipped pass 1: count records with a parse-only pass
+            n_reads = sum(
+                b.n_reads for b in bank.read_blocks(input_path, cfg.reads_per_block)
+            )
+        else:
+            n_reads = tally["reads"]
     t_count = time.time() - t1
     t_bloom = 0.0
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
-        n_hashes=H, final_newline=parse.final_newline, log2_mbits=log2_m,
-        seed=seed, n_reads=parse.n_reads, abundance=cutoff,
+        n_hashes=H, final_newline=final_nl, log2_mbits=log2_m,
+        seed=seed, n_reads=n_reads, abundance=cutoff,
         seglen=cfg.max_device_len,
         orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
     )
 
     # --- pass 2: anchor + walk encode, stream assembly ---
-    # Double-buffered: while the device walks chunk i+1, the host drains
-    # chunk i's packed result (one async D2H per chunk) and assembles the
-    # container streams.
+    # Pipelined: while the device walks ahead (up to max_inflight_chunks),
+    # the host drains packed results (one async D2H per chunk), assembles
+    # the container streams and appends finished blocks to the writer.
     t1 = time.time()
+    from leon_tpu.codecs import frames as _frames
+
+    if bitset is None:
+        bitset = np.asarray(bitset_j)
+    writer = container.Writer(output_path)
+    writer.section(container.TAG_META, meta.pack())
+    writer.section(container.TAG_BLOOM, _frames.frame(bitset.astype("<u4").tobytes()))
+
     adict = blockcodec.AnchorDict(W)
-    payloads: list[bytes] = []
-    n_per_block: list[int] = []
+    n_blocks_done = 0
     stream_sizes: dict[int, int] = {}
     n_anchored = 0
 
     def process(item):
-        nonlocal n_anchored
+        nonlocal n_anchored, n_blocks_done
         be, ch, packed = item
         if ch is None:  # block finished
             payload, sizes = be.finish()
-            payloads.append(payload)
-            n_per_block.append(be.block.n_reads)
+            writer.block(payload, be.block.n_reads)
+            n_blocks_done += 1
             for sid, sz in sizes.items():
                 stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
             return
@@ -336,8 +372,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     from collections import deque
 
     pending: deque = deque()
-    for ib, block in enumerate(blocks):
-        prep = get_prep(ib)
+    for block, prep in iter_bp():
         be = blockcodec.BlockEncoder(cfg, meta, adict, block, prep)
         for ch in chunk_block(prep, cfg, k):
             packed = None
@@ -356,28 +391,19 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             while len(pending) > cfg.max_inflight_chunks:
                 process(pending.popleft())
         pending.append((be, None, None))
-        _progress(cfg, "encode", len(payloads) + 1, len(parse.blocks))
+        if n_blocks:
+            _progress(cfg, "encode", n_blocks_done + 1, n_blocks)
     while pending:
         process(pending.popleft())
     t_encode = time.time() - t1
 
-    if bitset is None:
-        bitset = np.asarray(bitset_j)
-    from leon_tpu.codecs import frames as _frames
-
-    c = container.Container(
-        meta=meta,
-        dict_payload=adict.payload(),
-        bloom_payload=_frames.frame(bitset.astype("<u4").tobytes()),
-        block_payloads=payloads,
-        block_n_reads=n_per_block,
-    )
-    total = container.write(output_path, c)
+    writer.section(container.TAG_DICT, adict.payload())
+    total = writer.close()
     in_bytes = os.path.getsize(input_path)
     stats = {
         "input": input_path,
         "output": output_path,
-        "n_reads": parse.n_reads,
+        "n_reads": n_reads,
         "n_anchored": n_anchored,
         "n_solid_kmers": n_solid,
         "abundance": cutoff,
@@ -520,8 +546,8 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
 
     cfg = cfg or LeonConfig()
     t0 = time.time()
-    c = container.read(input_path)
-    meta = c.meta
+    r = container.Reader(input_path)
+    meta = r.meta
     if output_path is None:
         stem = input_path[:-5] if input_path.endswith(".leon") else input_path
         root, _dot, _ext = stem.rpartition(".")
@@ -531,16 +557,16 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     from leon_tpu.codecs import frames as _frames
 
     W = K.words_for_k(meta.k)
-    adict = blockcodec.AnchorDict.from_payload(c.dict_payload, W)
+    adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
     dict_words = adict.words_array()
-    bloom_bytes, _ = _frames.unframe(c.bloom_payload, 0)
+    bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
     bitset = np.frombuffer(bloom_bytes, dtype="<u4")
     bitset_j = jnp.asarray(bitset)
 
     read_index = 0
     with open(output_path, "wb") as out:
-        for payload in c.block_payloads:
-            db = blockcodec.parse_block(payload, meta)
+        for bi in range(r.n_blocks):
+            db = blockcodec.parse_block(r.block(bi), meta)
             seqs = _decode_block_reads(db, meta, dict_words, bitset_j, cfg)
 
             if meta.header_mode:
@@ -573,6 +599,7 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
             )
             bank.write_block(out, blk)
             read_index += db.n_reads
+    r.close()
     bank.finalize_file(output_path, meta.final_newline)
     return {
         "input": input_path,

@@ -313,3 +313,18 @@ def test_host_count_fallback(tmp_path, rng, contig):
     assert open(a, "rb").read() == open(b, "rb").read()
     d = pipeline.decompress(b, cfg=small_cfg())
     assert open(d["output"], "rb").read() == open(src, "rb").read()
+
+
+def test_streaming_mode_identical(tmp_path, rng, contig):
+    """Streaming (re-parse per pass) must produce the identical archive to
+    the in-memory path."""
+    seqs = [sim_seq(rng, contig) for _ in range(120)]
+    src = tmp_path / "stream.fastq"
+    write_fastq(src, seqs, rng)
+    a = str(tmp_path / "mem.leon")
+    b = str(tmp_path / "str.leon")
+    pipeline.compress(str(src), a, cfg=small_cfg(lossless=True))
+    pipeline.compress(str(src), b, cfg=small_cfg(lossless=True, stream_threshold_bytes=1))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    d = pipeline.decompress(b, cfg=small_cfg())
+    assert open(d["output"], "rb").read() == open(src, "rb").read()
