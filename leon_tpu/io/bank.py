@@ -19,8 +19,19 @@ Byte-exactness notes (the round-trip oracle diffs the reconstructed file,
 from __future__ import annotations
 
 import gzip
+import sys
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
+
+
+def _warn_dropped(path: str, what: str) -> None:
+    """The container cannot represent this input byte-exactly (blank filler
+    lines); warn loudly since the round-trip oracle would show a diff."""
+    print(
+        f"[leon-tpu] warning: {path}: {what} will not survive the "
+        "round-trip byte-exactly (blank line dropped)",
+        file=sys.stderr,
+    )
 
 FASTA = 0
 FASTQ = 1
@@ -119,7 +130,8 @@ def _read_fasta(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
             else:
                 if cur_head is None:
                     if not line:
-                        continue  # leading blank lines
+                        _warn_dropped(path, "blank line before first '>'")
+                        continue
                     raise ValueError(f"{path}: sequence data before first '>'")
                 cur_parts.append(line)
                 cur_lens.append(len(line))
@@ -143,7 +155,8 @@ def _read_fastq(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
             if not h:
                 break
             if h == b"\n":
-                continue  # tolerate stray blank lines between records
+                _warn_dropped(path, "blank line between FASTQ records")
+                continue
             if h[:1] != b"@":
                 raise ValueError(f"{path}: bad FASTQ header line {h[:40]!r}")
             s = f.readline()

@@ -143,6 +143,7 @@ int64_t leon_rans_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t 
             const uint8_t sym = pl[pos];
             const uint32_t f = (uint32_t)(pl[pos + 1] | (pl[pos + 2] << 8)) + 1;
             pos += 3;
+            if (qtmp[sym]) return -1;  // duplicate symbol entry = corrupt table
             qtmp[sym] = f;
             assigned += f;
         }

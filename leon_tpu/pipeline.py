@@ -117,36 +117,54 @@ def _ckpt_key(cfg: LeonConfig, k: int, input_path: str) -> tuple:
             os.path.basename(input_path), size)
 
 
+_CKPT_MAGIC = b"LEONCKPT"
+
+
 def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
+    """Checkpoint format: magic | u32 json_len | json header | raw bitset
+    bytes. Plain JSON + raw arrays — no pickle, so a hostile checkpoint
+    file cannot execute code (it is at worst rejected)."""
     if not cfg.checkpoint or not os.path.exists(cfg.checkpoint):
         return None
-    import pickle
+    import json
 
     try:
         with open(cfg.checkpoint, "rb") as f:
-            d = pickle.load(f)
-        if d.get("key") != _ckpt_key(cfg, k, input_path):
-            return None
-        bitset = np.frombuffer(d["bitset"], dtype="<u4")
-        return bitset, d["log2_m"], d["cutoff"], d["n_solid"]
+            if f.read(8) != _CKPT_MAGIC:
+                return None
+            jlen = int.from_bytes(f.read(4), "little")
+            if jlen > 1 << 20:
+                return None
+            d = json.loads(f.read(jlen))
+            if d.get("key") != list(_ckpt_key(cfg, k, input_path)):
+                return None
+            raw = f.read(int(d["bitset_bytes"]))
+            if len(raw) != int(d["bitset_bytes"]):
+                return None
+        bitset = np.frombuffer(raw, dtype="<u4")
+        return bitset, int(d["log2_m"]), int(d["cutoff"]), int(d["n_solid"])
     except Exception:
         return None
 
 
 def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
                            bitset, log2_m, cutoff, n_solid):
-    import pickle
+    import json
 
+    raw = bitset.astype("<u4").tobytes()
+    hdr = json.dumps(
+        {
+            "key": list(_ckpt_key(cfg, k, input_path)),
+            "bitset_bytes": len(raw),
+            "log2_m": int(log2_m), "cutoff": int(cutoff), "n_solid": int(n_solid),
+        }
+    ).encode()
     tmp = cfg.checkpoint + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(
-            {
-                "key": _ckpt_key(cfg, k, input_path),
-                "bitset": bitset.astype("<u4").tobytes(),
-                "log2_m": log2_m, "cutoff": cutoff, "n_solid": n_solid,
-            },
-            f,
-        )
+        f.write(_CKPT_MAGIC)
+        f.write(len(hdr).to_bytes(4, "little"))
+        f.write(hdr)
+        f.write(raw)
     os.replace(tmp, cfg.checkpoint)
 
 
