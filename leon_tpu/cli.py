@@ -47,6 +47,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("LEON_FORCE_CPU") == "1":
+        # some axon sitecustomize versions override JAX_PLATFORMS at
+        # interpreter startup; the config update is authoritative
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = _build_parser().parse_args(argv)
 
     if args.version:

@@ -50,6 +50,22 @@ F_HASPLUS = 8
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+
+def _ragged_dst(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices for ragged copies: segment i occupies
+    [starts[i], starts[i]+lens[i]). Vectorized (repeat + arange)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    rep = np.repeat(starts.astype(np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens, dtype=np.int64) - lens, lens
+    )
+    return rep + within
+
+
+ragged_dst = _ragged_dst
+
 _POOL = None
 _POOL_SIZE = 0
 
@@ -90,6 +106,30 @@ class AnchorDict:
             self._map[key] = idx
             self._words.append(key)
         return idx
+
+    def index_array(self, keys: np.ndarray) -> np.ndarray:
+        """Bulk first-use-order indexing of (N, W) u32 canonical k-mers.
+
+        Vectorized: the Python dict is touched once per DISTINCT new key
+        (np.unique pre-pass), not once per anchor — the per-anchor loop
+        was a measured hot spot of stream assembly."""
+        n = keys.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        raw = np.ascontiguousarray(keys.astype("<u4"))
+        flat = raw.view([("", "<u4")] * raw.shape[1]).reshape(-1)
+        uniq, first, inv = np.unique(flat, return_index=True, return_inverse=True)
+        order = np.argsort(first, kind="stable")  # first-use order
+        rank = np.empty(order.size, dtype=np.int64)
+        rank[order] = np.arange(order.size)
+        gidx = np.empty(order.size, dtype=np.int64)
+        ub = uniq.tobytes()
+        sz = raw.shape[1] * 4
+        # resolve each distinct key (in first-use order) against the map
+        for j in range(order.size):
+            u = int(order[j])
+            gidx[j] = self.index_key(ub[u * sz : (u + 1) * sz])
+        return gidx[rank[inv]]
 
     def __len__(self) -> int:
         return len(self._words)
@@ -206,7 +246,7 @@ class BlockEncoder:
         self.prep = prep
         self.flags = bytearray()
         self.anchorpos: list[np.ndarray] = []
-        self.anchor_keys: list[bytes] = []  # per anchored segment, in order
+        self.anchor_key_chunks: list[np.ndarray] = []  # (m, W) u32 per subbatch
         self.nevt: list[np.ndarray] = []
         self.errpos: list[np.ndarray] = []
         self.errnt = bytearray()
@@ -254,9 +294,7 @@ class BlockEncoder:
         ai = np.flatnonzero(anch)
         if ai.size:
             self.anchorpos.append(apos[ai].astype(np.uint64))
-            keys = acanon[ai].astype("<u4")
-            for row in keys:
-                self.anchor_keys.append(row.tobytes())
+            self.anchor_key_chunks.append(acanon[ai].astype("<u4"))
             nerr_r = enc["nerr_r"][:n].astype(np.int64)
             nbif_r = enc["nbif_r"][:n].astype(np.int64)
             nerr_l = enc["nerr_l"][:n].astype(np.int64)
@@ -285,9 +323,18 @@ class BlockEncoder:
                 bifs = np.concatenate([enc["bif_r"][:n], enc["bif_l"][:n]], axis=1)[ai]
                 self.bif += bifs[bmask2].astype(np.uint8).tobytes()
 
-        for i in np.flatnonzero(~anch):
-            sl = int(sb.seg_len[i])
-            self.rawseq += K.pack_2bit_np(sb.codes[i, :sl])
+        ri = np.flatnonzero(~anch)
+        if ri.size:
+            # 2-bit pack all raw segments at once (each segment byte-aligned)
+            ln = sb.seg_len[ri].astype(np.int64)
+            nb4 = ((ln + 3) // 4) * 4
+            flat = np.zeros(int(nb4.sum()), dtype=np.uint8)
+            src = sb.codes.reshape(-1)[_ragged_dst(ri * sb.codes.shape[1], ln)]
+            flat[_ragged_dst(np.cumsum(nb4) - nb4, ln)] = src
+            c = flat.reshape(-1, 4)
+            self.rawseq += (
+                c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+            ).astype(np.uint8).tobytes()
 
         # lossy quality transform at graph-confirmed positions (LOSSY-Q1)
         if self.meta.qual_mode == 2 and enc is not None and self.qual_arr is not None and ai.size:
@@ -298,12 +345,10 @@ class BlockEncoder:
                 conf = _walk.unpack_conf16_bits(enc["conf16"][:n], Lc)
             else:
                 conf = enc["confirmed"][:n].astype(bool)
-            for i in ai:
-                cp = np.flatnonzero(conf[i, : int(sb.seg_len[i])])
-                if cp.size == 0:
-                    continue
-                r = int(sb.seg_read[i])
-                qidx = self.qual_start[r] + int(sb.seg_off[i]) + cp
+            mask = conf & (np.arange(Lc)[None, :] < sb.seg_len[:, None]) & anch[:, None]
+            rows, cols = np.nonzero(mask)
+            if rows.size:
+                qidx = self.qual_start[sb.seg_read[rows]] + sb.seg_off[rows] + cols
                 q = self.qual_arr[qidx]
                 self.qual_arr[qidx] = np.where(q >= 0x40, 0x49, q)
 
@@ -325,10 +370,7 @@ class BlockEncoder:
             # dictionary indices resolve at finish time, in block order —
             # this is what lets a multi-host run replay a global first-use
             # order and still emit byte-identical blocks
-            dictidx = np.asarray(
-                [self.adict.index_key(key) for key in self.anchor_keys],
-                dtype=np.int64,
-            )
+            dictidx = self.adict.index_array(np.concatenate(self.anchor_key_chunks))
             dd = np.diff(dictidx, prepend=0)
             add(S_DICTIDX, varint.encode_array(varint.zigzag(dd)))
             add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)))
@@ -420,12 +462,17 @@ class DecodedBlock:
     err_base: np.ndarray      # (n_segs,) offset of segment's right-err run
     bif_base: np.ndarray
     rawseq: bytes
-    exc_pos: list             # per read
-    exc_byte: list
+    # exceptions, flat (vectorized decode): entry j is byte exc_bytes[j] at
+    # position exc_rel[j] of read exc_read[j]
+    exc_read: np.ndarray
+    exc_rel: np.ndarray
+    exc_bytes: np.ndarray
     headers_payload: Optional[bytes]
     quals_concat: Optional[bytes]
-    pluses: list
-    line_lens: Optional[list]
+    plus_lens: np.ndarray          # (n_reads,) text length after '+'
+    plus_cat: bytes                # concatenated '+' texts
+    fasta_nlines: Optional[np.ndarray]    # FASTA: lines per read
+    fasta_linelens: Optional[np.ndarray]  # FASTA: all line lengths, flat
 
 
 def parse_block(payload: bytes, meta) -> DecodedBlock:
@@ -485,45 +532,62 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
     err_base = np.cumsum(err_tot) - err_tot
     bif_base = np.cumsum(bif_tot) - bif_tot
 
-    exc_pos: list = [None] * n_reads
-    exc_byte: list = [None] * n_reads
     if hasexc.any():
         nexc = varint.decode_array(sdata[S_EXCN], int(hasexc.sum())).astype(np.int64)
         gaps = varint.decode_array(sdata[S_EXCGAP], int(nexc.sum())).astype(np.int64)
-        bts = np.frombuffer(sdata[S_EXCBYTE], dtype=np.uint8)
-        off = 0
-        for j, i in enumerate(np.flatnonzero(hasexc)):
-            m = int(nexc[j])
-            g = gaps[off : off + m]
-            exc_pos[i] = np.cumsum(g + 1) - 1
-            exc_byte[i] = bts[off : off + m]
-            off += m
+        exc_bytes = np.frombuffer(sdata[S_EXCBYTE], dtype=np.uint8)
+        exc_read = np.repeat(np.flatnonzero(hasexc), nexc)
+        # segmented cumsum of (gap + 1) - 1 = within-read positions
+        steps = gaps + 1
+        cg = np.cumsum(steps)
+        grp_end = np.cumsum(nexc)
+        base = np.repeat(np.concatenate(([0], cg[grp_end[:-1] - 1])), nexc)
+        exc_rel = cg - base - 1
+    else:
+        exc_read = np.zeros(0, np.int64)
+        exc_rel = np.zeros(0, np.int64)
+        exc_bytes = np.zeros(0, np.uint8)
 
-    pluses: list = [b""] * n_reads
+    # '+'-line texts: rare (hasplus flags); flat (plus_lens, plus_cat) arrays
+    plus_lens = np.zeros(n_reads, dtype=np.int64)
+    plus_parts: list[bytes] = []
     if hasplus.any():
         buf = sdata[S_PLUSLINE]
         ppos = 0
         for i in np.flatnonzero(hasplus):
             ln, ppos = varint.decode_one(buf, ppos)
-            pluses[i] = buf[ppos : ppos + ln]
+            plus_lens[i] = ln
+            plus_parts.append(buf[ppos : ppos + ln])
             ppos += ln
+    plus_cat = b"".join(plus_parts)
 
-    line_lens = None
+    fasta_nlines = None
+    fasta_linelens = None
     if meta.fmt == bank.FASTA:
         vals = varint.decode_array(sdata.get(S_FASTALINES, b"")).astype(np.int64)
-        line_lens = []
+        # per read: nlines, then nlines-1 explicit lens (last is derived).
+        # The count positions are a sequential scan (cheap int loop); the
+        # len extraction + last-line derivation is vectorized.
+        nl_arr = np.empty(n_reads, dtype=np.int64)
+        cpos = np.empty(n_reads, dtype=np.int64)
         vp = 0
         for i in range(n_reads):
-            nl = int(vals[vp]); vp += 1
-            if nl == 0:
-                line_lens.append([])
-            elif nl == 1:
-                line_lens.append([int(lengths[i])])
-            else:
-                lens_ = [int(x) for x in vals[vp : vp + nl - 1]]
-                vp += nl - 1
-                lens_.append(int(lengths[i]) - sum(lens_))
-                line_lens.append(lens_)
+            cpos[i] = vp
+            nl = int(vals[vp])
+            nl_arr[i] = nl
+            vp += 1 + (nl - 1 if nl > 1 else 0)
+        given_counts = np.maximum(nl_arr - 1, 0)
+        given = vals[_ragged_dst(cpos + 1, given_counts)] if given_counts.any() else np.zeros(0, np.int64)
+        sums = np.zeros(n_reads, dtype=np.int64)
+        np.add.at(sums, np.repeat(np.arange(n_reads), given_counts), given)
+        last = lengths - sums
+        total_lines = int(nl_arr.sum())
+        fasta_linelens = np.empty(total_lines, dtype=np.int64)
+        grp_start = np.cumsum(nl_arr) - nl_arr
+        fasta_linelens[_ragged_dst(grp_start, given_counts)] = given
+        has = nl_arr >= 1
+        fasta_linelens[grp_start[has] + nl_arr[has] - 1] = last[has]
+        fasta_nlines = nl_arr
 
     return DecodedBlock(
         n_reads=n_reads, lengths=lengths,
@@ -534,8 +598,9 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
         errgaps=errgaps, errnts=errnts, bifs=bifs,
         err_base=err_base, bif_base=bif_base,
         rawseq=sdata.get(S_RAWSEQ, b""),
-        exc_pos=exc_pos, exc_byte=exc_byte,
+        exc_read=exc_read, exc_rel=exc_rel, exc_bytes=exc_bytes,
         headers_payload=sdata.get(S_HEADERS),
         quals_concat=sdata.get(S_QUALS),
-        pluses=pluses, line_lens=line_lens,
+        plus_lens=plus_lens, plus_cat=plus_cat,
+        fasta_nlines=fasta_nlines, fasta_linelens=fasta_linelens,
     )

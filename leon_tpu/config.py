@@ -32,13 +32,21 @@ class LeonConfig:
     reads_per_block: int = 65536     # parallel-decode unit
     batch_reads: int = 16384         # device batch lanes
     max_device_len: int = 2048       # longer reads take the raw host path
-    # k-mer multisets up to this size are counted fully in HBM (one device
-    # sort); larger inputs fall back to chunked host-merge counting
-    count_device_max_kmers: int = 48_000_000
+    # slab size for the streaming device counter (ops/count.py): the
+    # multiset is sorted+compacted in fixed slabs of this many k-mers, so
+    # peak HBM is one slab + the distinct set, independent of input size
+    count_slab_kmers: int = 1 << 25
+    # distinct-run merge trigger: merge accumulated runs when they exceed
+    # (last merged size + merge_factor * slab) entries
+    count_merge_factor: int = 4
     # inputs larger than this stream through both passes (re-parsed per
     # pass, constant memory — the TPU analog of the reference's
     # disk-streaming design, README.md:13); smaller inputs are held in RAM
     stream_threshold_bytes: int = 1 << 30
+    # single-process multi-chip: number of local devices to spread batch
+    # lanes over (a 1-D jax.sharding.Mesh). None = all visible devices;
+    # 1 = force single-device. Archives are byte-identical at any value.
+    mesh_devices: Optional[int] = None
     # compacted-event D2H capacities (per read, averaged over a chunk);
     # chunks that overflow fall back to the dense transfer automatically
     event_cap_per_read: int = 8

@@ -194,6 +194,88 @@ def parse_all(path: str, reads_per_block: int) -> ParseResult:
 # ---------------------------------------------------------------------------
 
 
+def write_records_arrays(
+    out,
+    fmt: int,
+    hcat: bytes,
+    hlens,
+    seq_flat,
+    lengths,
+    qcat: Optional[bytes] = None,
+    plus_lens=None,
+    plus_cat: bytes = b"",
+    fasta_nlines=None,
+    fasta_linelens=None,
+) -> None:
+    """Fully vectorized record assembly (the decompress hot path): builds
+    the block's output bytes with numpy ragged scatters — no per-read
+    Python. seq_flat is the reads' ASCII bases concatenated in read order;
+    qcat likewise (None = synthesize 'I' quality, the -noqual rule).
+
+    FASTA line structure comes from (fasta_nlines, fasta_linelens); FASTQ
+    '+' texts from (plus_lens, plus_cat). Every record ends with a newline
+    (the caller trims the final one via finalize_file when META says so).
+    """
+    import numpy as np
+
+    from leon_tpu.codecs.blocks import ragged_dst
+
+    n = int(lengths.shape[0])
+    if n == 0:
+        return
+    lengths = lengths.astype(np.int64)
+    hlens = np.asarray(hlens, dtype=np.int64)
+    hcat_a = np.frombuffer(hcat, dtype=np.uint8)
+    seq_a = np.asarray(seq_flat, dtype=np.uint8)
+
+    if fmt == FASTQ:
+        pl = np.zeros(n, np.int64) if plus_lens is None else plus_lens.astype(np.int64)
+        rec = hlens + 2 * lengths + pl + 6
+        off = np.cumsum(rec) - rec
+        buf = np.empty(int(rec.sum()), dtype=np.uint8)
+        buf[off] = ord("@")
+        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        p1 = off + 1 + hlens
+        buf[p1] = 10
+        buf[ragged_dst(p1 + 1, lengths)] = seq_a
+        p2 = p1 + 1 + lengths
+        buf[p2] = 10
+        buf[p2 + 1] = ord("+")
+        if pl.any():
+            buf[ragged_dst(p2 + 2, pl)] = np.frombuffer(plus_cat, dtype=np.uint8)
+        p3 = p2 + 2 + pl
+        buf[p3] = 10
+        qdst = ragged_dst(p3 + 1, lengths)
+        if qcat is None:
+            buf[qdst] = ord("I")
+        else:
+            buf[qdst] = np.frombuffer(qcat, dtype=np.uint8)
+        p4 = p3 + 1 + lengths
+        buf[p4] = 10
+    else:
+        nl = fasta_nlines.astype(np.int64)
+        ll = fasta_linelens.astype(np.int64)
+        rec = 1 + hlens + 1 + lengths + nl
+        off = np.cumsum(rec) - rec
+        buf = np.empty(int(rec.sum()), dtype=np.uint8)
+        buf[off] = ord(">")
+        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        p1 = off + 1 + hlens
+        buf[p1] = 10
+        # per-line output starts: read's seq area + preceding (len+1) runs
+        if int(nl.sum()):
+            line_read = np.repeat(np.arange(n), nl)
+            steps = ll + 1
+            cs = np.cumsum(steps)
+            grp_start = np.cumsum(nl) - nl
+            base = np.where(grp_start > 0, cs[np.maximum(grp_start - 1, 0)], 0)
+            within_start = cs - np.repeat(base, nl) - steps
+            line_start = (p1 + 1)[line_read] + within_start
+            buf[ragged_dst(line_start, ll)] = seq_a
+            buf[line_start + ll] = 10
+    out.write(buf.tobytes())
+
+
 def write_block(out, block: SeqBlock) -> None:
     """Append one block's records to a binary file object (joined with \\n;
     caller handles the final-newline flag by truncation at the end)."""

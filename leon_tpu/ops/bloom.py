@@ -118,51 +118,132 @@ def hash_words(words, k: int, seed: int, xp):
     return f1, r1, f2, r2
 
 
-def positions_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
-    """(..., H) uint32 bit positions from the four strand hashes."""
+MAX_LOG2_M = 36  # word index (2^(log2_m-5)) must stay below 2^31 for i32 gathers
+
+
+def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
+    """(word_index int32 (..., H), bit uint32 (..., H)) from the strand
+    hashes. Bit position p lives at bitset word p>>5, bit p&31.
+
+    log2_m <= 32: hash family v2 (FORMAT.md §4), p_i = (h1 + i*h2) mod 2^log2_m
+    with h1 = min(f1,r1), h2 = min(f2,r2)|1 — unchanged from v1 archives.
+
+    log2_m in (32, 36]: the v2-64 extension (FORMAT.md §4): 64-bit double
+    hashing P_i = H1 + i*H2 mod 2^64 with H1 = (h2<<32)|h1 and
+    H2 = (h1<<32)|h2 (h2 is odd, so H2 is odd), computed in u32 pairs with
+    explicit carries (no 64-bit types anywhere — TPU-native word math);
+    p_i = P_i mod 2^log2_m. Both paths are bit-identical in numpy and jnp.
+    """
     u = xp.uint32
+    i32 = xp.int32 if xp is jnp else np.int64
     h1 = xp.minimum(f1, r1)
     h2 = xp.minimum(f2, r2) | u(1)
-    mask = u((1 << log2_m) - 1 if log2_m < 32 else _M32)
-    pos = [(h1 + u(i) * h2) & mask for i in range(n_hashes)]
-    return xp.stack(pos, axis=-1)
+    if log2_m <= 32:
+        mask = u((1 << log2_m) - 1 if log2_m < 32 else _M32)
+        wis, bits = [], []
+        for i in range(n_hashes):
+            p = (h1 + u(i) * h2) & mask
+            wis.append((p >> u(5)).astype(i32))
+            bits.append(p & u(31))
+        return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
+    if log2_m > MAX_LOG2_M:
+        raise ValueError(f"log2_m {log2_m} > {MAX_LOG2_M}")
+    himask = u((1 << (log2_m - 32)) - 1)
+    lo, hi = h1, h2  # running P_i; P_0 = H1
+    wis, bits = [], []
+    for _ in range(n_hashes):
+        wi = (((hi & himask) << u(27)) | (lo >> u(5))).astype(i32)
+        wis.append(wi)
+        bits.append(lo & u(31))
+        lo2 = (lo + h2).astype(xp.uint32)
+        carry = (lo2 < lo).astype(xp.uint32)  # u32 add wrapped
+        hi = (hi + h1 + carry).astype(xp.uint32)
+        lo = lo2
+    return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
 
-def bit_positions(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
-    """(..., H) uint32 bit positions of packed k-mer words."""
+def wordbit(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
+    """(word_index, bit) of packed k-mer words (..., W)."""
     f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    return positions_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+    return wordbit_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
 
 
 def choose_log2_m(n_solid: int, bits_per_kmer: float) -> int:
     want = max(64.0, n_solid * bits_per_kmer)
     log2_m = max(6, int(np.ceil(np.log2(want))))
-    return min(log2_m, 32)  # v1 cap (FORMAT.md §4)
+    return min(log2_m, MAX_LOG2_M)
+
+
+def saturation_warning(n_solid: int, log2_m: int, n_hashes: int) -> str | None:
+    """Projected false-positive rate when the filter is (over)loaded; the
+    reference never warns — we do, because a saturated filter silently
+    collapses the ratio. Returns a message when FP > 1%."""
+    m = float(1 << log2_m)
+    fill = 1.0 - np.exp(-n_solid * n_hashes / m)
+    fp = fill**n_hashes
+    if fp > 0.01:
+        return (
+            f"Bloom filter overloaded: {n_solid} solid k-mers in 2^{log2_m} "
+            f"bits -> projected FP rate {fp:.1%}; compression ratio will "
+            "degrade (raise bloom_bits_per_kmer or abundance)"
+        )
+    return None
 
 
 def build_np(solid_words: np.ndarray, log2_m: int, n_hashes: int, seed: int, k: int) -> np.ndarray:
     """Host build: returns uint32 bitset of shape (2^log2_m / 32,)."""
     bitset = np.zeros(1 << max(0, log2_m - 5), dtype=np.uint32)
     if solid_words.shape[0]:
-        pos = bit_positions(solid_words, n_hashes, log2_m, seed, np, k).reshape(-1)
-        np.bitwise_or.at(bitset, (pos >> 5).astype(np.int64), np.uint32(1) << (pos & np.uint32(31)))
+        wi, bit = wordbit(solid_words, n_hashes, log2_m, seed, np, k)
+        np.bitwise_or.at(bitset, wi.reshape(-1), np.uint32(1) << bit.reshape(-1))
     return bitset
 
 
-def probe_positions(bitset, pos, xp):
-    """True iff all bits at pos (..., H) are set."""
+def probe_wordbit(bitset, wi, bit, xp):
+    """True iff all bits at (wi, bit) pairs (..., H) are set."""
     u = xp.uint32
-    w = bitset[(pos >> 5).astype(xp.int32 if xp is jnp else np.int64)]
-    hit = (w >> (pos & u(31))) & u(1)
+    w = bitset[wi]
+    hit = (w >> bit) & u(1)
     return (hit == 1).all(axis=-1)
 
 
 def probe(bitset, words, n_hashes: int, log2_m: int, seed: int, k: int):
     """Device probe of packed k-mer words (..., W) -> bool (...)."""
-    pos = bit_positions(words, n_hashes, log2_m, seed, jnp, k)
-    return probe_positions(bitset, pos, jnp)
+    wi, bit = wordbit(words, n_hashes, log2_m, seed, jnp, k)
+    return probe_wordbit(bitset, wi, bit, jnp)
 
 
 def probe_np(bitset: np.ndarray, words: np.ndarray, n_hashes: int, log2_m: int, seed: int, k: int):
-    pos = bit_positions(words, n_hashes, log2_m, seed, np, k)
-    return probe_positions(bitset, pos, np)
+    wi, bit = wordbit(words, n_hashes, log2_m, seed, np, k)
+    return probe_wordbit(bitset, wi, bit, np)
+
+
+def build_device(uniq_words, counts, cutoff, log2_m: int, n_hashes: int,
+                 seed: int, k: int):
+    """Device build from a distinct-kmer run: (M, W) u32 words + (M,) i32
+    counts (0 = pad). Sort-dedup-scatter: sorting the (word, bit) pairs and
+    dropping duplicates makes scatter-ADD equal bitwise OR (each set bit
+    contributes exactly once) without the 2^log2_m byte-per-bit scratch the
+    old path needed — that scratch is what capped log2_m at 32."""
+    from functools import partial
+
+    import jax
+
+    @partial(jax.jit, static_argnames=("log2_m", "H", "seed", "k"))
+    def _build(uw, cnt, co, log2_m: int, H: int, seed: int, k: int):
+        nwords = 1 << (log2_m - 5)
+        wi, bit = wordbit(uw, H, log2_m, seed, jnp, k)  # (M, H)
+        solid = cnt >= co
+        wif = jnp.where(solid[:, None], wi.astype(jnp.uint32), jnp.uint32(nwords)).reshape(-1)
+        bitf = jnp.where(solid[:, None], bit, jnp.uint32(0)).reshape(-1)
+        swi, sbit = jax.lax.sort((wif, bitf), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), (swi[1:] != swi[:-1]) | (sbit[1:] != sbit[:-1])]
+        )
+        idx = jnp.where(first, swi, jnp.uint32(nwords)).astype(jnp.int32)
+        out = jnp.zeros(nwords + 1, jnp.uint32).at[idx].add(
+            jnp.uint32(1) << sbit, mode="drop"
+        )
+        return out[:nwords]
+
+    return _build(uniq_words, counts, cutoff, log2_m, n_hashes, seed, k)

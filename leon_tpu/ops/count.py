@@ -105,94 +105,226 @@ def histogram(counts: np.ndarray, max_count: int = 255) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device-resident counting (the production path)
+# Device-resident slab counting (the production path)
 # ---------------------------------------------------------------------------
+#
+# The TPU re-design of DSK's bounded-memory partition dance
+# (/root/reference/README.md:13 "disk streaming kmer counting"; SURVEY.md
+# §3.4): instead of P disk partitions, the multiset streams through
+# fixed-shape HBM SLABS. Each full slab is sorted + run-length-counted on
+# device and compacted to its distinct (kmer, count) run — typically 5-30x
+# smaller than the raw slab at sequencing coverage — and runs are merged
+# hierarchically (sort with count payload + segment-sum). Peak HBM is
+# slab_size + the distinct set, not the multiset, and every sort reuses a
+# handful of bucketed compile shapes. Host traffic per slab: one scalar
+# (the distinct count, to pick the compaction bucket).
 
 
-@partial(jax.jit, static_argnames=("max_count", "k"))
-def _sort_count_hist_device(words_t: tuple, valid, max_count: int = 255, k: int = 0):
-    """One-shot sort + run-length count + histogram of the whole k-mer
-    multiset. Returns (sorted words tuple MSW-first, boundary, counts,
-    hist (max_count+1,)). hist[c] = number of distinct k-mers with
-    min(count, max_count) == c; hist[0] = 0."""
-    skeys, boundary, counts = _sort_count_device(words_t, valid, k)
-    cc = jnp.where(boundary, jnp.minimum(counts, max_count), 0)
-    hist = jnp.zeros(max_count + 1, jnp.int32).at[cc].add(1, mode="drop")
-    hist = hist.at[0].set(0)
-    return skeys, boundary, counts, hist
+@partial(jax.jit, static_argnames=("out_size",))
+def _compact_run(skeys: tuple, boundary, counts, out_size: int):
+    """Scatter the distinct entries (boundary positions) of a sorted slab
+    into fixed-shape run arrays: keys (padded with all-ones = sorts-last
+    sentinel) and int32 counts (0 = pad)."""
+    dst = jnp.where(boundary, jnp.cumsum(boundary.astype(jnp.int32)) - 1, out_size)
+    keys_out = tuple(
+        jnp.full(out_size + 1, 0xFFFFFFFF, jnp.uint32).at[dst].set(w, mode="drop")[:out_size]
+        for w in skeys
+    )
+    cnt = (
+        jnp.zeros(out_size + 1, jnp.int32)
+        .at[dst]
+        .set(counts.astype(jnp.int32), mode="drop")[:out_size]
+    )
+    return keys_out, cnt
 
 
-@partial(jax.jit, static_argnames=("log2_m", "H", "seed", "k"))
-def _bloom_from_sorted(skeys: tuple, boundary, counts, cutoff, log2_m: int, H: int, seed: int, k: int):
-    """Build the Bloom bitset on device from the sorted multiset: scatter
-    the bits of every boundary k-mer whose count >= cutoff. No compaction —
-    non-solid entries scatter into an overflow slot."""
-    from leon_tpu.ops import bloom
+@jax.jit
+def _merge_sorted_runs(words_t: tuple, counts):
+    """Merge concatenated runs: sort by key with the counts as payload,
+    segment-sum counts per distinct key. Pad entries carry count 0 and
+    all-ones keys, so they either sort last or fold into a real group
+    contributing nothing. Returns (sorted keys, boundary, summed counts)."""
+    W = len(words_t)
+    ops = lax.sort(tuple(words_t) + (counts,), num_keys=W)
+    skeys, scnt = ops[:W], ops[W]
+    n = skeys[0].shape[0]
+    prev_ne = jnp.zeros(n, dtype=bool)
+    for w in skeys:
+        prev_ne = prev_ne | jnp.concatenate([jnp.ones(1, dtype=bool), w[1:] != w[:-1]])
+    seg = jnp.maximum(jnp.cumsum(prev_ne.astype(jnp.int32)) - 1, 0)
+    total = jax.ops.segment_sum(scnt, seg, num_segments=n)
+    summed = jnp.where(prev_ne, total[seg], 0)
+    boundary = prev_ne & (summed > 0)
+    return skeys, boundary, summed
 
-    W = len(skeys)
-    words = jnp.stack([skeys[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
-    solid = boundary & (counts >= cutoff)
-    m = 1 << log2_m
-    pos = bloom.bit_positions(words, H, log2_m, seed, jnp, k)  # (N, H)
-    idx = jnp.where(solid[:, None], pos, jnp.uint32(m)).reshape(-1).astype(jnp.int32)
-    by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))[:m]
-    b = by.reshape(-1, 32).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-    return jnp.sum(b * weights, axis=1, dtype=jnp.uint32)
+
+@jax.jit
+def _hist_of_sorted(boundary, counts):
+    """Count histogram: hist[c] = #distinct kmers with min(count, 255) ==
+    c. Works on sorted multisets and (compacted or merged) runs alike —
+    counts are nonzero exactly at distinct-kmer boundary positions."""
+    cc = jnp.where(boundary, jnp.minimum(counts, 255), 0)
+    hist = jnp.zeros(256, jnp.int32).at[cc].add(1, mode="drop")
+    return hist.at[0].set(0)
+
+
+def _bucket_size(n: int, floor: int = 1 << 12) -> int:
+    """1/8-octave size buckets: few compile shapes, <=12.5% waste."""
+    gran = max(floor, 1 << (max(1, (n - 1).bit_length()) - 3))
+    return -(-n // gran) * gran
 
 
 class DeviceCounter:
-    """Accumulates canonical k-mers in HBM, then counts + builds the Bloom
-    filter entirely on device. Host traffic: one 256-entry histogram."""
+    """Streams canonical k-mers through fixed-size HBM slabs, maintaining
+    compacted (distinct kmer, count) runs that merge hierarchically; the
+    Bloom filter builds on device from the final merged run. Replaces both
+    the reference's DSK disk partitions and round 1's one-shot whole-
+    multiset sort (which capped device counting at ~48M k-mers)."""
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, slab_kmers: int = 1 << 25, merge_factor: int = 4):
         from leon_tpu.ops.kmer import words_for_k
 
         self.k = k
         self.W = words_for_k(k)
-        self._chunks: list = []   # device (n, W) uint32
-        self._valids: list = []   # device (n,) bool
+        self.slab = int(slab_kmers)
+        self.merge_factor = int(merge_factor)
+        self._pend: list = []     # device (n, W) uint32 chunks
+        self._pend_valid: list = []
+        self._pend_n = 0
+        self._runs: list = []     # (keys_t MSW-first tuple, counts, bucket)
+        self._runs_n = 0          # sum of run bucket sizes
+        self._next_merge = self.merge_factor * self.slab
         self.n_total = 0
 
     def add(self, canon, valid) -> None:
-        """canon (B, P, W) device array, valid (B, P) device bool."""
+        """canon (B, P, W) device array, valid (B, P) device bool. Chunks
+        are kept 3D until a slab flushes — group-by-shape concat keeps the
+        eager dispatch count per flush O(#shapes), not O(#chunks) (every
+        eager op is a ~ms RPC over the TPU tunnel)."""
         B, P, W = canon.shape
-        self._chunks.append(canon.reshape(B * P, W))
-        self._valids.append(valid.reshape(B * P))
+        self._pend.append(canon)
+        self._pend_valid.append(valid)
+        self._pend_n += B * P
         self.n_total += B * P
+        if self._pend_n >= self.slab:
+            self._flush_slab()
+
+    def _gather_pending(self):
+        """Concat pending 3D chunks into flat (n, W) + (n,) arrays with a
+        minimal number of device ops (group equal shapes first)."""
+        W = self.W
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(self._pend):
+            groups.setdefault(c.shape, []).append(i)
+        fparts, vparts = [], []
+        for shape, idxs in groups.items():
+            cs = [self._pend[i] for i in idxs]
+            vs = [self._pend_valid[i] for i in idxs]
+            c3 = jnp.concatenate(cs, axis=0) if len(cs) > 1 else cs[0]
+            v2 = jnp.concatenate(vs, axis=0) if len(vs) > 1 else vs[0]
+            fparts.append(c3.reshape(-1, W))
+            vparts.append(v2.reshape(-1))
+        flat = jnp.concatenate(fparts, axis=0) if len(fparts) > 1 else fparts[0]
+        valid = jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0]
+        self._pend, self._pend_valid, self._pend_n = [], [], 0
+        return flat, valid
+
+    def _sorted_pending(self):
+        """Sort+count the pending multiset (bucket-padded); returns
+        (skeys MSW-first, boundary, counts) without any host sync."""
+        W = self.W
+        flat, valid = self._gather_pending()
+        n = flat.shape[0]
+        bucket = _bucket_size(n)
+        if bucket > n:
+            flat = jnp.concatenate([flat, jnp.zeros((bucket - n, W), jnp.uint32)], axis=0)
+            valid = jnp.concatenate([valid, jnp.zeros(bucket - n, bool)])
+        words_t = tuple(flat[:, W - 1 - j] for j in range(W))
+        return _sort_count_device(words_t, valid, self.k)
+
+    def _flush_slab(self) -> None:
+        if not self._pend:
+            return
+        skeys, boundary, counts = self._sorted_pending()
+        nu = int(jnp.sum(boundary, dtype=jnp.int32))  # scalar D2H per slab
+        out_size = _bucket_size(max(1, nu))
+        keys_c, cnt_c = _compact_run(skeys, boundary, counts, out_size)
+        self._runs.append((keys_c, cnt_c, out_size))
+        self._runs_n += out_size
+        if self._runs_n >= self._next_merge and len(self._runs) > 1:
+            self._merge_runs()
+
+    def _concat_and_merge(self):
+        """Concatenate all runs (bucket-padded) and merge-sort them;
+        returns (sorted keys, boundary, summed counts) — no host sync."""
+        W = self.W
+        total = sum(b for _, _, b in self._runs)
+        bucket = _bucket_size(total)
+        keys_cat = []
+        for j in range(W):
+            parts = [r[0][j] for r in self._runs]
+            if bucket > total:
+                parts.append(jnp.full(bucket - total, 0xFFFFFFFF, jnp.uint32))
+            keys_cat.append(jnp.concatenate(parts))
+        cparts = [r[1] for r in self._runs]
+        if bucket > total:
+            cparts.append(jnp.zeros(bucket - total, jnp.int32))
+        counts_cat = jnp.concatenate(cparts)
+        skeys, boundary, summed = _merge_sorted_runs(tuple(keys_cat), counts_cat)
+        return skeys, boundary, summed
+
+    def _merge_runs(self) -> None:
+        if len(self._runs) <= 1:
+            return
+        skeys, boundary, summed = self._concat_and_merge()
+        nu = int(jnp.sum(boundary, dtype=jnp.int32))
+        out_size = _bucket_size(max(1, nu))
+        keys_c, cnt_c = _compact_run(skeys, boundary, summed, out_size)
+        self._runs = [(keys_c, cnt_c, out_size)]
+        self._runs_n = out_size
+        self._next_merge = out_size + self.merge_factor * self.slab
 
     def finalize(self, abundance, bits_per_kmer: float, H: int, seed: int):
-        """Returns (bitset device array, log2_m, cutoff, n_solid, hist)."""
+        """Returns (bitset device array, log2_m, cutoff, n_solid, hist).
+
+        Common case (multiset fit one slab, no runs yet): ONE sort + the
+        256-entry histogram transfer + the Bloom build — no compaction,
+        no per-slab distinct-count sync. The Bloom sort-dedup build works
+        directly on the sorted multiset (counts are 0 off-boundary, so
+        only the first occurrence of a solid k-mer scatters)."""
         from leon_tpu.ops import bloom
 
-        W = self.W
-        if not self._chunks:
+        if not self._pend and not self._runs:
             hist = np.zeros(256, np.int64)
             cutoff = abundance if abundance is not None else 2
             log2_m = bloom.choose_log2_m(1, bits_per_kmer)
             bitset = jnp.zeros(1 << (log2_m - 5), jnp.uint32)
             return bitset, log2_m, cutoff, 0, hist
-        flat = jnp.concatenate(self._chunks, axis=0)
-        valid = jnp.concatenate(self._valids, axis=0)
-        # pad to a 1/8-octave size bucket: few compile shapes, little waste
-        n = flat.shape[0]
-        gran = max(1 << 12, 1 << (max(1, (n - 1).bit_length()) - 3))
-        bucket = -(-n // gran) * gran
-        if bucket > n:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((bucket - n, W), jnp.uint32)], axis=0
-            )
-            valid = jnp.concatenate([valid, jnp.zeros(bucket - n, bool)])
-        self._chunks, self._valids = [], []
-        words_t = tuple(flat[:, W - 1 - j] for j in range(W))
-        skeys, boundary, counts, hist_d = _sort_count_hist_device(words_t, valid, k=self.k)
-        hist = np.asarray(hist_d)  # the one transfer
+
+        if not self._runs:
+            skeys, boundary, counts = self._sorted_pending()
+        else:
+            self._flush_slab()
+            if len(self._runs) > 1:
+                skeys, boundary, counts = self._concat_and_merge()
+            else:
+                keys_t, cnt_c, _b = self._runs[0]
+                skeys, boundary, counts = keys_t, cnt_c > 0, cnt_c
+        self._runs, self._runs_n = [], 0
+
+        hist = np.asarray(_hist_of_sorted(boundary, counts))  # one transfer
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
-        n_solid = int(hist[min(cutoff, 255) :].sum())
+        n_solid = int(hist[min(cutoff, 255):].sum())
         log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
-        bitset = _bloom_from_sorted(
-            skeys, boundary, counts, jnp.int32(cutoff), log2_m, H, seed, self.k
-        )
+        W = self.W
+        words = jnp.stack([skeys[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
+        cnt_arr = jnp.where(boundary, counts, 0).astype(jnp.int32)
+        bitset = bloom.build_device(words, cnt_arr, jnp.int32(cutoff), log2_m, H, seed, self.k)
+        import sys as _sys
+
+        warn = bloom.saturation_warning(n_solid, log2_m, H)
+        if warn:
+            print(f"[leon-tpu] {warn}", file=_sys.stderr)
         return bitset, log2_m, cutoff, n_solid, hist
 
 

@@ -89,11 +89,8 @@ def _anchor_scan(codes, k: int, seed: int):
 
 def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m):
     """Membership of 4 candidates given their strand hashes, each (B, 4)."""
-    h1 = jnp.minimum(cf1, cr1)
-    h2 = jnp.minimum(cf2, cr2) | U32(1)
-    mask = U32((1 << log2_m) - 1 if log2_m < 32 else 0xFFFFFFFF)
-    pos = jnp.stack([(h1 + U32(i) * h2) & mask for i in range(H)], axis=-1)  # (B,4,H)
-    return bloom.probe_positions(bitset, pos, jnp)
+    wi, bit = bloom.wordbit_from_hashes(cf1, cr1, cf2, cr2, H, log2_m, jnp)
+    return bloom.probe_wordbit(bitset, wi, bit, jnp)
 
 
 def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, side, ME):
@@ -183,10 +180,8 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     valid = pos <= (lengths[:, None] - k)
     # membership at every position (B, P)
     hh1 = jnp.minimum(h1f, h1r)
-    hh2 = jnp.minimum(h2f, h2r) | U32(1)
-    mask = U32((1 << log2_m) - 1 if log2_m < 32 else 0xFFFFFFFF)
-    ppos = jnp.stack([(hh1 + U32(i) * hh2) & mask for i in range(H)], axis=-1)
-    member = bloom.probe_positions(bitset, ppos, jnp) & valid
+    wi, bit = bloom.wordbit_from_hashes(h1f, h1r, h2f, h2r, H, log2_m, jnp)
+    member = bloom.probe_wordbit(bitset, wi, bit, jnp) & valid
 
     anchored = member.any(axis=1)
     # minimizer-style anchor (FORMAT.md §5): the solid position with the
@@ -524,6 +519,28 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
     return jnp.moveaxis(bs, 0, 1)  # (B, ME)
 
 
+def pack_codes_u32(codes):
+    """(B, L) 2-bit codes -> (B, ceil(L/16)) u32, 16 bases per word
+    (base j in bits 2j..2j+1 of word j//16) — 4x fewer D2H bytes than raw
+    codes over the latency/bandwidth-bound TPU tunnel."""
+    B, L = codes.shape
+    pad = (-L) % 16
+    if pad:
+        codes = jnp.concatenate([codes, jnp.zeros((B, pad), codes.dtype)], axis=1)
+    c = codes.reshape(B, -1, 16).astype(jnp.uint32)
+    sh = (jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(c << sh, axis=2, dtype=jnp.uint32)
+
+
+def unpack_codes_u32_np(packed: np.ndarray, L: int) -> np.ndarray:
+    """Host inverse of pack_codes_u32: (B, W16) u32 -> (B, L) uint8."""
+    B = packed.shape[0]
+    out = np.empty((B, packed.shape[1], 16), dtype=np.uint8)
+    for j in range(16):
+        out[:, :, j] = (packed >> np.uint32(2 * j)) & 3
+    return out.reshape(B, -1)[:, :L]
+
+
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
 def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
                       nerr_r, nerr_l, nbif_r, nbif_l,
@@ -532,7 +549,8 @@ def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
     """decode_batch taking the container's FLAT event streams (padded to a
     static capacity) — ~1-2 bytes/event over the H2D tunnel instead of
     dense (B, ME) planes. err_base/bif_base are chunk-relative exclusive
-    offsets; gathers + gap-cumsum reconstruct the planes on device."""
+    offsets; gathers + gap-cumsum reconstruct the planes on device.
+    Returns 2-bit-packed codes (pack_codes_u32 layout)."""
     B = apos.shape[0]
     ME = max(1, L - k)
     slot = jnp.arange(ME, dtype=jnp.int32)[None, :]
@@ -551,12 +569,12 @@ def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
     ap = apos.astype(jnp.int32)
     ep_r = ap[:, None] + k - 1 + jnp.cumsum(gap_r + 1, axis=1)
     ep_l = ap[:, None] - jnp.cumsum(gap_l + 1, axis=1)
-    return decode_batch(
+    return pack_codes_u32(decode_batch(
         apos, anchored, lengths, afwd, bitset,
         nbif_r, bf_r, nerr_r, ep_r, en_r,
         nbif_l, bf_l, nerr_l, ep_l, en_l,
         k, H, log2_m, seed, L,
-    )
+    ))
 
 
 @partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))

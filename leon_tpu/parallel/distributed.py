@@ -166,16 +166,17 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
         encoders[bi] = be
 
     # --- dictionary replay: per-block distinct first-use key lists ---
-    def distinct_in_order(keys: list[bytes]) -> list[bytes]:
-        seen = set()
-        out = []
-        for kk in keys:
-            if kk not in seen:
-                seen.add(kk)
-                out.append(kk)
-        return out
+    def distinct_in_order(chunks: list[np.ndarray]) -> list[bytes]:
+        if not chunks:
+            return []
+        raw = np.ascontiguousarray(np.concatenate(chunks).astype("<u4"))
+        flat = raw.view([("", "<u4")] * raw.shape[1]).reshape(-1)
+        _, first = np.unique(flat, return_index=True)
+        sz = raw.shape[1] * 4
+        rb = raw.tobytes()
+        return [rb[i * sz : (i + 1) * sz] for i in np.sort(first)]
 
-    my_lists = {bi: distinct_in_order(be.anchor_keys) for bi, be in encoders.items()}
+    my_lists = {bi: distinct_in_order(be.anchor_key_chunks) for bi, be in encoders.items()}
     all_lists: dict[int, list[bytes]] = {}
     for blob in _allgather_bytes(pickle.dumps(my_lists)):
         all_lists.update(pickle.loads(blob))
@@ -192,7 +193,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
         be.adict = adict
         payload, sizes = be.finish()
         my_payloads[bi] = (payload, be.block.n_reads)
-        n_anchored += len(be.anchor_keys)
+        n_anchored += sum(c.shape[0] for c in be.anchor_key_chunks)
         for sid, sz in sizes.items():
             stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
 

@@ -37,8 +37,12 @@ def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, log2_m: int, H: i
     cross-device OR is `pmax` — XLA has no OR-allreduce, but max on {0,1}
     is one. Packing to u32 words happens after the merge.
     """
+    if log2_m > 32:
+        raise ValueError("mesh byte-per-bit builder supports log2_m <= 32; "
+                         "use bloom.build_device + replication for larger filters")
     m = 1 << log2_m
-    pos = bloom.bit_positions(words, H, log2_m, seed, jnp, k)  # (S, H)
+    wi, bit = bloom.wordbit(words, H, log2_m, seed, jnp, k)  # (S, H)
+    pos = (wi.astype(jnp.uint32) << jnp.uint32(5)) | bit
     v = jnp.broadcast_to(valid[:, None], pos.shape)
     idx = jnp.where(v, pos, U32(m)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
     by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))

@@ -168,19 +168,60 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
     os.replace(tmp, cfg.checkpoint)
 
 
-def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int):
+class _Placer:
+    """Places device batches: single-device passthrough, or lane-sharded
+    over a 1-D mesh of local chips (the product wiring of parallel/mesh.py
+    — reference analog: Dispatcher threads, SURVEY.md §2.4 DP row). The
+    jitted kernels are sharding-polymorphic; XLA inserts the collectives
+    (cross-lane cumsums in event compaction, the count sort) over ICI."""
+
+    def __init__(self, cfg: LeonConfig):
+        import jax
+
+        n = len(jax.devices()) if cfg.mesh_devices is None else cfg.mesh_devices
+        self.mesh = None
+        if n > 1 and cfg.batch_reads % n == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from leon_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(n)
+            self._s2 = NamedSharding(self.mesh, P("d", None))
+            self._s1 = NamedSharding(self.mesh, P("d"))
+            self._rep = NamedSharding(self.mesh, P())
+            self._put = jax.device_put
+
+    def batch2(self, arr):
+        return self._put(arr, self._s2) if self.mesh else arr
+
+    def batch1(self, arr):
+        return self._put(arr, self._s1) if self.mesh else arr
+
+    def replicated(self, arr):
+        return self._put(arr, self._rep) if self.mesh else arr
+
+
+def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
+                       placer: Optional[_Placer] = None):
     """Device-resident k-mer counting + Bloom build (reference: DSK
-    SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). All k-mers
-    accumulate in HBM; one sort+count+histogram; the Bloom filter is
-    scattered on device. Host traffic: one 256-entry histogram.
+    SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). K-mers stream
+    through fixed HBM slabs (sorted + compacted to distinct runs on device
+    — the TPU analog of DSK's disk partitions); the Bloom filter is built
+    on device from the merged run. Host traffic: one scalar per slab plus
+    one 256-entry histogram.
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
-    counter = count.DeviceCounter(k)
+    counter = count.DeviceCounter(
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
+    )
     n_total = len(preps) if hasattr(preps, "__len__") else 0
     for ib, prep in enumerate(preps):
         for ch in chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
-            canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
+            codes, dlen = ch.codes, ch.dev_len
+            if placer is not None:
+                codes, dlen = placer.batch2(codes), placer.batch1(dlen)
+            canon, _, valid = K.kmer_scan(codes, dlen, k)
             counter.add(canon, valid)
         if n_total:
             _progress(cfg, "count", ib + 1, n_total)
@@ -253,7 +294,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
         n_reads = parse.n_reads
         final_nl = parse.final_newline
-        total_bases = sum(int(p.lens.sum()) for p in preps)
         n_blocks = len(blocks)
 
         def iter_bp():
@@ -263,7 +303,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         # disk-streaming design, README.md:13)
         n_reads = None
         final_nl = bank.final_newline(input_path)
-        total_bases = file_size  # upper-bound proxy for path selection
         n_blocks = 0  # unknown until a pass completes
 
         def iter_bp():
@@ -286,16 +325,17 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             tally["reads"] += b.n_reads
             yield p
 
+    placer = _Placer(cfg)
     prep_iter = preps if not stream_mode else iter_preps()
-    use_host_count = total_bases > cfg.count_device_max_kmers
+    use_host_count = False
     if ck is not None:
         bitset, log2_m, cutoff, n_solid = ck
         bitset_j = jnp.asarray(bitset)
-    elif not use_host_count:
+    else:
         try:
-            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed)
+            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed, placer)
             bitset = None  # transferred lazily for the container
-        except Exception as e:  # device/compiler failure at scale: fall back
+        except Exception as e:  # device/compiler failure: fall back
             import sys as _sys
 
             print(f"[leon-tpu] device count failed ({type(e).__name__}); "
@@ -311,6 +351,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
         n_solid = int(solid.shape[0])
         log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
+        warn = bloom.saturation_warning(n_solid, log2_m, H)
+        if warn:
+            print(f"[leon-tpu] {warn}", file=sys.stderr)
         bitset = bloom.build_np(solid, log2_m, H, seed, k)
         bitset_j = jnp.asarray(bitset)
     if ck is None and cfg.checkpoint:
@@ -345,6 +388,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     if bitset is None:
         bitset = np.asarray(bitset_j)
+    if placer.mesh is not None:
+        bitset_j = placer.replicated(bitset)
     writer = container.Writer(output_path)
     writer.section(container.TAG_META, meta.pack())
     writer.section(container.TAG_BLOOM, _frames.frame(bitset.astype("<u4").tobytes()))
@@ -398,8 +443,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 B = ch.codes.shape[0]
                 cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
                 cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
+                codes_d, dlen_d = placer.batch2(ch.codes), placer.batch1(ch.dev_len)
                 buf = walk.encode_batch_compact(
-                    ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed,
+                    codes_d, dlen_d, bitset_j, k, H, log2_m, seed,
                     cap_err, cap_bif,
                     with_conf=meta.qual_mode == container.QUAL_LOSSY,
                 )
@@ -457,23 +503,28 @@ def blockcodec_stream_name(sid: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarray,
-                        bitset_j, cfg: LeonConfig) -> list[bytes]:
-    """Reconstruct the sequence bytes of every read in a parsed block.
+def _ragged_dst(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Destination indices for ragged copies: segment i occupies
+    [starts[i], starts[i]+lens[i])."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    rep = np.repeat(starts.astype(np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens, dtype=np.int64) - lens, lens
+    )
+    return rep + within
 
-    Device lanes are segments (FORMAT.md §2); decoded segment bases land in
-    a flat per-block buffer at read_start + seg_off, then exceptions are
-    re-applied and reads sliced out.
-    """
+
+def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarray,
+                           bitset_j, cfg: LeonConfig) -> list:
+    """Dispatch every sub-batch's device re-walk (async D2H); returns the
+    in-flight handles for _assemble_block_seqs. Splitting dispatch from
+    drain lets block i+1's walks overlap block i's host assembly."""
     from leon_tpu.ops import walk
 
     k, H, log2_m, seed = meta.k, meta.n_hashes, meta.log2_mbits, meta.seed
-    n_reads = db.n_reads
     n_segs = db.seg_read.shape[0]
-    lengths = db.lengths
-    read_start = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n_reads else np.zeros(0, np.int64)
-    total = int(lengths.sum()) if n_reads else 0
-    out_flat = np.zeros(total, dtype=np.uint8)
 
     # forward-orientation anchor words per anchored segment (vectorized)
     W = dict_words.shape[1] if dict_words.size else K.words_for_k(k)
@@ -485,8 +536,6 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         ori = db.orient[anch_idx]
         afwd_all[anch_idx] = np.where(ori[:, None], rcw, words)
 
-    # dispatch every sub-batch's re-walk first (async), then drain — keeps
-    # the device busy across the tunnel's D2H latency
     B = cfg.batch_reads
     dispatched = []
     for s in range(0, n_segs, B):
@@ -496,7 +545,6 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
         if not anch.any():
             continue
         Lb = _bucket_len(int(sl[anch].max()), k)
-        m = e - s
         ME = max(1, Lb - k)
         apos = db.apos[s:e].astype(np.int64)
         dlen = np.where(anch, sl, 0).astype(np.int32)
@@ -528,35 +576,44 @@ def _decode_block_reads(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarra
             k, H, log2_m, seed, Lb,
         )
         dec.copy_to_host_async()
-        dispatched.append((s, anch, sl, dec))
+        dispatched.append((s, anch, sl, Lb, dec))
+    return dispatched
 
-    for s, anch, sl, dec in dispatched:
-        dec = np.asarray(dec)
-        for i in np.flatnonzero(anch):
-            g = int(s + i)
-            dst = read_start[db.seg_read[g]] + db.seg_off[g]
-            out_flat[dst : dst + int(sl[i])] = dec[i, : int(sl[i])]
 
-    # raw segments from the 2-bit stream, in segment order
-    off = 0
-    raw = db.rawseq
-    for g in np.flatnonzero(~db.anchored):
-        ln = int(db.seg_len[g])
+def _assemble_block_seqs(db: blockcodec.DecodedBlock, dispatched: list) -> tuple:
+    """Drain the dispatched re-walks and build the block's flat ASCII
+    sequence buffer (exceptions re-applied). All scatters are vectorized —
+    no per-read Python. Returns (seq_bytes flat, read_start, lengths)."""
+    from leon_tpu.ops import walk
+
+    n_reads = db.n_reads
+    lengths = db.lengths
+    read_start = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n_reads else np.zeros(0, np.int64)
+    total = int(lengths.sum()) if n_reads else 0
+    out_flat = np.zeros(total, dtype=np.uint8)
+    seg_start = read_start[db.seg_read] + db.seg_off  # (n_segs,)
+
+    for s, anch, sl, Lb, dec in dispatched:
+        dec = walk.unpack_codes_u32_np(np.asarray(dec), Lb)
+        rows = np.flatnonzero(anch)
+        lens = sl[rows]
+        src_idx = _ragged_dst(rows * Lb, lens)  # row-major into dec
+        out_flat[_ragged_dst(seg_start[s:][rows], lens)] = dec.reshape(-1)[src_idx]
+
+    # raw segments from the 2-bit stream: unpack the whole stream once,
+    # gather per-segment runs (segments are byte-aligned, FORMAT.md §6)
+    raw_idx = np.flatnonzero(~db.anchored)
+    if raw_idx.size:
+        ln = db.seg_len[raw_idx]
         nb = (ln + 3) // 4
-        codes = K.unpack_2bit_np(raw[off : off + nb], ln)
-        off += nb
-        dst = read_start[db.seg_read[g]] + db.seg_off[g]
-        out_flat[dst : dst + ln] = codes
+        codes_all = K.unpack_2bit_np(db.rawseq, 4 * len(db.rawseq))
+        src_start = 4 * (np.cumsum(nb) - nb)
+        out_flat[_ragged_dst(seg_start[raw_idx], ln)] = codes_all[_ragged_dst(src_start, ln)]
 
     seq_bytes = _BASES[out_flat]
-    seqs: list[bytes] = []
-    for i in range(n_reads):
-        b = seq_bytes[read_start[i] : read_start[i] + int(lengths[i])]
-        if db.exc_pos[i] is not None:
-            b = b.copy()
-            b[db.exc_pos[i]] = db.exc_byte[i]
-        seqs.append(b.tobytes())
-    return seqs
+    if db.exc_read.size:
+        seq_bytes[read_start[db.exc_read] + db.exc_rel] = db.exc_bytes
+    return seq_bytes, read_start, lengths
 
 
 def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
@@ -583,40 +640,36 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
 
     read_index = 0
     with open(output_path, "wb") as out:
-        for bi in range(r.n_blocks):
-            db = blockcodec.parse_block(r.block(bi), meta)
-            seqs = _decode_block_reads(db, meta, dict_words, bitset_j, cfg)
-
+        def emit(db, dispatched, start_index):
+            seq_flat, _read_start, lengths = _assemble_block_seqs(db, dispatched)
             if meta.header_mode:
                 headers = hcodec.decode(db.headers_payload or b"", db.n_reads)
             else:
-                headers = hcodec.synth(read_index, db.n_reads)
-
-            quals = None
-            pluses = None
-            line_lens = None
-            if meta.fmt == bank.FASTQ:
-                if meta.qual_mode == container.QUAL_NONE:
-                    # -noqual: qualities were dropped; synthesize constant 'I'
-                    quals = [b"I" * int(db.lengths[i]) for i in range(db.n_reads)]
-                else:
-                    qc = db.quals_concat or b""
-                    quals = []
-                    qoff = 0
-                    for i in range(db.n_reads):
-                        ln = int(db.lengths[i])
-                        quals.append(qc[qoff : qoff + ln])
-                        qoff += ln
-                pluses = db.pluses
-            else:
-                line_lens = db.line_lens
-
-            blk = bank.SeqBlock(
-                fmt=meta.fmt, headers=headers, seqs=seqs,
-                quals=quals, pluses=pluses, line_lens=line_lens,
+                headers = hcodec.synth(start_index, db.n_reads)
+            hcat = b"".join(headers)
+            hlens = np.fromiter((len(h) for h in headers), dtype=np.int64, count=len(headers))
+            qcat = None
+            if meta.fmt == bank.FASTQ and meta.qual_mode != container.QUAL_NONE:
+                qcat = db.quals_concat or b""
+            bank.write_records_arrays(
+                out, meta.fmt, hcat, hlens, seq_flat, lengths,
+                qcat=qcat, plus_lens=db.plus_lens, plus_cat=db.plus_cat,
+                fasta_nlines=db.fasta_nlines, fasta_linelens=db.fasta_linelens,
             )
-            bank.write_block(out, blk)
+
+        # depth-2 pipeline: block i+1's device re-walks dispatch before
+        # block i's host assembly drains (reference decodes blocks in
+        # parallel threads [R]; here the overlap axis is device vs host)
+        pending: list = []
+        for bi in range(r.n_blocks):
+            db = blockcodec.parse_block(r.block(bi), meta)
+            dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j, cfg)
+            pending.append((db, dispatched, read_index))
             read_index += db.n_reads
+            if len(pending) > 1:
+                emit(*pending.pop(0))
+        while pending:
+            emit(*pending.pop(0))
     r.close()
     bank.finalize_file(output_path, meta.final_newline)
     return {

@@ -1,5 +1,18 @@
-import os, time
+"""Stage microbenchmarks on the current backend (TPU by default).
+
+Measures the pieces end-to-end throughput is built from: tunnel RTT,
+k-mer scan, slab count flush, compact walk encode + D2H, flat decode +
+D2H, and host stream assembly. Run with LEON_FORCE_CPU=1 for a host-only
+baseline. (The TPU-native analog of profiling the reference's DSK/encode
+hot loops, SURVEY.md §3.2.)
+"""
+import os
+import time
+
 import jax
+
+if os.environ.get("LEON_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -9,16 +22,17 @@ import numpy as np
 from leon_tpu.ops import bloom, count, walk
 from leon_tpu.ops import kmer as K
 
-print("devices:", jax.devices())
+print("backend:", jax.default_backend(), jax.devices())
 
 rng = np.random.default_rng(1)
-B, L, k, H, seed = 4096, 128, 31, 4, 0x1234ABCD
+B, L, k, H, seed = 16384, 128, 31, 4, 0x1234ABCD
 contig = rng.integers(0, 4, 200_000, dtype=np.uint8)
 starts = rng.integers(0, 200_000 - 100, B)
 codes = np.zeros((B, L), dtype=np.uint8)
-for i in range(B):
-    codes[i, :100] = contig[starts[i] : starts[i] + 100]
+idx = starts[:, None] + np.arange(100)[None, :]
+codes[:, :100] = contig[idx]
 lengths = np.full(B, 100, dtype=np.int32)
+
 
 def timeit(name, f, n=5):
     f()  # warm
@@ -26,69 +40,98 @@ def timeit(name, f, n=5):
     for _ in range(n):
         f()
     dt = (time.time() - t0) / n
-    print(f"{name:34s} {dt*1e3:9.1f} ms")
+    print(f"{name:36s} {dt*1e3:9.1f} ms")
     return dt
 
-# tunnel RTT
+
 x = jnp.zeros(8)
 f_trivial = jax.jit(lambda v: v + 1)
-timeit("trivial jit call (tunnel RTT)", lambda: jax.block_until_ready(f_trivial(x)))
+timeit("trivial jit call (RTT)", lambda: jax.block_until_ready(f_trivial(x)))
 
-# kmer scan
-timeit("kmer_scan device", lambda: jax.block_until_ready(K.kmer_scan(codes, lengths, k)))
+timeit("kmer_scan dispatch+wait", lambda: jax.block_until_ready(K.kmer_scan(codes, lengths, k)))
 
 canon, is_rc, valid = K.kmer_scan(codes, lengths, k)
-canon.block_until_ready()
-timeit("canon -> host transfer", lambda: (np.asarray(canon), np.asarray(valid)))
+jax.block_until_ready(canon)
 
-# count_batch total (device sort + host extract)
-timeit("count_batch total", lambda: count.count_batch(np.asarray(canon), np.asarray(valid)))
 
-canon_np, valid_np = np.asarray(canon), np.asarray(valid)
-flat = jnp.asarray(canon_np.reshape(-1, canon_np.shape[-1]))
-v = jnp.asarray(valid_np.reshape(-1))
-W = canon_np.shape[-1]
-words_t = tuple(flat[:, W - 1 - j] for j in range(W))
-timeit("  sort_count device only", lambda: jax.block_until_ready(count._sort_count_device(words_t, v)))
+def slab_flush():
+    ctr = count.DeviceCounter(k, slab_kmers=1 << 25)
+    ctr.add(canon, valid)
+    return ctr.finalize(3, 12.0, H, seed)
 
-uniq, counts = count.count_batch(canon_np, valid_np)
-solid = uniq[counts >= 3]
-log2_m = bloom.choose_log2_m(max(1, len(solid)), 12.0)
-bits = bloom.build_np(solid, log2_m, H, seed)
-bits_j = jnp.asarray(bits)
 
-timeit("encode_batch device", lambda: jax.block_until_ready(
-    walk.encode_batch(codes, lengths, bits_j, k, H, log2_m, seed)))
+timeit("slab count finalize (1.6M kmers)", slab_flush, n=3)
 
-enc = walk.encode_batch(codes, lengths, bits_j, k, H, log2_m, seed)
-jax.block_until_ready(enc)
-timeit("enc -> host transfer", lambda: {kk: np.asarray(vv) for kk, vv in enc.items()})
+bitset, log2_m, cutoff, n_solid, _ = slab_flush()
+print(f"  n_solid={n_solid} log2_m={log2_m}")
 
-# host stream assembly
+cap_err = (8 * B + 7) // 8 * 8
+cap_bif = (4 * B + 7) // 8 * 8
+
+
+def enc_roundtrip():
+    buf = walk.encode_batch_compact(
+        codes, lengths, bitset, k, H, log2_m, seed, cap_err, cap_bif, with_conf=False
+    )
+    return np.asarray(buf)
+
+
+timeit("encode_batch_compact + D2H", enc_roundtrip, n=3)
+buf = enc_roundtrip()
+print(f"  compact buffer: {buf.nbytes/1e6:.2f} MB for {B} reads")
+
+enc = walk.unpack_compact(buf, B, B, L, cap_err, cap_bif, with_conf=False)
+
+# host stream assembly (current production path)
 from leon_tpu.codecs import blocks as bc
-from leon_tpu.io import bank
 from leon_tpu.config import LeonConfig
+from leon_tpu.io import bank
 from leon_tpu.io import container as cont
 
-enc_np = {kk: np.asarray(vv) for kk, vv in enc.items()}
 cfg = LeonConfig()
 meta = cont.Meta(k=k, fmt=0, qual_mode=0, header_mode=0, n_hashes=H,
                  final_newline=True, log2_mbits=log2_m, seed=seed,
-                 n_reads=B, abundance=3)
+                 n_reads=B, abundance=3, seglen=cfg.max_device_len,
+                 orig_ext=b"fasta")
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 seqs = [BASES[codes[i, :100]].tobytes() for i in range(B)]
 blk = bank.SeqBlock(0, [b"r%d" % i for i in range(B)], seqs,
                     line_lens=[[100]] * B)
+prep = bc.prepare_block(blk, cfg.max_device_len)
+
 
 def assemble():
     adict = bc.AnchorDict(K.words_for_k(k))
-    be = bc.BlockEncoder(cfg, meta, adict, blk)
-    be.add_subbatch(bc.SubbatchData(codes=codes, lengths=lengths, enc=enc_np,
-                                    exc_pos=[None]*B, exc_byte=[None]*B))
+    be = bc.BlockEncoder(cfg, meta, adict, blk, prep)
+    be.add_subbatch(bc.SubbatchData(
+        codes=codes, seg_len=prep.seg_len, seg_read=prep.seg_read,
+        seg_off=prep.seg_off, n=B, enc=enc))
     return be.finish()
 
-timeit("host stream assembly", assemble, n=3)
 
-# host merge_counts at scale
-parts = [count.count_batch(canon_np, valid_np) for _ in range(4)]
-timeit("merge_counts x4", lambda: count.merge_counts(parts), n=3)
+timeit("host stream assembly (16k reads)", assemble, n=3)
+
+timeit("prepare_block (16k reads)", lambda: bc.prepare_block(blk, cfg.max_device_len), n=3)
+
+# decode side
+payload, sizes = assemble()
+db = bc.parse_block(payload, meta)
+from leon_tpu import pipeline
+
+timeit("parse_block", lambda: bc.parse_block(payload, meta), n=3)
+
+adict = bc.AnchorDict(K.words_for_k(k))
+be = bc.BlockEncoder(cfg, meta, adict, blk, prep)
+be.add_subbatch(bc.SubbatchData(
+    codes=codes, seg_len=prep.seg_len, seg_read=prep.seg_read,
+    seg_off=prep.seg_off, n=B, enc=enc))
+be.finish()
+dict_words = adict.words_array()
+
+
+def decode_full():
+    disp = pipeline._dispatch_block_decode(db, meta, dict_words, bitset, cfg)
+    return pipeline._assemble_block_seqs(db, disp)
+
+
+timeit("block decode (dispatch+assemble)", decode_full, n=3)

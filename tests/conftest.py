@@ -13,6 +13,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Some axon sitecustomize versions override JAX_PLATFORMS at interpreter
+# startup; the config update is the authoritative way to force CPU
+# (verify with jax.default_backend() == "cpu").
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: the walk/count kernels take minutes to compile on
 # CPU; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -128,3 +129,59 @@ def test_auto_cutoff():
     h2 = np.zeros(256, dtype=np.int64)
     h2[1], h2[2], h2[3] = 100, 10, 1  # monotone decreasing -> fallback
     assert count.auto_cutoff(h2) == 2
+
+
+@pytest.mark.parametrize("log2_m", [20, 32, 33, 36])
+def test_wordbit_np_jnp_identical(rng, log2_m):
+    """Hash family v2 + the v2-64 extension (FORMAT.md §4) must be
+    bit-identical between the numpy and jnp implementations — decoder
+    determinism depends on it."""
+    f1, r1, f2, r2 = (rng.integers(0, 2**32, 2048, dtype=np.uint32) for _ in range(4))
+    win, bin_ = bloom.wordbit_from_hashes(f1, r1, f2, r2, 4, log2_m, np)
+    wij, bij = bloom.wordbit_from_hashes(
+        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, log2_m, jnp
+    )
+    assert np.array_equal(win.astype(np.int64), np.asarray(wij).astype(np.int64))
+    assert np.array_equal(bin_, np.asarray(bij))
+    assert int(win.max()) < (1 << (log2_m - 5))
+    # the H probe positions of one k-mer must be distinct (odd stride)
+    pos = win.astype(np.int64) * 32 + bin_.astype(np.int64)
+    assert (np.diff(np.sort(pos, axis=1), axis=1) != 0).all()
+
+
+def test_bloom64_membership(rng):
+    """log2_m > 32 (v2-64): members all found via both backends; word
+    indexes cover the upper half of the filter (the >2^32 bits)."""
+    k = 31
+    members = rng.integers(0, 2**32, (5000, 2), dtype=np.uint32)
+    log2_m = 33
+    bits = bloom.build_np(members, log2_m, 4, 7, k)
+    assert bits.nbytes == (1 << log2_m) // 8
+    assert bool(np.all(bloom.probe_np(bits, members, 4, log2_m, 7, k)))
+    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, log2_m, 7, k))
+    assert got.all()
+    wi, _ = bloom.wordbit(members, 4, log2_m, 7, np, k)
+    assert int(wi.max()) >= (1 << (log2_m - 5)) // 2  # high half used
+    others = rng.integers(0, 2**32, (20000, 2), dtype=np.uint32)
+    assert bloom.probe_np(bits, others, 4, log2_m, 7, k).mean() < 0.001
+
+
+def test_build_device_matches_build_np(rng):
+    """The device sort-dedup-scatter Bloom build must equal the host
+    bitwise_or build bit-for-bit."""
+    k = 31
+    uniq = rng.integers(0, 2**32, (4000, 2), dtype=np.uint32)
+    counts = rng.integers(1, 6, 4000).astype(np.int32)
+    for log2_m in (18, 22):
+        dev = np.asarray(
+            bloom.build_device(
+                jnp.asarray(uniq), jnp.asarray(counts), jnp.int32(3), log2_m, 4, 7, k
+            )
+        )
+        ref = bloom.build_np(uniq[counts >= 3], log2_m, 4, 7, k)
+        assert np.array_equal(dev, ref)
+
+
+def test_saturation_warning():
+    assert bloom.saturation_warning(500_000, 20, 4) is not None  # overloaded
+    assert bloom.saturation_warning(10_000, 20, 4) is None       # healthy (fp ~ 2e-6)
