@@ -48,9 +48,11 @@ class LeonConfig:
     # 1 = force single-device. Archives are byte-identical at any value.
     mesh_devices: Optional[int] = None
     # compacted-event D2H capacities (per read, averaged over a chunk);
-    # chunks that overflow fall back to the dense transfer automatically
-    event_cap_per_read: int = 8
-    bif_cap_per_read: int = 4
+    # chunks that overflow retry at 4x caps, then the dense transfer.
+    # Sized for ~2x the expected 1%-error event rate: the transfer is
+    # capacity-sized, so slack is paid on every chunk
+    event_cap_per_read: int = 4
+    bif_cap_per_read: int = 2
     # device-side pipelining depth: chunks dispatched ahead of the host
     # consuming their results (keeps the device busy across the D2H
     # latency of the TPU tunnel)

@@ -190,6 +190,172 @@ def parse_all(path: str, reads_per_block: int) -> ParseResult:
 
 
 # ---------------------------------------------------------------------------
+# Array-form parsing (the compress hot path)
+# ---------------------------------------------------------------------------
+#
+# The reference's IBank parser is tight C++ ([R] gatb-core bank/impl/
+# BankFasta); the per-record Python loops above cost ~3 us/read — too slow
+# for the reads/s target. The fast path below is numpy over newline
+# indices: one pass to find line boundaries, ragged gathers to build
+# concatenated field arrays. Irregular inputs (blank filler lines,
+# malformed records) raise IrregularInput and the caller falls back to the
+# tolerant per-line parser.
+
+
+class IrregularInput(Exception):
+    """Input needs the tolerant slow parser (blank lines, odd structure)."""
+
+
+class ArrayBlock:
+    """A block of records in concatenated-array form (no per-read objects).
+
+    hdr/seq/qual/plus fields are (cat bytes-array, lens int64-array)
+    pairs, concatenated in read order. FASTA line structure is
+    (nlines, linelens_flat). `headers` materializes a per-read list
+    lazily (only the header codec needs it).
+    """
+
+    __slots__ = ("fmt", "n_reads", "hdr_cat", "hdr_lens", "seq_cat", "seq_lens",
+                 "qual_cat", "plus_lens", "plus_cat", "nlines", "linelens")
+
+    def __init__(self, fmt, n_reads, hdr_cat, hdr_lens, seq_cat, seq_lens,
+                 qual_cat=None, plus_lens=None, plus_cat=None,
+                 nlines=None, linelens=None):
+        self.fmt = fmt
+        self.n_reads = n_reads
+        self.hdr_cat = hdr_cat
+        self.hdr_lens = hdr_lens
+        self.seq_cat = seq_cat
+        self.seq_lens = seq_lens
+        self.qual_cat = qual_cat
+        self.plus_lens = plus_lens
+        self.plus_cat = plus_cat
+        self.nlines = nlines
+        self.linelens = linelens
+
+    @property
+    def headers(self) -> list:
+        import numpy as np
+
+        ends = np.cumsum(self.hdr_lens)
+        hb = self.hdr_cat.tobytes()
+        return [hb[e - l : e] for e, l in zip(ends.tolist(), self.hdr_lens.tolist())]
+
+    def to_seq_only_fasta(self) -> "ArrayBlock":
+        """-seq-only conversion: FASTA view, one line per (non-empty) read."""
+        import numpy as np
+
+        nz = self.seq_lens > 0
+        return ArrayBlock(
+            FASTA, self.n_reads, self.hdr_cat, self.hdr_lens,
+            self.seq_cat, self.seq_lens,
+            nlines=nz.astype(np.int64), linelens=self.seq_lens[nz],
+        )
+
+
+def _line_index(data):
+    """(starts, lens) of the lines of `data` (bytes), excluding the
+    final-newline empty tail."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    if data and not data.endswith(b"\n"):
+        nl = np.concatenate([nl, np.array([len(data)], dtype=nl.dtype)])
+    starts = np.concatenate([np.zeros(1, np.int64), nl[:-1] + 1]) if nl.size else np.zeros(0, np.int64)
+    lens = nl - starts
+    return arr, starts.astype(np.int64), lens.astype(np.int64)
+
+
+def _gather(arr, starts, lens):
+    from leon_tpu.codecs.blocks import ragged_dst
+
+    return arr[ragged_dst(starts, lens)]
+
+
+def read_blocks_arrays(path: str, reads_per_block: int):
+    """Yield ArrayBlocks via the vectorized parser. Raises IrregularInput
+    (possibly after yielding blocks — callers must restart with
+    read_blocks) when the input needs the tolerant parser. gz input is
+    decompressed through the same path."""
+    import numpy as np
+
+    with _open(path) as f:
+        data = f.read()
+    if not data:
+        raise ValueError(f"{path}: empty input")
+    arr, starts, lens = _line_index(data)
+    if lens.size == 0:
+        raise ValueError(f"{path}: empty input")
+    first = arr[starts[0]] if lens[0] else 0
+    if first == ord(">"):
+        yield from _fasta_blocks_arrays(path, arr, starts, lens, reads_per_block)
+    elif first == ord("@"):
+        yield from _fastq_blocks_arrays(path, arr, starts, lens, reads_per_block)
+    else:
+        raise IrregularInput(f"{path}: leading blank or unknown first byte")
+
+
+def _fastq_blocks_arrays(path, arr, starts, lens, reads_per_block):
+    import numpy as np
+
+    if lens.size % 4 != 0:
+        raise IrregularInput(f"{path}: line count not a multiple of 4")
+    n = lens.size // 4
+    hs, hl = starts[0::4], lens[0::4]
+    ss, sl = starts[1::4], lens[1::4]
+    ps, pl = starts[2::4], lens[2::4]
+    qs, ql = starts[3::4], lens[3::4]
+    if not ((hl > 0) & (arr[hs] == ord("@"))).all():
+        raise IrregularInput(f"{path}: record header lines not all '@'")
+    if not ((pl > 0) & (arr[np.minimum(ps, arr.size - 1)] == ord("+"))).all():
+        raise IrregularInput(f"{path}: '+' lines malformed")
+    if not (sl == ql).all():
+        raise ValueError(f"{path}: seq/qual length mismatch")
+    for s in range(0, n, reads_per_block):
+        e = min(n, s + reads_per_block)
+        yield ArrayBlock(
+            FASTQ, e - s,
+            _gather(arr, hs[s:e] + 1, hl[s:e] - 1), hl[s:e] - 1,
+            _gather(arr, ss[s:e], sl[s:e]), sl[s:e],
+            qual_cat=_gather(arr, qs[s:e], ql[s:e]),
+            plus_lens=pl[s:e] - 1,
+            plus_cat=_gather(arr, ps[s:e] + 1, pl[s:e] - 1).tobytes(),
+        )
+
+
+def _fasta_blocks_arrays(path, arr, starts, lens, reads_per_block):
+    import numpy as np
+
+    hdr_mask = (lens > 0) & (arr[starts] == ord(">"))
+    if not hdr_mask[0]:
+        raise IrregularInput(f"{path}: data before first '>'")
+    n = int(hdr_mask.sum())
+    hdr_line = np.flatnonzero(hdr_mask)
+    read_of_line = np.cumsum(hdr_mask) - 1  # which read each line belongs to
+    seq_mask = ~hdr_mask
+    seq_line_read = read_of_line[seq_mask]
+    seq_starts_all = starts[seq_mask]
+    seq_lens_all = lens[seq_mask]
+    nlines = np.bincount(seq_line_read, minlength=n).astype(np.int64)
+    seq_lens = np.zeros(n, dtype=np.int64)
+    np.add.at(seq_lens, seq_line_read, seq_lens_all)
+    line_read_start = np.cumsum(nlines) - nlines  # first seq line of each read
+
+    for s in range(0, n, reads_per_block):
+        e = min(n, s + reads_per_block)
+        l0 = int(line_read_start[s])
+        l1 = int(line_read_start[e - 1] + nlines[e - 1])
+        yield ArrayBlock(
+            FASTA, e - s,
+            _gather(arr, starts[hdr_line[s:e]] + 1, lens[hdr_line[s:e]] - 1),
+            lens[hdr_line[s:e]] - 1,
+            _gather(arr, seq_starts_all[l0:l1], seq_lens_all[l0:l1]), seq_lens[s:e],
+            nlines=nlines[s:e], linelens=seq_lens_all[l0:l1],
+        )
+
+
+# ---------------------------------------------------------------------------
 # Writing (decompression output)
 # ---------------------------------------------------------------------------
 

@@ -120,6 +120,21 @@ def histogram(counts: np.ndarray, max_count: int = 255) -> np.ndarray:
 # (the distinct count, to pick the compaction bucket).
 
 
+@partial(jax.jit, static_argnames=("bucket", "k"))
+def _fused_sort_count(chunks: tuple, valids: tuple, bucket: int, k: int):
+    """Reshape+concat+pad+sort+count of a slab in one launch. chunks are
+    (B, P, W) canonical-kmer arrays; pad entries are invalid."""
+    W = chunks[0].shape[-1]
+    flat = jnp.concatenate([c.reshape(-1, W) for c in chunks], axis=0)
+    valid = jnp.concatenate([v.reshape(-1) for v in valids])
+    n = flat.shape[0]
+    if bucket > n:
+        flat = jnp.concatenate([flat, jnp.zeros((bucket - n, W), jnp.uint32)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros(bucket - n, bool)])
+    words_t = tuple(flat[:, W - 1 - j] for j in range(W))
+    return _sort_count_device(words_t, valid, k)
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def _compact_run(skeys: tuple, boundary, counts, out_size: int):
     """Scatter the distinct entries (boundary positions) of a sorted slab
@@ -209,38 +224,19 @@ class DeviceCounter:
         if self._pend_n >= self.slab:
             self._flush_slab()
 
-    def _gather_pending(self):
-        """Concat pending 3D chunks into flat (n, W) + (n,) arrays with a
-        minimal number of device ops (group equal shapes first)."""
-        W = self.W
-        groups: dict[tuple, list[int]] = {}
-        for i, c in enumerate(self._pend):
-            groups.setdefault(c.shape, []).append(i)
-        fparts, vparts = [], []
-        for shape, idxs in groups.items():
-            cs = [self._pend[i] for i in idxs]
-            vs = [self._pend_valid[i] for i in idxs]
-            c3 = jnp.concatenate(cs, axis=0) if len(cs) > 1 else cs[0]
-            v2 = jnp.concatenate(vs, axis=0) if len(vs) > 1 else vs[0]
-            fparts.append(c3.reshape(-1, W))
-            vparts.append(v2.reshape(-1))
-        flat = jnp.concatenate(fparts, axis=0) if len(fparts) > 1 else fparts[0]
-        valid = jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0]
-        self._pend, self._pend_valid, self._pend_n = [], [], 0
-        return flat, valid
-
     def _sorted_pending(self):
         """Sort+count the pending multiset (bucket-padded); returns
-        (skeys MSW-first, boundary, counts) without any host sync."""
-        W = self.W
-        flat, valid = self._gather_pending()
-        n = flat.shape[0]
+        (skeys MSW-first, boundary, counts) without any host sync.
+
+        The concat/pad/reshape/sort chain runs as ONE fused jit (static
+        chunk arity): over the TPU tunnel every eager op is a separate
+        remote program launch with ~0.1-1 s of service overhead, so the
+        launch count, not the FLOPs, is what this path optimizes."""
+        pend, valids = self._pend, self._pend_valid
+        self._pend, self._pend_valid, self._pend_n = [], [], 0
+        n = sum(int(c.shape[0] * c.shape[1]) for c in pend)
         bucket = _bucket_size(n)
-        if bucket > n:
-            flat = jnp.concatenate([flat, jnp.zeros((bucket - n, W), jnp.uint32)], axis=0)
-            valid = jnp.concatenate([valid, jnp.zeros(bucket - n, bool)])
-        words_t = tuple(flat[:, W - 1 - j] for j in range(W))
-        return _sort_count_device(words_t, valid, self.k)
+        return _fused_sort_count(tuple(pend), tuple(valids), bucket, self.k)
 
     def _flush_slab(self) -> None:
         if not self._pend:
@@ -287,11 +283,11 @@ class DeviceCounter:
     def finalize(self, abundance, bits_per_kmer: float, H: int, seed: int):
         """Returns (bitset device array, log2_m, cutoff, n_solid, hist).
 
-        Common case (multiset fit one slab, no runs yet): ONE sort + the
-        256-entry histogram transfer + the Bloom build — no compaction,
-        no per-slab distinct-count sync. The Bloom sort-dedup build works
-        directly on the sorted multiset (counts are 0 off-boundary, so
-        only the first occurrence of a solid k-mer scatters)."""
+        Launch discipline (the tunnel charges heavily per big program):
+        one fused concat+sort launch over the pending slab (or the run
+        merge), one compaction, then histogram + Bloom build sized to the
+        DISTINCT set. Host syncs: the distinct count (4 B) and the
+        256-entry histogram."""
         from leon_tpu.ops import bloom
 
         if not self._pend and not self._runs:
@@ -303,23 +299,27 @@ class DeviceCounter:
 
         if not self._runs:
             skeys, boundary, counts = self._sorted_pending()
+            nu = int(jnp.sum(boundary, dtype=jnp.int32))
+            keys_c, cnt_c = _compact_run(skeys, boundary, counts, _bucket_size(max(1, nu)))
         else:
             self._flush_slab()
             if len(self._runs) > 1:
-                skeys, boundary, counts = self._concat_and_merge()
+                skeys, boundary, summed = self._concat_and_merge()
+                nu = int(jnp.sum(boundary, dtype=jnp.int32))
+                keys_c, cnt_c = _compact_run(skeys, boundary, summed, _bucket_size(max(1, nu)))
             else:
-                keys_t, cnt_c, _b = self._runs[0]
-                skeys, boundary, counts = keys_t, cnt_c > 0, cnt_c
+                keys_c, cnt_c, _b = self._runs[0]
         self._runs, self._runs_n = [], 0
 
-        hist = np.asarray(_hist_of_sorted(boundary, counts))  # one transfer
+        # all downstream work (hist scatter, Bloom hash+sort) runs on the
+        # compacted distinct run — 5-30x smaller than the multiset
+        hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))  # one transfer
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
         n_solid = int(hist[min(cutoff, 255):].sum())
         log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
         W = self.W
-        words = jnp.stack([skeys[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
-        cnt_arr = jnp.where(boundary, counts, 0).astype(jnp.int32)
-        bitset = bloom.build_device(words, cnt_arr, jnp.int32(cutoff), log2_m, H, seed, self.k)
+        words = jnp.stack([keys_c[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
+        bitset = bloom.build_device(words, cnt_c, jnp.int32(cutoff), log2_m, H, seed, self.k)
         import sys as _sys
 
         warn = bloom.saturation_warning(n_solid, log2_m, H)

@@ -76,15 +76,28 @@ def canonical(fwd, rc):
     return canon, take_rc
 
 
-@partial(jax.jit, static_argnames=("k",))
-def kmer_scan(codes, lengths, k: int):
-    """All k-mers of a read batch.
+def pack_codes_np(codes: np.ndarray) -> np.ndarray:
+    """(B, L) u8 base codes -> (B, ceil(L/16)) u32, base j in bits 2j..2j+1
+    of word j//16. The H2D transfer format: the tunnel is bandwidth-bound,
+    so sequences ship 2-bit packed and unpack on device (VPU shifts)."""
+    B, L = codes.shape
+    pad = (-L) % 16
+    if pad:
+        codes = np.concatenate([codes, np.zeros((B, pad), np.uint8)], axis=1)
+    c = codes.reshape(B, -1, 16).astype(np.uint32)
+    sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    return (c << sh).sum(axis=2, dtype=np.uint32)
 
-    codes: (B, L) uint8 base codes 0..3 (exceptions pre-substituted with 0).
-    lengths: (B,) int32.
-    Returns (canon (B, P, W) u32, is_rc (B, P) bool, valid (B, P) bool)
-    with P = L - k + 1, position p covering bases [p, p+k).
-    """
+
+def unpack_codes_dev(packed, L: int):
+    """Device inverse of pack_codes_np: (B, W16) u32 -> (B, L) u8."""
+    B = packed.shape[0]
+    j = (jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    c = (packed[:, :, None] >> j) & jnp.uint32(3)
+    return c.reshape(B, -1)[:, :L].astype(jnp.uint8)
+
+
+def _kmer_scan_impl(codes, lengths, k: int):
     B, L = codes.shape
     W = words_for_k(k)
     P = L - k + 1
@@ -107,6 +120,25 @@ def kmer_scan(codes, lengths, k: int):
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
     return canon, is_rc, valid
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_scan(codes, lengths, k: int):
+    """All k-mers of a read batch.
+
+    codes: (B, L) uint8 base codes 0..3 (exceptions pre-substituted with 0).
+    lengths: (B,) int32.
+    Returns (canon (B, P, W) u32, is_rc (B, P) bool, valid (B, P) bool)
+    with P = L - k + 1, position p covering bases [p, p+k).
+    """
+    return _kmer_scan_impl(codes, lengths, k)
+
+
+@partial(jax.jit, static_argnames=("k", "L"))
+def kmer_scan_packed(packed, lengths, k: int, L: int):
+    """kmer_scan taking 2-bit packed codes (pack_codes_np layout) — 4x
+    fewer H2D bytes over the tunnel."""
+    return _kmer_scan_impl(unpack_codes_dev(packed, L), lengths, k)
 
 
 # ---------------------------------------------------------------------------

@@ -231,21 +231,23 @@ def _conf_mask(conf_r, conf_l, apos, k, L):
     return out[:, :L]
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif", "with_conf"))
-def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
-                         cap_err: int, cap_bif: int, with_conf: bool = True):
+def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
+                         cap_err: int, cap_bif: int, with_conf: bool):
     """Walk-encode with device-side event-stream compaction into ONE flat
-    u16 buffer (the D2H tunnel charges ~40 ms per transfer and ~15 MB/s,
-    so ship one small array). Event streams come out in exactly the
-    container's layout (read-major, right-then-left; FORMAT.md §6): the
-    host just slices and varint-encodes.
+    u16 buffer (the D2H tunnel is latency- and bandwidth-bound, so ship
+    one small array). Event streams come out in exactly the container's
+    layout (read-major, right-then-left; FORMAT.md §6): the host just
+    slices and varint-encodes.
 
     Layout: [total_err u32x2 | total_bif u32x2] (as 4 u16)
-            scal (B, 6): anchored, apos, nbif_r, nerr_r, nbif_l, nerr_l
+            scal: when ME <= 255, 3 u16/read (apos|anchored<<15,
+                  nerr_r|nbif_r<<8, nerr_l|nbif_l<<8 — counts fit u8
+                  exactly); else 6 u16/read (anchored, apos, nbif_r,
+                  nerr_r, nbif_l, nerr_l)
             errgap u16 (cap_err,) | errnt 2-bit in u16 (cap_err/8,)
             bif 2-bit in u16 (cap_bif/8,) | conf bits u16 (B, ceil(L/16)).
     Overflowing chunks are detected from the totals; the caller re-runs
-    them with encode_batch_dense.
+    them with larger caps or the dense layout.
     """
     if cap_err % 8 or cap_bif % 8:
         raise ValueError("event capacities must be multiples of 8")
@@ -284,15 +286,25 @@ def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, se
         return jnp.sum(v << sh, axis=1, dtype=jnp.uint32).astype(jnp.uint16)
 
     u16 = lambda x: jnp.maximum(x, 0).astype(jnp.uint16)
-    scal = jnp.concatenate(
-        [
-            e["anchored"].astype(jnp.uint16)[:, None],
-            u16(e["apos"])[:, None],
-            u16(nbif_r)[:, None], u16(nerr_r)[:, None],
-            u16(nbif_l)[:, None], u16(nerr_l)[:, None],
-        ],
-        axis=1,
-    )
+    if ME <= 255:
+        scal = jnp.stack(
+            [
+                u16(e["apos"]) | (e["anchored"].astype(jnp.uint16) << 15),
+                u16(nerr_r) | (u16(nbif_r) << 8),
+                u16(nerr_l) | (u16(nbif_l) << 8),
+            ],
+            axis=1,
+        )
+    else:
+        scal = jnp.concatenate(
+            [
+                e["anchored"].astype(jnp.uint16)[:, None],
+                u16(e["apos"])[:, None],
+                u16(nbif_r)[:, None], u16(nerr_r)[:, None],
+                u16(nbif_l)[:, None], u16(nerr_l)[:, None],
+            ],
+            axis=1,
+        )
 
     if with_conf:  # only the lossy quality transform reads this
         conf = _conf_mask(e["conf_r"], e["conf_l"], e["apos"], k, L)
@@ -328,18 +340,53 @@ def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, se
     )
 
 
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif", "with_conf"))
+def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
+                         cap_err: int, cap_bif: int, with_conf: bool = True):
+    """See _encode_compact_impl."""
+    return _encode_compact_impl(codes, lengths, bitset, k, H, log2_m, seed,
+                                cap_err, cap_bif, with_conf)
+
+
+@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif",
+                                   "with_conf", "L"))
+def encode_batch_compact_packed(packed, lengths, bitset, k: int, H: int, log2_m: int,
+                                seed: int, cap_err: int, cap_bif: int,
+                                with_conf: bool, L: int):
+    """encode_batch_compact taking 2-bit packed codes (kmer.pack_codes_np
+    layout) — 4x fewer H2D bytes over the tunnel."""
+    from leon_tpu.ops.kmer import unpack_codes_dev
+
+    return _encode_compact_impl(unpack_codes_dev(packed, L), lengths, bitset,
+                                k, H, log2_m, seed, cap_err, cap_bif, with_conf)
+
+
 def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
-                   cap_err: int, cap_bif: int, with_conf: bool = True) -> dict | None:
+                   cap_err: int, cap_bif: int, with_conf: bool = True,
+                   k: int = 0) -> dict | None:
     """Host-side unpack of encode_batch_compact's flat u16 buffer. Returns
-    None on capacity overflow (caller re-runs the dense path). `n` = true
-    reads (pad lanes have anchored=0 and no events)."""
+    None on capacity overflow (caller re-runs with larger caps or dense).
+    `n` = true reads (pad lanes have anchored=0 and no events). `k` selects
+    the packed-scal layout (ME = L - k <= 255 -> 3 u16/read)."""
     total_err = int(buf[0]) | (int(buf[1]) << 16)
     total_bif = int(buf[2]) | (int(buf[3]) << 16)
     if total_err > cap_err or total_bif > cap_bif:
         return None
+    ME = max(1, L - k)
     o = 4
-    scal = buf[o : o + 6 * B].reshape(B, 6)
-    o += 6 * B
+    if k and ME <= 255:
+        sp = buf[o : o + 3 * B].reshape(B, 3)
+        o += 3 * B
+        scal = np.empty((B, 6), dtype=np.uint16)
+        scal[:, 0] = sp[:, 0] >> 15                 # anchored
+        scal[:, 1] = sp[:, 0] & 0x7FFF              # apos
+        scal[:, 2] = sp[:, 1] >> 8                  # nbif_r
+        scal[:, 3] = sp[:, 1] & 0xFF                # nerr_r
+        scal[:, 4] = sp[:, 2] >> 8                  # nbif_l
+        scal[:, 5] = sp[:, 2] & 0xFF                # nerr_l
+    else:
+        scal = buf[o : o + 6 * B].reshape(B, 6)
+        o += 6 * B
     errgap = buf[o : o + cap_err]
     o += cap_err
     errnt16 = buf[o : o + cap_err // 8]

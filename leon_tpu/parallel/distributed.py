@@ -153,7 +153,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
                     ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed,
                     cap_err, cap_bif,
                 )
-                enc = walk.unpack_compact(np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif)
+                enc = walk.unpack_compact(np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif,
+                                          with_conf=True, k=k)
                 if enc is None:
                     enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
                     enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}

@@ -58,10 +58,13 @@ class Chunk:
 
     `codes`/`dev_len` are padded to exactly cfg.batch_reads lanes (a fixed
     device shape — unpadded tail chunks would each trigger a fresh XLA
-    compile); the seg_* arrays cover only the n true segments.
+    compile); the seg_* arrays cover only the n true segments. `packed`
+    is the 2-bit H2D form (kmer.pack_codes_np): sequences ship packed and
+    unpack on device — 4x fewer bytes over the bandwidth-bound tunnel.
     """
 
     codes: np.ndarray      # (B_pad, L) uint8, exceptions substituted, zero-padded
+    packed: np.ndarray     # (B_pad, ceil(L/16)) uint32
     dev_len: np.ndarray    # (B_pad,) int32 — 0 for pad lanes
     L: int                 # bucketed width
     n: int                 # true segments in this chunk
@@ -94,7 +97,7 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
         dev_pad = np.zeros(B, dtype=np.int32)
         dev_pad[:m] = sl
         yield Chunk(
-            codes=codes, dev_len=dev_pad, L=Lb, n=m,
+            codes=codes, packed=K.pack_codes_np(codes), dev_len=dev_pad, L=Lb, n=m,
             seg_read=prep.seg_read[s : s + B], seg_off=so, seg_len=sl,
         )
 
@@ -202,26 +205,38 @@ class _Placer:
 
 
 def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
-                       placer: Optional[_Placer] = None):
+                       placer: Optional[_Placer] = None,
+                       dev_cache: Optional[dict] = None):
     """Device-resident k-mer counting + Bloom build (reference: DSK
     SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). K-mers stream
     through fixed HBM slabs (sorted + compacted to distinct runs on device
     — the TPU analog of DSK's disk partitions); the Bloom filter is built
     on device from the merged run. Host traffic: one scalar per slab plus
     one 256-entry histogram.
+
+    dev_cache (non-stream mode): the packed code arrays uploaded here stay
+    on device keyed by chunk index, so the encode pass re-uses them — each
+    base crosses the tunnel once, 2-bit packed.
     Returns (bitset device array, log2_m, cutoff, n_solid)."""
+    import jax.numpy as jnp
+
     counter = count.DeviceCounter(
         k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
     )
     n_total = len(preps) if hasattr(preps, "__len__") else 0
+    ci = 0
     for ib, prep in enumerate(preps):
         for ch in chunk_block(prep, cfg, k):
+            ci += 1
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
-            codes, dlen = ch.codes, ch.dev_len
+            packed, dlen = ch.packed, ch.dev_len
             if placer is not None:
-                codes, dlen = placer.batch2(codes), placer.batch1(dlen)
-            canon, _, valid = K.kmer_scan(codes, dlen, k)
+                packed, dlen = placer.batch2(packed), placer.batch1(dlen)
+            packed = jnp.asarray(packed)
+            if dev_cache is not None:
+                dev_cache[ci - 1] = packed
+            canon, _, valid = K.kmer_scan_packed(packed, dlen, k, ch.L)
             counter.add(canon, valid)
         if n_total:
             _progress(cfg, "count", ib + 1, n_total)
@@ -326,6 +341,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             yield p
 
     placer = _Placer(cfg)
+    dev_cache: Optional[dict] = {} if not stream_mode else None
     prep_iter = preps if not stream_mode else iter_preps()
     use_host_count = False
     if ck is not None:
@@ -333,7 +349,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         bitset_j = jnp.asarray(bitset)
     else:
         try:
-            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(prep_iter, cfg, k, H, seed, placer)
+            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(
+                prep_iter, cfg, k, H, seed, placer, dev_cache
+            )
             bitset = None  # transferred lazily for the container
         except Exception as e:  # device/compiler failure: fall back
             import sys as _sys
@@ -399,9 +417,11 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     stream_sizes: dict[int, int] = {}
     n_anchored = 0
 
+    with_conf = meta.qual_mode == container.QUAL_LOSSY
+
     def process(item):
         nonlocal n_anchored, n_blocks_done
-        be, ch, packed = item
+        be, ch, inflight = item
         if ch is None:  # block finished
             payload, sizes = be.finish()
             writer.block(payload, be.block.n_reads)
@@ -410,16 +430,25 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
             return
         enc = None
-        if packed is not None:
-            buf, cap_err, cap_bif = packed
+        if inflight is not None:
+            buf, cap_err, cap_bif, packed_d, dlen_d = inflight
             B = ch.codes.shape[0]
             enc = walk.unpack_compact(
                 np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif,
-                with_conf=meta.qual_mode == container.QUAL_LOSSY,
+                with_conf=with_conf, k=k,
             )
             if enc is None:
-                # event capacity overflow (very high error rate chunk):
-                # recompute with the dense layout
+                # event capacity overflow (high error rate chunk): retry
+                # with 4x caps before falling back to the dense layout
+                buf2 = walk.encode_batch_compact_packed(
+                    packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+                    4 * cap_err, 4 * cap_bif, with_conf, ch.L,
+                )
+                enc = walk.unpack_compact(
+                    np.asarray(buf2), ch.n, B, ch.L, 4 * cap_err, 4 * cap_bif,
+                    with_conf=with_conf, k=k,
+                )
+            if enc is None:
                 enc_j = walk.encode_batch(
                     ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed
                 )
@@ -435,23 +464,27 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     from collections import deque
 
     pending: deque = deque()
+    ci = 0
     for block, prep in iter_bp():
         be = blockcodec.BlockEncoder(cfg, meta, adict, block, prep)
         for ch in chunk_block(prep, cfg, k):
-            packed = None
+            ci += 1
+            inflight = None
             if ch.L >= k + 1 and (ch.dev_len >= k).any():
                 B = ch.codes.shape[0]
                 cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
                 cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
-                codes_d, dlen_d = placer.batch2(ch.codes), placer.batch1(ch.dev_len)
-                buf = walk.encode_batch_compact(
-                    codes_d, dlen_d, bitset_j, k, H, log2_m, seed,
-                    cap_err, cap_bif,
-                    with_conf=meta.qual_mode == container.QUAL_LOSSY,
+                packed_d = dev_cache.pop(ci - 1, None) if dev_cache is not None else None
+                if packed_d is None:
+                    packed_d = placer.batch2(ch.packed) if placer.mesh else jnp.asarray(ch.packed)
+                dlen_d = placer.batch1(ch.dev_len)
+                buf = walk.encode_batch_compact_packed(
+                    packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+                    cap_err, cap_bif, with_conf, ch.L,
                 )
                 buf.copy_to_host_async()
-                packed = (buf, cap_err, cap_bif)
-            pending.append((be, ch, packed))
+                inflight = (buf, cap_err, cap_bif, packed_d, dlen_d)
+            pending.append((be, ch, inflight))
             while len(pending) > cfg.max_inflight_chunks:
                 process(pending.popleft())
         pending.append((be, None, None))
