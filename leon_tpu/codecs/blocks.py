@@ -191,10 +191,16 @@ class BlockPrep:
         return self.seg_read.shape[0]
 
 
-def prepare_block(block: bank.SeqBlock, seglen: int) -> BlockPrep:
+def prepare_block(block, seglen: int) -> BlockPrep:
+    """Accepts a bank.SeqBlock (per-read lists) or bank.ArrayBlock (the
+    vectorized parser's concatenated-array form — no per-read objects)."""
     n = block.n_reads
-    lens = np.array([len(s) for s in block.seqs], dtype=np.int64)
-    flat = np.frombuffer(b"".join(block.seqs), dtype=np.uint8)
+    if isinstance(block, bank.ArrayBlock):
+        lens = block.seq_lens.astype(np.int64)
+        flat = block.seq_cat
+    else:
+        lens = np.array([len(s) for s in block.seqs], dtype=np.int64)
+        flat = np.frombuffer(b"".join(block.seqs), dtype=np.uint8)
     codes_f = K._CODE[flat]
     exc_f = codes_f == 255
     codes_f = np.where(exc_f, 0, codes_f)
@@ -252,22 +258,32 @@ class BlockEncoder:
         self.errnt = bytearray()
         self.bif = bytearray()
         self.rawseq = bytearray()
+        is_arr = isinstance(block, bank.ArrayBlock)
         # per-read bits for flag placement on first segments
         self._read_bits = np.zeros(block.n_reads, dtype=np.uint8)
         for i, p in enumerate(prep.exc_pos):
             if p is not None:
                 self._read_bits[i] |= F_HASEXC
-        if block.fmt == bank.FASTQ and block.pluses is not None:
-            for i, p in enumerate(block.pluses):
-                if p:
-                    self._read_bits[i] |= F_HASPLUS
+        if block.fmt == bank.FASTQ:
+            if is_arr:
+                if block.plus_lens is not None:
+                    self._read_bits[block.plus_lens > 0] |= F_HASPLUS
+            elif block.pluses is not None:
+                for i, p in enumerate(block.pluses):
+                    if p:
+                        self._read_bits[i] |= F_HASPLUS
         # mutable concatenated qualities for the lossy transform
         self.qual_arr: Optional[np.ndarray] = None
         self.qual_start: Optional[np.ndarray] = None
         if meta.qual_mode:
-            qcat = b"".join(block.quals) if block.quals else b""
-            self.qual_arr = np.frombuffer(qcat, dtype=np.uint8).copy()
-            qlens = np.array([len(q) for q in (block.quals or [])], dtype=np.int64)
+            if is_arr:
+                self.qual_arr = (block.qual_cat if block.qual_cat is not None
+                                 else np.zeros(0, np.uint8)).copy()
+                qlens = block.seq_lens.astype(np.int64)  # validated == qual lens
+            else:
+                qcat = b"".join(block.quals) if block.quals else b""
+                self.qual_arr = np.frombuffer(qcat, dtype=np.uint8).copy()
+                qlens = np.array([len(q) for q in (block.quals or [])], dtype=np.int64)
             self.qual_start = np.concatenate(([0], np.cumsum(qlens)[:-1])) if qlens.size else np.zeros(0, np.int64)
 
     def add_subbatch(self, sb: SubbatchData) -> None:
@@ -403,20 +419,44 @@ class BlockEncoder:
         if self.meta.qual_mode and self.qual_arr is not None:
             add(S_QUALS, self.qual_arr.tobytes(), try_o1=True)
         self.qual_arr = None
+        is_arr = isinstance(block, bank.ArrayBlock)
         if block.fmt == bank.FASTQ:
             plus = bytearray()
-            for p in block.pluses:
-                if p:
-                    varint.encode_one(len(p), plus)
-                    plus += p
+            if is_arr:
+                pl = block.plus_lens
+                if pl is not None and (pl > 0).any():
+                    pcat = block.plus_cat or b""
+                    ends = np.cumsum(pl)
+                    for i in np.flatnonzero(pl > 0):
+                        varint.encode_one(int(pl[i]), plus)
+                        plus += pcat[int(ends[i] - pl[i]) : int(ends[i])]
+            else:
+                for p in block.pluses:
+                    if p:
+                        varint.encode_one(len(p), plus)
+                        plus += p
             add(S_PLUSLINE, bytes(plus))
+        elif is_arr:
+            # vals per read: nlines, then the first nlines-1 line lengths
+            # (vectorized scatter from the flat linelens array)
+            nl = block.nlines.astype(np.int64)
+            ll = block.linelens.astype(np.int64)
+            counts = np.maximum(nl - 1, 0)
+            per = 1 + counts
+            vals = np.zeros(int(per.sum()), dtype=np.uint64)
+            starts = np.cumsum(per) - per
+            vals[starts] = nl.astype(np.uint64)
+            if counts.any():
+                grp = np.cumsum(nl) - nl
+                vals[_ragged_dst(starts + 1, counts)] = ll[_ragged_dst(grp, counts)].astype(np.uint64)
+            add(S_FASTALINES, varint.encode_array(vals))
         else:
-            vals: list[int] = []
+            vals_l: list[int] = []
             for lens_ in block.line_lens:
-                vals.append(len(lens_))
+                vals_l.append(len(lens_))
                 if len(lens_) > 1:
-                    vals.extend(lens_[:-1])
-            add(S_FASTALINES, varint.encode_array(np.asarray(vals, dtype=np.uint64)))
+                    vals_l.extend(lens_[:-1])
+            add(S_FASTALINES, varint.encode_array(np.asarray(vals_l, dtype=np.uint64)))
 
         # entropy-frame the streams on the host worker pool (-nb-cores,
         # reference: Dispatcher threads, README.md:47-48); zlib and the

@@ -273,27 +273,133 @@ def _gather(arr, starts, lens):
     return arr[ragged_dst(starts, lens)]
 
 
-def read_blocks_arrays(path: str, reads_per_block: int):
-    """Yield ArrayBlocks via the vectorized parser. Raises IrregularInput
-    (possibly after yielding blocks — callers must restart with
-    read_blocks) when the input needs the tolerant parser. gz input is
-    decompressed through the same path."""
+_ARRAY_CHUNK_BYTES = 1 << 28  # streaming parse granularity (256 MB)
+
+
+def validate_arrays(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
+    """True when the input parses on the vectorized array path (regular
+    structure). Streaming and cheap — a line scan with first-byte checks,
+    no gathers — so callers can commit to one parser for multi-pass runs
+    instead of handling a mid-stream IrregularInput."""
     import numpy as np
 
     with _open(path) as f:
-        data = f.read()
-    if not data:
-        raise ValueError(f"{path}: empty input")
-    arr, starts, lens = _line_index(data)
-    if lens.size == 0:
-        raise ValueError(f"{path}: empty input")
-    first = arr[starts[0]] if lens[0] else 0
-    if first == ord(">"):
-        yield from _fasta_blocks_arrays(path, arr, starts, lens, reads_per_block)
-    elif first == ord("@"):
-        yield from _fastq_blocks_arrays(path, arr, starts, lens, reads_per_block)
-    else:
-        raise IrregularInput(f"{path}: leading blank or unknown first byte")
+        head = f.read(1)
+        if head == b">":
+            return True  # FASTA: only pre-'>' content is irregular
+        if head != b"@":
+            return False
+        carry = head  # the '@' byte rejoins its line below
+        nlines = 0
+        while True:
+            data = f.read(chunk_bytes)
+            eof = not data
+            buf = carry + data if carry else data
+            if not buf:
+                break
+            bar = np.frombuffer(buf, dtype=np.uint8)
+            nl = np.flatnonzero(bar == 10)
+            ncl = nl.size  # complete (newline-terminated) lines
+            if ncl:
+                starts = np.concatenate([np.zeros(1, np.int64), nl[:-1] + 1])
+                lens = nl - starts
+                tail = buf[int(nl[-1]) + 1 :]
+            else:
+                starts = np.zeros(0, np.int64)
+                lens = starts
+                tail = buf
+            if eof and tail:
+                # unterminated final line
+                starts = np.concatenate([starts, [len(buf) - len(tail)]])
+                lens = np.concatenate([lens, [len(tail)]])
+                ncl += 1
+                tail = b""
+            if ncl:
+                phase = (nlines + np.arange(ncl, dtype=np.int64)) % 4
+                h = phase == 0
+                if (lens[h] == 0).any() or not (bar[starts[h]] == ord("@")).all():
+                    return False
+                p = phase == 2
+                if (lens[p] == 0).any() or not (bar[starts[p]] == ord("+")).all():
+                    return False
+                nlines += ncl
+            carry = tail
+            if eof:
+                break
+        return nlines % 4 == 0 and nlines > 0
+
+
+def read_blocks_arrays(path: str, reads_per_block: int,
+                       chunk_bytes: int = _ARRAY_CHUNK_BYTES):
+    """Yield ArrayBlocks via the vectorized parser, streaming the file in
+    ~chunk_bytes pieces (constant memory; gz decompresses through the same
+    path). Block boundaries are identical to read_blocks at any
+    chunk_bytes: chunks cut at record boundaries that are also
+    reads_per_block boundaries, the remainder carrying forward.
+
+    Raises IrregularInput on structure the tolerant parser accepts (blank
+    filler lines etc.) — run validate_arrays first to choose the parser
+    upfront; the raise here is a safety net only."""
+    import numpy as np
+
+    with _open(path) as f:
+        carry = b""
+        fmt = None
+        n_done = 0
+        while True:
+            data = f.read(chunk_bytes)
+            eof = not data
+            buf = carry + data if carry else data
+            carry = b""
+            if not buf:
+                if fmt is None and n_done == 0:
+                    raise ValueError(f"{path}: empty input")
+                break
+            if fmt is None:
+                b0 = buf[0:1]
+                if b0 == b">":
+                    fmt = FASTA
+                elif b0 == b"@":
+                    fmt = FASTQ
+                else:
+                    raise IrregularInput(f"{path}: leading blank or unknown first byte")
+            arr, starts, lens = _line_index(buf)
+            ncl = lens.size
+            if not eof and not buf.endswith(b"\n"):
+                ncl -= 1  # partial trailing line: carry it
+            if fmt == FASTQ:
+                nrec = ncl // 4
+                if eof and ncl % 4:
+                    raise IrregularInput(f"{path}: line count not a multiple of 4")
+                rec_start_line = np.arange(0, 4 * nrec + 1, 4, dtype=np.int64)
+            else:
+                hdr_lines = np.flatnonzero(
+                    (lens[:ncl] > 0) & (arr[starts[:ncl]] == ord(">"))
+                ) if ncl else np.zeros(0, np.int64)
+                # the last record may continue into the next chunk
+                nrec = hdr_lines.size if eof else max(0, hdr_lines.size - 1)
+                rec_start_line = np.concatenate([hdr_lines, [ncl]])
+            emit = (nrec if eof
+                    else ((n_done + nrec) // reads_per_block) * reads_per_block - n_done)
+            if emit > 0:
+                last_line = int(rec_start_line[emit]) if emit < len(rec_start_line) else ncl
+                if fmt == FASTQ:
+                    yield from _fastq_blocks_arrays(
+                        path, arr, starts[:last_line], lens[:last_line], reads_per_block
+                    )
+                else:
+                    yield from _fasta_blocks_arrays(
+                        path, arr, starts[:last_line], lens[:last_line], reads_per_block
+                    )
+                n_done += emit
+                cut = int(starts[last_line]) if last_line < lens.size else len(buf)
+                carry = buf[cut:]
+            else:
+                carry = buf
+            if eof:
+                break
+        if n_done == 0 and fmt is not None:
+            raise IrregularInput(f"{path}: no complete records")
 
 
 def _fastq_blocks_arrays(path, arr, starts, lens, reads_per_block):

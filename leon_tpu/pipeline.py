@@ -61,16 +61,24 @@ class Chunk:
     compile); the seg_* arrays cover only the n true segments. `packed`
     is the 2-bit H2D form (kmer.pack_codes_np): sequences ship packed and
     unpack on device — 4x fewer bytes over the bandwidth-bound tunnel.
+    It is computed lazily: the encode pass never packs when the count
+    pass's device-resident copy is reused.
     """
 
     codes: np.ndarray      # (B_pad, L) uint8, exceptions substituted, zero-padded
-    packed: np.ndarray     # (B_pad, ceil(L/16)) uint32
     dev_len: np.ndarray    # (B_pad,) int32 — 0 for pad lanes
     L: int                 # bucketed width
     n: int                 # true segments in this chunk
     seg_read: np.ndarray   # (n,)
     seg_off: np.ndarray    # (n,)
     seg_len: np.ndarray    # (n,)
+    _packed: Optional[np.ndarray] = None
+
+    @property
+    def packed(self) -> np.ndarray:  # (B_pad, ceil(L/16)) uint32
+        if self._packed is None:
+            self._packed = K.pack_codes_np(self.codes)
+        return self._packed
 
 
 def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator[Chunk]:
@@ -97,7 +105,7 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
         dev_pad = np.zeros(B, dtype=np.int32)
         dev_pad[:m] = sl
         yield Chunk(
-            codes=codes, packed=K.pack_codes_np(codes), dev_len=dev_pad, L=Lb, n=m,
+            codes=codes, dev_len=dev_pad, L=Lb, n=m,
             seg_read=prep.seg_read[s : s + B], seg_off=so, seg_len=sl,
         )
 
@@ -295,20 +303,32 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
     seq_only_conv = fmt == bank.FASTQ and cfg.seq_only
 
-    def conv(b: bank.SeqBlock) -> bank.SeqBlock:
-        if seq_only_conv:
-            return bank.SeqBlock(
-                bank.FASTA, b.headers, b.seqs,
-                line_lens=[[len(s)] if len(s) else [] for s in b.seqs],
-            )
-        return b
+    def conv(b):
+        if not seq_only_conv:
+            return b
+        if isinstance(b, bank.ArrayBlock):
+            return b.to_seq_only_fasta()
+        return bank.SeqBlock(
+            bank.FASTA, b.headers, b.seqs,
+            line_lens=[[len(s)] if len(s) else [] for s in b.seqs],
+        )
+
+    # choose the parser ONCE (both passes must agree): vectorized array
+    # parser for regular structure, tolerant per-line parser otherwise
+    # (blank filler lines etc.). The validator is a streaming line scan.
+    use_array_parser = bank.validate_arrays(input_path)
+
+    def raw_blocks():
+        if use_array_parser:
+            yield from bank.read_blocks_arrays(input_path, cfg.reads_per_block)
+        else:
+            yield from bank.read_blocks(input_path, cfg.reads_per_block)
 
     if not stream_mode:
-        parse = bank.parse_all(input_path, cfg.reads_per_block)
-        blocks = [conv(b) for b in parse.blocks]
+        blocks = [conv(b) for b in raw_blocks()]
         preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
-        n_reads = parse.n_reads
-        final_nl = parse.final_newline
+        n_reads = sum(b.n_reads for b in blocks)
+        final_nl = bank.final_newline(input_path)
         n_blocks = len(blocks)
 
         def iter_bp():
@@ -321,7 +341,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         n_blocks = 0  # unknown until a pass completes
 
         def iter_bp():
-            for b in bank.read_blocks(input_path, cfg.reads_per_block):
+            for b in raw_blocks():
                 b = conv(b)
                 yield b, blockcodec.prepare_block(b, cfg.max_device_len)
 
