@@ -42,6 +42,7 @@ S_PLUSLINE = 13
 S_FASTALINES = 14
 S_EXCGAP = 15
 S_EXCBYTE = 16
+S_QUALLINES = 17  # wrapped FASTQ: quality line structure (when != seq's)
 
 F_ANCHORED = 1
 F_ORIENT = 2
@@ -240,6 +241,18 @@ class SubbatchData:
     enc: Optional[dict]
 
 
+def _encode_line_struct(line_lens: list) -> bytes:
+    """Streams 14/17 payload: per read varint n_lines; if n_lines > 1,
+    n_lines-1 varint line lengths (the last line length is implied by the
+    read's total length)."""
+    vals: list[int] = []
+    for lens_ in line_lens:
+        vals.append(len(lens_))
+        if len(lens_) > 1:
+            vals.extend(lens_[:-1])
+    return varint.encode_array(np.asarray(vals, dtype=np.uint64))
+
+
 class BlockEncoder:
     """Accumulates one container block's streams sub-batch by sub-batch."""
 
@@ -436,6 +449,12 @@ class BlockEncoder:
                         varint.encode_one(len(p), plus)
                         plus += p
             add(S_PLUSLINE, bytes(plus))
+            # wrapped records: per-read line structure (stream 14 for the
+            # sequence lines, 17 for the quality lines when they differ)
+            if not is_arr and block.line_lens is not None:
+                add(S_FASTALINES, _encode_line_struct(block.line_lens))
+                if block.qual_line_lens != block.line_lens:
+                    add(S_QUALLINES, _encode_line_struct(block.qual_line_lens))
         elif is_arr:
             # vals per read: nlines, then the first nlines-1 line lengths
             # (vectorized scatter from the flat linelens array)
@@ -451,12 +470,7 @@ class BlockEncoder:
                 vals[_ragged_dst(starts + 1, counts)] = ll[_ragged_dst(grp, counts)].astype(np.uint64)
             add(S_FASTALINES, varint.encode_array(vals))
         else:
-            vals_l: list[int] = []
-            for lens_ in block.line_lens:
-                vals_l.append(len(lens_))
-                if len(lens_) > 1:
-                    vals_l.extend(lens_[:-1])
-            add(S_FASTALINES, varint.encode_array(np.asarray(vals_l, dtype=np.uint64)))
+            add(S_FASTALINES, _encode_line_struct(block.line_lens))
 
         # entropy-frame the streams on the host worker pool (-nb-cores,
         # reference: Dispatcher threads, README.md:47-48); zlib and the
@@ -511,8 +525,39 @@ class DecodedBlock:
     quals_concat: Optional[bytes]
     plus_lens: np.ndarray          # (n_reads,) text length after '+'
     plus_cat: bytes                # concatenated '+' texts
-    fasta_nlines: Optional[np.ndarray]    # FASTA: lines per read
-    fasta_linelens: Optional[np.ndarray]  # FASTA: all line lengths, flat
+    fasta_nlines: Optional[np.ndarray]    # seq lines per read (FASTA; wrapped FASTQ)
+    fasta_linelens: Optional[np.ndarray]  # all seq line lengths, flat
+    qual_nlines: Optional[np.ndarray] = None    # wrapped FASTQ qual lines
+    qual_linelens: Optional[np.ndarray] = None
+
+
+def _decode_line_struct(payload: bytes, n_reads: int, lengths: np.ndarray):
+    """Inverse of _encode_line_struct: (nlines (n,), linelens flat).
+    Per read: nlines, then nlines-1 explicit lens (last is derived from
+    the read's total length). The count positions are a sequential scan
+    (cheap int loop); the len extraction + last-line derivation is
+    vectorized."""
+    vals = varint.decode_array(payload).astype(np.int64)
+    nl_arr = np.empty(n_reads, dtype=np.int64)
+    cpos = np.empty(n_reads, dtype=np.int64)
+    vp = 0
+    for i in range(n_reads):
+        cpos[i] = vp
+        nl = int(vals[vp])
+        nl_arr[i] = nl
+        vp += 1 + (nl - 1 if nl > 1 else 0)
+    given_counts = np.maximum(nl_arr - 1, 0)
+    given = vals[_ragged_dst(cpos + 1, given_counts)] if given_counts.any() else np.zeros(0, np.int64)
+    sums = np.zeros(n_reads, dtype=np.int64)
+    np.add.at(sums, np.repeat(np.arange(n_reads), given_counts), given)
+    last = lengths - sums
+    total_lines = int(nl_arr.sum())
+    linelens = np.empty(total_lines, dtype=np.int64)
+    grp_start = np.cumsum(nl_arr) - nl_arr
+    linelens[_ragged_dst(grp_start, given_counts)] = given
+    has = nl_arr >= 1
+    linelens[grp_start[has] + nl_arr[has] - 1] = last[has]
+    return nl_arr, linelens
 
 
 def parse_block(payload: bytes, meta) -> DecodedBlock:
@@ -603,31 +648,22 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
 
     fasta_nlines = None
     fasta_linelens = None
+    qual_nlines = None
+    qual_linelens = None
     if meta.fmt == bank.FASTA:
-        vals = varint.decode_array(sdata.get(S_FASTALINES, b"")).astype(np.int64)
-        # per read: nlines, then nlines-1 explicit lens (last is derived).
-        # The count positions are a sequential scan (cheap int loop); the
-        # len extraction + last-line derivation is vectorized.
-        nl_arr = np.empty(n_reads, dtype=np.int64)
-        cpos = np.empty(n_reads, dtype=np.int64)
-        vp = 0
-        for i in range(n_reads):
-            cpos[i] = vp
-            nl = int(vals[vp])
-            nl_arr[i] = nl
-            vp += 1 + (nl - 1 if nl > 1 else 0)
-        given_counts = np.maximum(nl_arr - 1, 0)
-        given = vals[_ragged_dst(cpos + 1, given_counts)] if given_counts.any() else np.zeros(0, np.int64)
-        sums = np.zeros(n_reads, dtype=np.int64)
-        np.add.at(sums, np.repeat(np.arange(n_reads), given_counts), given)
-        last = lengths - sums
-        total_lines = int(nl_arr.sum())
-        fasta_linelens = np.empty(total_lines, dtype=np.int64)
-        grp_start = np.cumsum(nl_arr) - nl_arr
-        fasta_linelens[_ragged_dst(grp_start, given_counts)] = given
-        has = nl_arr >= 1
-        fasta_linelens[grp_start[has] + nl_arr[has] - 1] = last[has]
-        fasta_nlines = nl_arr
+        fasta_nlines, fasta_linelens = _decode_line_struct(
+            sdata.get(S_FASTALINES, b""), n_reads, lengths
+        )
+    elif S_FASTALINES in sdata:  # wrapped FASTQ (rare)
+        fasta_nlines, fasta_linelens = _decode_line_struct(
+            sdata[S_FASTALINES], n_reads, lengths
+        )
+        if S_QUALLINES in sdata:
+            qual_nlines, qual_linelens = _decode_line_struct(
+                sdata[S_QUALLINES], n_reads, lengths
+            )
+        else:
+            qual_nlines, qual_linelens = fasta_nlines, fasta_linelens
 
     return DecodedBlock(
         n_reads=n_reads, lengths=lengths,
@@ -643,4 +679,5 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
         quals_concat=sdata.get(S_QUALS),
         plus_lens=plus_lens, plus_cat=plus_cat,
         fasta_nlines=fasta_nlines, fasta_linelens=fasta_linelens,
+        qual_nlines=qual_nlines, qual_linelens=qual_linelens,
     )

@@ -46,7 +46,10 @@ class SeqBlock:
     seqs: list[bytes]                    # raw sequence bytes (no newlines)
     quals: Optional[list[bytes]] = None  # FASTQ only
     pluses: Optional[list[bytes]] = None  # FASTQ: text after '+', None entry = empty
-    line_lens: Optional[list[list[int]]] = None  # FASTA: seq line lengths per read
+    line_lens: Optional[list[list[int]]] = None  # seq line lengths per read
+    # FASTQ wrapped records only: quality line lengths per read (None =
+    # same structure as the sequence lines)
+    qual_line_lens: Optional[list[list[int]]] = None
 
     @property
     def n_reads(self) -> int:
@@ -144,11 +147,32 @@ def _read_fasta(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
 
 
 def _read_fastq(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
+    """Tolerant FASTQ parser. Accepts wrapped (multi-line) records like the
+    GATB bank does [R]: sequence lines accumulate until the '+' separator,
+    quality lines until their total length matches the sequence. Line
+    structure is preserved (line_lens / qual_line_lens) so wrapped inputs
+    round-trip byte-exactly via streams 14/17 (FORMAT.md §6)."""
     headers: list[bytes] = []
     seqs: list[bytes] = []
     quals: list[bytes] = []
     pluses: list[bytes] = []
+    slines: list[list[int]] = []
+    qlines: list[list[int]] = []
+    any_wrapped = False
 
+    def emit() -> SeqBlock:
+        nonlocal headers, seqs, quals, pluses, slines, qlines, any_wrapped
+        b = SeqBlock(
+            FASTQ, headers, seqs, quals=quals, pluses=pluses,
+            line_lens=slines if any_wrapped else None,
+            qual_line_lens=qlines if any_wrapped else None,
+        )
+        headers, seqs, quals, pluses = [], [], [], []
+        slines, qlines = [], []
+        any_wrapped = False
+        return b
+
+    strip = lambda x: x[:-1] if x.endswith(b"\n") else x
     with _open(path) as f:
         while True:
             h = f.readline()
@@ -159,27 +183,52 @@ def _read_fastq(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
                 continue
             if h[:1] != b"@":
                 raise ValueError(f"{path}: bad FASTQ header line {h[:40]!r}")
-            s = f.readline()
-            p = f.readline()
-            q = f.readline()
-            if not q and not p:
-                raise ValueError(f"{path}: truncated FASTQ record")
-            if p[:1] != b"+":
-                raise ValueError(f"{path}: bad FASTQ '+' line {p[:40]!r}")
-            strip = lambda x: x[:-1] if x.endswith(b"\n") else x
-            headers.append(strip(h)[1:])
-            seqs.append(strip(s))
-            pluses.append(strip(p)[1:])
-            quals.append(strip(q))
-            if len(seqs[-1]) != len(quals[-1]):
+            # sequence lines until the '+' separator; the FIRST line is
+            # always sequence (matches the strict 4-line reading of records
+            # whose sequence bytes happen to start with '+')
+            sparts: list[bytes] = []
+            while True:
+                line = f.readline()
+                if not line:
+                    raise ValueError(f"{path}: truncated FASTQ record")
+                if line[:1] == b"+" and sparts:
+                    p = line
+                    break
+                sparts.append(strip(line))
+            seq = b"".join(sparts)
+            # quality lines until their total length matches the sequence
+            qparts: list[bytes] = []
+            got = 0
+            while True:
+                if got >= len(seq) and qparts:
+                    break
+                line = f.readline()
+                if not line:
+                    if got == len(seq):
+                        break  # EOF: tolerate a missing final empty qual line
+                    raise ValueError(f"{path}: truncated FASTQ record")
+                ql = strip(line)
+                qparts.append(ql)
+                got += len(ql)
+                if got > len(seq):
+                    break  # overshoot: reported as mismatch below
+            qual = b"".join(qparts)
+            if len(qual) != len(seq):
                 raise ValueError(
-                    f"{path}: seq/qual length mismatch in record {len(headers)}"
+                    f"{path}: seq/qual length mismatch in record {len(headers) + 1}"
                 )
+            headers.append(strip(h)[1:])
+            seqs.append(seq)
+            pluses.append(strip(p)[1:])
+            quals.append(qual)
+            slines.append([len(x) for x in sparts])
+            qlines.append([len(x) for x in qparts])
+            if len(sparts) != 1 or len(qparts) != 1:
+                any_wrapped = True
             if len(headers) == reads_per_block:
-                yield SeqBlock(FASTQ, headers, seqs, quals=quals, pluses=pluses)
-                headers, seqs, quals, pluses = [], [], [], []
+                yield emit()
     if headers:
-        yield SeqBlock(FASTQ, headers, seqs, quals=quals, pluses=pluses)
+        yield emit()
 
 
 def parse_all(path: str, reads_per_block: int) -> ParseResult:
@@ -466,6 +515,26 @@ def _fasta_blocks_arrays(path, arr, starts, lens, reads_per_block):
 # ---------------------------------------------------------------------------
 
 
+def _scatter_lines(buf, area_start, nl, ll, src, ragged_dst) -> None:
+    """Scatter per-read wrapped lines + newlines into buf. area_start (n,)
+    is each read's line-area start; nl (n,) lines per read; ll flat line
+    lengths in read order; src the flat payload bytes."""
+    import numpy as np
+
+    n = area_start.shape[0]
+    if not int(nl.sum()):
+        return
+    line_read = np.repeat(np.arange(n), nl)
+    steps = ll + 1
+    cs = np.cumsum(steps)
+    grp_start = np.cumsum(nl) - nl
+    base = np.where(grp_start > 0, cs[np.maximum(grp_start - 1, 0)], 0)
+    within_start = cs - np.repeat(base, nl) - steps
+    line_start = area_start[line_read] + within_start
+    buf[ragged_dst(line_start, ll)] = src
+    buf[line_start + ll] = 10
+
+
 def write_records_arrays(
     out,
     fmt: int,
@@ -478,6 +547,8 @@ def write_records_arrays(
     plus_cat: bytes = b"",
     fasta_nlines=None,
     fasta_linelens=None,
+    qual_nlines=None,
+    qual_linelens=None,
 ) -> None:
     """Fully vectorized record assembly (the decompress hot path): builds
     the block's output bytes with numpy ragged scatters — no per-read
@@ -500,7 +571,31 @@ def write_records_arrays(
     hcat_a = np.frombuffer(hcat, dtype=np.uint8)
     seq_a = np.asarray(seq_flat, dtype=np.uint8)
 
-    if fmt == FASTQ:
+    if fmt == FASTQ and fasta_nlines is not None:
+        # wrapped FASTQ (rare): explicit seq/qual line structure
+        snl = fasta_nlines.astype(np.int64)
+        sll = fasta_linelens.astype(np.int64)
+        qnl = qual_nlines.astype(np.int64)
+        qll = qual_linelens.astype(np.int64)
+        pl = np.zeros(n, np.int64) if plus_lens is None else plus_lens.astype(np.int64)
+        rec = 1 + hlens + 1 + lengths + snl + 1 + pl + 1 + lengths + qnl
+        off = np.cumsum(rec) - rec
+        buf = np.empty(int(rec.sum()), dtype=np.uint8)
+        buf[off] = ord("@")
+        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        p1 = off + 1 + hlens
+        buf[p1] = 10
+        _scatter_lines(buf, p1 + 1, snl, sll, seq_a, ragged_dst)
+        p2 = p1 + 1 + lengths + snl
+        buf[p2] = ord("+")
+        if pl.any():
+            buf[ragged_dst(p2 + 1, pl)] = np.frombuffer(plus_cat, dtype=np.uint8)
+        p3 = p2 + 1 + pl
+        buf[p3] = 10
+        qsrc = (np.full(int(lengths.sum()), ord("I"), np.uint8) if qcat is None
+                else np.frombuffer(qcat, dtype=np.uint8))
+        _scatter_lines(buf, p3 + 1, qnl, qll, qsrc, ragged_dst)
+    elif fmt == FASTQ:
         pl = np.zeros(n, np.int64) if plus_lens is None else plus_lens.astype(np.int64)
         rec = hlens + 2 * lengths + pl + 6
         off = np.cumsum(rec) - rec
@@ -534,17 +629,7 @@ def write_records_arrays(
         buf[ragged_dst(off + 1, hlens)] = hcat_a
         p1 = off + 1 + hlens
         buf[p1] = 10
-        # per-line output starts: read's seq area + preceding (len+1) runs
-        if int(nl.sum()):
-            line_read = np.repeat(np.arange(n), nl)
-            steps = ll + 1
-            cs = np.cumsum(steps)
-            grp_start = np.cumsum(nl) - nl
-            base = np.where(grp_start > 0, cs[np.maximum(grp_start - 1, 0)], 0)
-            within_start = cs - np.repeat(base, nl) - steps
-            line_start = (p1 + 1)[line_read] + within_start
-            buf[ragged_dst(line_start, ll)] = seq_a
-            buf[line_start + ll] = 10
+        _scatter_lines(buf, p1 + 1, nl, ll, seq_a, ragged_dst)
     out.write(buf.tobytes())
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from leon_tpu.utils.trace import tr
+
 
 @partial(jax.jit, static_argnames=("k",))
 def _sort_count_device(words_t: tuple, valid, k: int = 0):
@@ -299,8 +301,11 @@ class DeviceCounter:
 
         if not self._runs:
             skeys, boundary, counts = self._sorted_pending()
+            tr("count.fin.sort_dispatched")
             nu = int(jnp.sum(boundary, dtype=jnp.int32))
+            tr(f"count.fin.nu_sync nu={nu}")
             keys_c, cnt_c = _compact_run(skeys, boundary, counts, _bucket_size(max(1, nu)))
+            tr("count.fin.compacted")
         else:
             self._flush_slab()
             if len(self._runs) > 1:
@@ -314,12 +319,14 @@ class DeviceCounter:
         # all downstream work (hist scatter, Bloom hash+sort) runs on the
         # compacted distinct run — 5-30x smaller than the multiset
         hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))  # one transfer
+        tr("count.fin.hist_sync")
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
         n_solid = int(hist[min(cutoff, 255):].sum())
         log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
         W = self.W
         words = jnp.stack([keys_c[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
         bitset = bloom.build_device(words, cnt_c, jnp.int32(cutoff), log2_m, H, seed, self.k)
+        tr("count.fin.bloom_dispatched")
         import sys as _sys
 
         warn = bloom.saturation_warning(n_solid, log2_m, H)

@@ -30,6 +30,7 @@ from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
 from leon_tpu.ops import bloom, count
 from leon_tpu.ops import kmer as K
+from leon_tpu.utils.trace import tr
 
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -238,19 +239,25 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
             ci += 1
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
+            tr(f"count.chunk{ci}.ready")
             packed, dlen = ch.packed, ch.dev_len
             if placer is not None:
                 packed, dlen = placer.batch2(packed), placer.batch1(dlen)
             packed = jnp.asarray(packed)
             if dev_cache is not None:
                 dev_cache[ci - 1] = packed
+            tr(f"count.chunk{ci}.h2d")
             canon, _, valid = K.kmer_scan_packed(packed, dlen, k, ch.L)
+            tr(f"count.chunk{ci}.scan_dispatched")
             counter.add(canon, valid)
+            tr(f"count.chunk{ci}.added")
         if n_total:
             _progress(cfg, "count", ib + 1, n_total)
+    tr("count.finalize.begin")
     bitset, log2_m, cutoff, n_solid, _hist = counter.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
+    tr("count.finalize.end")
     return bitset, log2_m, cutoff, n_solid
 
 
@@ -316,7 +323,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     # choose the parser ONCE (both passes must agree): vectorized array
     # parser for regular structure, tolerant per-line parser otherwise
     # (blank filler lines etc.). The validator is a streaming line scan.
+    tr("parse.begin")
     use_array_parser = bank.validate_arrays(input_path)
+    tr("parse.validated")
 
     def raw_blocks():
         if use_array_parser:
@@ -326,9 +335,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     if not stream_mode:
         blocks = [conv(b) for b in raw_blocks()]
+        tr("parse.blocks")
         preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
+        tr("parse.preps")
         n_reads = sum(b.n_reads for b in blocks)
         final_nl = bank.final_newline(input_path)
+        tr("parse.final_nl")
         n_blocks = len(blocks)
 
         def iter_bp():
@@ -424,13 +436,16 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t1 = time.time()
     from leon_tpu.codecs import frames as _frames
 
+    tr("enc.bloom_d2h.begin")
     if bitset is None:
         bitset = np.asarray(bitset_j)
     if placer.mesh is not None:
         bitset_j = placer.replicated(bitset)
+    tr("enc.bloom_d2h.end")
     writer = container.Writer(output_path)
     writer.section(container.TAG_META, meta.pack())
     writer.section(container.TAG_BLOOM, _frames.frame(bitset.astype("<u4").tobytes()))
+    tr("enc.bloom_framed")
 
     adict = blockcodec.AnchorDict(W)
     n_blocks_done = 0
@@ -443,7 +458,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         nonlocal n_anchored, n_blocks_done
         be, ch, inflight = item
         if ch is None:  # block finished
+            tr("enc.finish.begin")
             payload, sizes = be.finish()
+            tr("enc.finish.end")
             writer.block(payload, be.block.n_reads)
             n_blocks_done += 1
             for sid, sz in sizes.items():
@@ -453,10 +470,14 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         if inflight is not None:
             buf, cap_err, cap_bif, packed_d, dlen_d = inflight
             B = ch.codes.shape[0]
+            tr("enc.drain.begin")
+            buf_h = np.asarray(buf)
+            tr("enc.drain.end")
             enc = walk.unpack_compact(
-                np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif,
+                buf_h, ch.n, B, ch.L, cap_err, cap_bif,
                 with_conf=with_conf, k=k,
             )
+            tr("enc.unpack.end")
             if enc is None:
                 # event capacity overflow (high error rate chunk): retry
                 # with 4x caps before falling back to the dense layout
@@ -480,6 +501,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 seg_off=ch.seg_off, n=ch.n, enc=enc,
             )
         )
+        tr("enc.subbatch.end")
 
     from collections import deque
 
@@ -494,15 +516,18 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 B = ch.codes.shape[0]
                 cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
                 cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
+                tr(f"enc.chunk{ci}.ready")
                 packed_d = dev_cache.pop(ci - 1, None) if dev_cache is not None else None
                 if packed_d is None:
                     packed_d = placer.batch2(ch.packed) if placer.mesh else jnp.asarray(ch.packed)
                 dlen_d = placer.batch1(ch.dev_len)
+                tr(f"enc.chunk{ci}.h2d")
                 buf = walk.encode_batch_compact_packed(
                     packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
                     cap_err, cap_bif, with_conf, ch.L,
                 )
                 buf.copy_to_host_async()
+                tr(f"enc.chunk{ci}.dispatched")
                 inflight = (buf, cap_err, cap_bif, packed_d, dlen_d)
             pending.append((be, ch, inflight))
             while len(pending) > cfg.max_inflight_chunks:
@@ -543,7 +568,7 @@ _STREAM_NAMES = {
     1: "flags", 2: "readlen", 3: "anchorpos", 4: "dictidx", 5: "nevt",
     6: "errpos", 7: "errnt", 8: "bif", 9: "rawseq", 10: "excn",
     11: "headers", 12: "quals", 13: "plusline", 14: "fastalines",
-    15: "excgap", 16: "excbyte",
+    15: "excgap", 16: "excbyte", 17: "quallines",
 }
 
 
@@ -647,7 +672,9 @@ def _assemble_block_seqs(db: blockcodec.DecodedBlock, dispatched: list) -> tuple
     seg_start = read_start[db.seg_read] + db.seg_off  # (n_segs,)
 
     for s, anch, sl, Lb, dec in dispatched:
+        tr("dec.drain.begin")
         dec = walk.unpack_codes_u32_np(np.asarray(dec), Lb)
+        tr("dec.drain.end")
         rows = np.flatnonzero(anch)
         lens = sl[rows]
         src_idx = _ragged_dst(rows * Lb, lens)  # row-major into dec
@@ -690,6 +717,7 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
     bitset = np.frombuffer(bloom_bytes, dtype="<u4")
     bitset_j = jnp.asarray(bitset)
+    tr("dec.setup.end")
 
     read_index = 0
     with open(output_path, "wb") as out:
@@ -708,6 +736,7 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
                 out, meta.fmt, hcat, hlens, seq_flat, lengths,
                 qcat=qcat, plus_lens=db.plus_lens, plus_cat=db.plus_cat,
                 fasta_nlines=db.fasta_nlines, fasta_linelens=db.fasta_linelens,
+                qual_nlines=db.qual_nlines, qual_linelens=db.qual_linelens,
             )
 
         # depth-2 pipeline: block i+1's device re-walks dispatch before
@@ -716,13 +745,17 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
         pending: list = []
         for bi in range(r.n_blocks):
             db = blockcodec.parse_block(r.block(bi), meta)
+            tr(f"dec.block{bi}.parsed")
             dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j, cfg)
+            tr(f"dec.block{bi}.dispatched")
             pending.append((db, dispatched, read_index))
             read_index += db.n_reads
             if len(pending) > 1:
                 emit(*pending.pop(0))
+                tr("dec.emit.end")
         while pending:
             emit(*pending.pop(0))
+            tr("dec.emit.end")
     r.close()
     bank.finalize_file(output_path, meta.final_newline)
     return {

@@ -356,3 +356,49 @@ def test_streaming_mode_identical(tmp_path, rng, contig):
     assert open(a, "rb").read() == open(b, "rb").read()
     d = pipeline.decompress(b, cfg=small_cfg())
     assert open(d["output"], "rb").read() == open(src, "rb").read()
+
+
+def test_multiline_fastq(tmp_path, rng, contig):
+    """Wrapped (multi-line) FASTQ records — the GATB bank accepts them [R];
+    streams 14/17 preserve the line structure byte-exactly."""
+    seqs = [sim_seq(rng, contig) for _ in range(60)]
+    src = tmp_path / "wrapped.fastq"
+    with open(src, "wb") as f:
+        for i, s in enumerate(seqs):
+            q = rng.integers(33, 74, len(s)).astype(np.uint8).tobytes()
+            f.write(b"@W.%d x%d\n" % (i, i))
+            wrap = 40 if i % 3 == 0 else (25 if i % 3 == 1 else len(s))
+            for j in range(0, max(1, len(s)), wrap):
+                f.write(s[j : j + wrap] + b"\n")
+            f.write(b"+\n")
+            # qualities wrap differently from the sequence on every 5th read
+            qwrap = 30 if i % 5 == 0 else wrap
+            for j in range(0, max(1, len(q)), qwrap):
+                f.write(q[j : j + qwrap] + b"\n")
+    roundtrip(tmp_path, src, cfg=small_cfg(lossless=True))
+
+
+def test_multiline_fastq_same_wrap_and_lossy(tmp_path, rng, contig):
+    seqs = [sim_seq(rng, contig) for _ in range(40)]
+    src = tmp_path / "wrapped2.fastq"
+    with open(src, "wb") as f:
+        for i, s in enumerate(seqs):
+            q = np.full(len(s), 70, np.uint8).tobytes()
+            f.write(b"@W.%d\n" % i)
+            for j in range(0, max(1, len(s)), 33):
+                f.write(s[j : j + 33] + b"\n")
+            f.write(b"+\n")
+            for j in range(0, max(1, len(q)), 33):
+                f.write(q[j : j + 33] + b"\n")
+    # lossy: DNA+headers byte-exact; quality transform maps >= 0x40 at
+    # confirmed positions to 'I' — with all-0x46 input the output stays
+    # valid FASTQ with identical line structure
+    st = pipeline.compress(str(src), cfg=small_cfg())
+    dd = pipeline.decompress(st["output"], cfg=small_cfg())
+    from leon_tpu.io import bank
+
+    a = list(bank.read_blocks(str(src), 1000))
+    b = list(bank.read_blocks(dd["output"], 1000))
+    assert [blk.seqs for blk in a] == [blk.seqs for blk in b]
+    assert [blk.headers for blk in a] == [blk.headers for blk in b]
+    assert [blk.line_lens for blk in a] == [blk.line_lens for blk in b]
