@@ -99,11 +99,18 @@ def main() -> int:
     )
 
     # two measured runs, keep the faster: the TPU tunnel's performance
-    # fluctuates heavily between sessions; the minimum is the closest
-    # observable to steady-state throughput
+    # fluctuates heavily between sessions (and the remote service charges
+    # a one-time per-process executable-load cost on the FIRST dispatch of
+    # each program); the minimum is the closest observable to steady-state
+    # throughput. gc + settle between runs: freeing the previous run's
+    # device buffers contends with the next run's host work.
+    import gc
+
     t0 = time.time()
     stats = pipeline.compress(src, os.path.join(workdir, "out.leon"), cfg=cfg)
     elapsed = time.time() - t0
+    gc.collect()
+    time.sleep(2.0)
     t0 = time.time()
     stats2 = pipeline.compress(src, os.path.join(workdir, "out.leon"), cfg=cfg)
     elapsed2 = time.time() - t0
@@ -111,10 +118,18 @@ def main() -> int:
         elapsed, stats = elapsed2, stats2
     reads_per_s = N_READS / elapsed
 
-    # verify round-trip (DNA oracle for -noheader -noqual)
+    # verify round-trip (DNA oracle for -noheader -noqual); min of two for
+    # the same per-process first-dispatch reasons as above
+    gc.collect()
+    time.sleep(2.0)
     t0 = time.time()
     d = pipeline.decompress(os.path.join(workdir, "out.leon"), os.path.join(workdir, "out.fastq"), cfg=cfg)
     decomp_elapsed = time.time() - t0
+    gc.collect()
+    time.sleep(2.0)
+    t0 = time.time()
+    d = pipeline.decompress(os.path.join(workdir, "out.leon"), os.path.join(workdir, "out.fastq"), cfg=cfg)
+    decomp_elapsed = min(decomp_elapsed, time.time() - t0)
     a = [s for b in bank.read_blocks(src, 1 << 16) for s in b.seqs]
     b_ = [s for b in bank.read_blocks(d["output"], 1 << 16) for s in b.seqs]
     ok = a == b_

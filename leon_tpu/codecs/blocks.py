@@ -263,6 +263,11 @@ class BlockEncoder:
         self.adict = adict
         self.block = block
         self.prep = prep
+        # dict size before this block's first-use entries. The in-order
+        # pipeline leaves this None (len(adict) at finish time is correct);
+        # the distributed driver prepopulates the global dict and must set
+        # the per-block prefix explicitly.
+        self.dict_prev_len: Optional[int] = None
         self.flags = bytearray()
         self.anchorpos: list[np.ndarray] = []
         self.anchor_key_chunks: list[np.ndarray] = []  # (m, W) u32 per subbatch
@@ -354,12 +359,15 @@ class BlockEncoder:
 
         ri = np.flatnonzero(~anch)
         if ri.size:
+            from leon_tpu.utils import ragged
+
             # 2-bit pack all raw segments at once (each segment byte-aligned)
             ln = sb.seg_len[ri].astype(np.int64)
             nb4 = ((ln + 3) // 4) * 4
             flat = np.zeros(int(nb4.sum()), dtype=np.uint8)
-            src = sb.codes.reshape(-1)[_ragged_dst(ri * sb.codes.shape[1], ln)]
-            flat[_ragged_dst(np.cumsum(nb4) - nb4, ln)] = src
+            ragged.move(flat, np.cumsum(nb4) - nb4,
+                        np.ascontiguousarray(sb.codes).reshape(-1),
+                        ri * sb.codes.shape[1], ln)
             c = flat.reshape(-1, 4)
             self.rawseq += (
                 c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
@@ -399,9 +407,29 @@ class BlockEncoder:
             # dictionary indices resolve at finish time, in block order —
             # this is what lets a multi-host run replay a global first-use
             # order and still emit byte-identical blocks
+            prev_len = (self.dict_prev_len if self.dict_prev_len is not None
+                        else len(self.adict))
             dictidx = self.adict.index_array(np.concatenate(self.anchor_key_chunks))
-            dd = np.diff(dictidx, prepend=0)
-            add(S_DICTIDX, varint.encode_array(varint.zigzag(dd)))
+            # stream 4 (FORMAT.md §6): a NEW anchor's index is implicit
+            # (it equals the dict size at that point, first-use order), so
+            # only a new/reuse bitmask plus the reused indices are coded —
+            # measured ~25% smaller than delta-coding the full sequence
+            # new = first occurrence IN THIS BLOCK of an index the block
+            # itself created (>= prev_len); later same-block uses are
+            # ordinary reuses
+            _, first_pos = np.unique(dictidx, return_index=True)
+            isfirst = np.zeros(dictidx.size, dtype=bool)
+            isfirst[first_pos] = True
+            newmask = (dictidx >= prev_len) & isfirst
+            reuse = dictidx[~newmask]
+            head = bytearray()
+            varint.encode_one(prev_len, head)
+            add(
+                S_DICTIDX,
+                bytes(head)
+                + frames.frame(np.packbits(newmask).tobytes())
+                + frames.frame(varint.encode_array(reuse.astype(np.uint64))),
+            )
             add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)))
         if self.errpos:
             ep = np.concatenate(self.errpos)
@@ -587,9 +615,25 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
 
     n_anch = int(anchored.sum())
     apos_a = varint.decode_array(sdata.get(S_ANCHORPOS, b""), n_anch).astype(np.int64)
-    dictidx = np.cumsum(
-        varint.unzigzag(varint.decode_array(sdata.get(S_DICTIDX, b""), n_anch))
-    ).astype(np.int64)
+    # stream 4: varint(prev_len) + frame(new/reuse bitmask) + frame(reuse
+    # varints). A NEW anchor's index is implicit — the i-th new anchor in
+    # the block is prev_len + i (global first-use order, FORMAT.md §5) —
+    # so only reused indices are coded. prev_len is stored so blocks stay
+    # independently decodable (FORMAT.md §6).
+    dictidx = np.zeros(0, dtype=np.int64)
+    if n_anch:
+        dbuf = sdata.get(S_DICTIDX, b"")
+        prev_len, dp = varint.decode_one(dbuf, 0)
+        nm_bytes, dp = frames.unframe(dbuf, dp)
+        newmask = np.unpackbits(
+            np.frombuffer(nm_bytes, dtype=np.uint8), count=n_anch
+        ).astype(bool)
+        reuse_raw, dp = frames.unframe(dbuf, dp)
+        n_new = int(newmask.sum())
+        reuse = varint.decode_array(reuse_raw, n_anch - n_new).astype(np.int64)
+        dictidx = np.empty(n_anch, dtype=np.int64)
+        dictidx[newmask] = prev_len + np.arange(n_new, dtype=np.int64)
+        dictidx[~newmask] = reuse
     nevt = varint.decode_array(sdata.get(S_NEVT, b""), 4 * n_anch).astype(np.int64).reshape(-1, 4)
 
     apos = np.zeros(n_segs, dtype=np.int64)

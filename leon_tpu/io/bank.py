@@ -317,9 +317,9 @@ def _line_index(data):
 
 
 def _gather(arr, starts, lens):
-    from leon_tpu.codecs.blocks import ragged_dst
+    from leon_tpu.utils import ragged
 
-    return arr[ragged_dst(starts, lens)]
+    return ragged.gather(arr, starts, lens)
 
 
 _ARRAY_CHUNK_BYTES = 1 << 28  # streaming parse granularity (256 MB)
@@ -521,6 +521,8 @@ def _scatter_lines(buf, area_start, nl, ll, src, ragged_dst) -> None:
     lengths in read order; src the flat payload bytes."""
     import numpy as np
 
+    from leon_tpu.utils import ragged
+
     n = area_start.shape[0]
     if not int(nl.sum()):
         return
@@ -531,7 +533,7 @@ def _scatter_lines(buf, area_start, nl, ll, src, ragged_dst) -> None:
     base = np.where(grp_start > 0, cs[np.maximum(grp_start - 1, 0)], 0)
     within_start = cs - np.repeat(base, nl) - steps
     line_start = area_start[line_read] + within_start
-    buf[ragged_dst(line_start, ll)] = src
+    ragged.scatter(buf, line_start, ll, src)
     buf[line_start + ll] = 10
 
 
@@ -572,6 +574,8 @@ def write_records_arrays(
     seq_a = np.asarray(seq_flat, dtype=np.uint8)
 
     if fmt == FASTQ and fasta_nlines is not None:
+        from leon_tpu.utils import ragged
+
         # wrapped FASTQ (rare): explicit seq/qual line structure
         snl = fasta_nlines.astype(np.int64)
         sll = fasta_linelens.astype(np.int64)
@@ -582,41 +586,42 @@ def write_records_arrays(
         off = np.cumsum(rec) - rec
         buf = np.empty(int(rec.sum()), dtype=np.uint8)
         buf[off] = ord("@")
-        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        ragged.scatter(buf, off + 1, hlens, hcat_a)
         p1 = off + 1 + hlens
         buf[p1] = 10
         _scatter_lines(buf, p1 + 1, snl, sll, seq_a, ragged_dst)
         p2 = p1 + 1 + lengths + snl
         buf[p2] = ord("+")
         if pl.any():
-            buf[ragged_dst(p2 + 1, pl)] = np.frombuffer(plus_cat, dtype=np.uint8)
+            ragged.scatter(buf, p2 + 1, pl, np.frombuffer(plus_cat, dtype=np.uint8))
         p3 = p2 + 1 + pl
         buf[p3] = 10
         qsrc = (np.full(int(lengths.sum()), ord("I"), np.uint8) if qcat is None
                 else np.frombuffer(qcat, dtype=np.uint8))
         _scatter_lines(buf, p3 + 1, qnl, qll, qsrc, ragged_dst)
     elif fmt == FASTQ:
+        from leon_tpu.utils import ragged
+
         pl = np.zeros(n, np.int64) if plus_lens is None else plus_lens.astype(np.int64)
         rec = hlens + 2 * lengths + pl + 6
         off = np.cumsum(rec) - rec
         buf = np.empty(int(rec.sum()), dtype=np.uint8)
         buf[off] = ord("@")
-        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        ragged.scatter(buf, off + 1, hlens, hcat_a)
         p1 = off + 1 + hlens
         buf[p1] = 10
-        buf[ragged_dst(p1 + 1, lengths)] = seq_a
+        ragged.scatter(buf, p1 + 1, lengths, seq_a)
         p2 = p1 + 1 + lengths
         buf[p2] = 10
         buf[p2 + 1] = ord("+")
         if pl.any():
-            buf[ragged_dst(p2 + 2, pl)] = np.frombuffer(plus_cat, dtype=np.uint8)
+            ragged.scatter(buf, p2 + 2, pl, np.frombuffer(plus_cat, dtype=np.uint8))
         p3 = p2 + 2 + pl
         buf[p3] = 10
-        qdst = ragged_dst(p3 + 1, lengths)
         if qcat is None:
-            buf[qdst] = ord("I")
+            ragged.fill(buf, p3 + 1, lengths, ord("I"))
         else:
-            buf[qdst] = np.frombuffer(qcat, dtype=np.uint8)
+            ragged.scatter(buf, p3 + 1, lengths, np.frombuffer(qcat, dtype=np.uint8))
         p4 = p3 + 1 + lengths
         buf[p4] = 10
     else:
@@ -625,8 +630,10 @@ def write_records_arrays(
         rec = 1 + hlens + 1 + lengths + nl
         off = np.cumsum(rec) - rec
         buf = np.empty(int(rec.sum()), dtype=np.uint8)
+        from leon_tpu.utils import ragged
+
         buf[off] = ord(">")
-        buf[ragged_dst(off + 1, hlens)] = hcat_a
+        ragged.scatter(buf, off + 1, hlens, hcat_a)
         p1 = off + 1 + hlens
         buf[p1] = 10
         _scatter_lines(buf, p1 + 1, nl, ll, seq_a, ragged_dst)

@@ -57,6 +57,16 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.leon_o1_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.leon_ragged_move.restype = None
+    lib.leon_ragged_move.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.leon_ragged_fill.restype = None
+    lib.leon_ragged_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_uint8,
+    ]
     return lib
 
 

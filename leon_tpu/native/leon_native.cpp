@@ -321,3 +321,36 @@ int64_t leon_o1_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t n)
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Ragged byte moves (parser/assembly hot path).
+//
+// The Python pipeline moves ragged slices (reads, lines, segments) between
+// flat buffers. Vectorized numpy does this via index arrays 8x larger than
+// the payload (int64 index per byte); on the throttled shared host that
+// memory traffic dominates parse/assembly time. This is the reference's
+// tight C++ buffer shuffling ([R] gatb-core bank/impl/BankFasta.cpp) done
+// the same way: a memcpy per slice, no index materialization.
+
+extern "C" {
+
+// Copy n slices src[src_starts[i] .. +lens[i]) -> dst[dst_starts[i] ...).
+// Gather = consecutive dst starts; scatter = consecutive src starts.
+void leon_ragged_move(uint8_t* dst, const int64_t* dst_starts,
+                      const uint8_t* src, const int64_t* src_starts,
+                      const int64_t* lens, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    memcpy(dst + dst_starts[i], src + src_starts[i],
+           static_cast<size_t>(lens[i]));
+  }
+}
+
+// Fill n slices dst[starts[i] .. +lens[i]) with byte `value`.
+void leon_ragged_fill(uint8_t* dst, const int64_t* starts,
+                      const int64_t* lens, int64_t n, uint8_t value) {
+  for (int64_t i = 0; i < n; ++i) {
+    memset(dst + starts[i], value, static_cast<size_t>(lens[i]));
+  }
+}
+
+}  // extern "C"

@@ -182,7 +182,12 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     for blob in _allgather_bytes(pickle.dumps(my_lists)):
         all_lists.update(pickle.loads(blob))
     adict = blockcodec.AnchorDict(W)
+    # dict size before each block's first-use entries — finish() needs it
+    # for stream 4's implicit-new coding (blocks.py), since the dict here
+    # is prepopulated rather than grown block by block
+    prefix_len: dict[int, int] = {}
     for bi in range(len(parse.blocks)):
+        prefix_len[bi] = len(adict)
         for key in all_lists.get(bi, ()):
             adict.index_key(key)
 
@@ -192,6 +197,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     n_anchored = 0
     for bi, be in encoders.items():
         be.adict = adict
+        be.dict_prev_len = prefix_len[bi]
         payload, sizes = be.finish()
         my_payloads[bi] = (payload, be.block.n_reads)
         n_anchored += sum(c.shape[0] for c in be.anchor_key_chunks)

@@ -86,11 +86,8 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
     B = cfg.batch_reads
     total = prep.n_segs
     flat = prep.flat_codes
-    # pad the flat code array once so row gathers never need clipping:
-    # rows read [start, start + Lb) and zero out the tail via the mask
-    max_sl = int(prep.seg_len.max()) if total else 0
-    Lb_max = _bucket_len(max_sl, k)
-    flat_pad = np.concatenate([flat, np.zeros(Lb_max, np.uint8)])
+    from leon_tpu.utils import ragged
+
     starts_all = (prep.read_start[prep.seg_read] + prep.seg_off).astype(np.int64)
     for s in range(0, total, B):
         so = prep.seg_off[s : s + B]
@@ -99,10 +96,10 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
         Lb = _bucket_len(int(sl.max()) if m else 0, k)
         codes = np.zeros((B, Lb), dtype=np.uint8)
         if flat.size:
-            idx = starts_all[s : s + B, None] + np.arange(Lb, dtype=np.int64)[None, :]
-            rows = flat_pad[idx]
-            rows[np.arange(Lb)[None, :] >= sl[:, None]] = 0
-            codes[:m] = rows
+            # copy each segment's sl[i] bytes into its zeroed row (no
+            # index materialization, no tail masking)
+            ragged.move(codes.reshape(-1), np.arange(m, dtype=np.int64) * Lb,
+                        flat, starts_all[s : s + B], sl)
         dev_pad = np.zeros(B, dtype=np.int32)
         dev_pad[:m] = sl
         yield Chunk(
@@ -671,14 +668,16 @@ def _assemble_block_seqs(db: blockcodec.DecodedBlock, dispatched: list) -> tuple
     out_flat = np.zeros(total, dtype=np.uint8)
     seg_start = read_start[db.seg_read] + db.seg_off  # (n_segs,)
 
+    from leon_tpu.utils import ragged
+
     for s, anch, sl, Lb, dec in dispatched:
         tr("dec.drain.begin")
         dec = walk.unpack_codes_u32_np(np.asarray(dec), Lb)
         tr("dec.drain.end")
         rows = np.flatnonzero(anch)
         lens = sl[rows]
-        src_idx = _ragged_dst(rows * Lb, lens)  # row-major into dec
-        out_flat[_ragged_dst(seg_start[s:][rows], lens)] = dec.reshape(-1)[src_idx]
+        ragged.move(out_flat, seg_start[s:][rows],
+                    np.ascontiguousarray(dec).reshape(-1), rows * Lb, lens)
 
     # raw segments from the 2-bit stream: unpack the whole stream once,
     # gather per-segment runs (segments are byte-aligned, FORMAT.md §6)
@@ -688,11 +687,13 @@ def _assemble_block_seqs(db: blockcodec.DecodedBlock, dispatched: list) -> tuple
         nb = (ln + 3) // 4
         codes_all = K.unpack_2bit_np(db.rawseq, 4 * len(db.rawseq))
         src_start = 4 * (np.cumsum(nb) - nb)
-        out_flat[_ragged_dst(seg_start[raw_idx], ln)] = codes_all[_ragged_dst(src_start, ln)]
+        ragged.move(out_flat, seg_start[raw_idx], codes_all, src_start, ln)
 
+    tr("dec.asm.moved")
     seq_bytes = _BASES[out_flat]
     if db.exc_read.size:
         seq_bytes[read_start[db.exc_read] + db.exc_rel] = db.exc_bytes
+    tr("dec.asm.bases")
     return seq_bytes, read_start, lengths
 
 
@@ -723,12 +724,14 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     with open(output_path, "wb") as out:
         def emit(db, dispatched, start_index):
             seq_flat, _read_start, lengths = _assemble_block_seqs(db, dispatched)
+            tr("dec.emit.assembled")
             if meta.header_mode:
                 headers = hcodec.decode(db.headers_payload or b"", db.n_reads)
             else:
                 headers = hcodec.synth(start_index, db.n_reads)
             hcat = b"".join(headers)
             hlens = np.fromiter((len(h) for h in headers), dtype=np.int64, count=len(headers))
+            tr("dec.emit.headers")
             qcat = None
             if meta.fmt == bank.FASTQ and meta.qual_mode != container.QUAL_NONE:
                 qcat = db.quals_concat or b""

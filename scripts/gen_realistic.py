@@ -1,0 +1,129 @@
+"""Realistic synthetic sequencing data (no network: built, not downloaded).
+
+The reference's CI oracle is a real SRA FASTQ (Illumina reads,
+/root/reference/scripts/simple_test.sh:11 SRR387476). This environment has
+no network, so this generator models what real data stresses in a
+Leon-class compressor (VERDICT round 1, missing #3):
+
+- genome REPEAT structure (segmental duplications with divergence) ->
+  bifurcation rate in the walk encoder
+- instrument-format headers `@SIM:run:flowcell:lane:tile:x:y pair:N:0:index`
+  with correlated tile/x/y counters -> header token-delta codec
+- empirical-shape Illumina quality strings: position-dependent mean with
+  3'-end decay, Markov correlation between adjacent cycles, occasional
+  low-quality dips, and a small discrete alphabet (8 bins like modern
+  RTA3) or a 40-level legacy mode -> quality codec
+
+Usage: python scripts/gen_realistic.py out.fastq [--reads N] [--len L]
+         [--genome G] [--legacy-quals] [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+# RTA3-style 8-level quality alphabet (Phred+33 ASCII)
+_Q_BINS = np.array([ord(c) for c in "#,:FFFFF"], dtype=np.uint8)
+
+
+def make_genome(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Genome with repeat structure: a random backbone, then ~20% of it
+    overwritten by diverged copies of earlier segments (SINE/LINE-like)."""
+    g = rng.integers(0, 4, size, dtype=np.uint8)
+    budget = size // 5
+    while budget > 0:
+        seg = int(rng.integers(300, 8000))
+        src = int(rng.integers(0, max(1, size - seg)))
+        dst = int(rng.integers(0, max(1, size - seg)))
+        copy = g[src : src + seg].copy()
+        div = rng.random(seg) < 0.02  # 2% divergence between repeat copies
+        copy[div] = (copy[div] + rng.integers(1, 4, int(div.sum()))) & 3
+        g[dst : dst + seg] = copy
+        budget -= seg
+    return g
+
+
+def make_quals(rng: np.random.Generator, n: int, L: int, legacy: bool) -> np.ndarray:
+    """Illumina-shaped quality matrix (n, L) of ASCII bytes.
+
+    Latent per-cycle error logit: read-level offset + positional profile
+    (ramp-up over the first ~5 cycles, slow 3' decay) + AR(1) noise +
+    rare mid-read dips. Quantized to 8 RTA3 bins (default) or 40 levels
+    (legacy mode)."""
+    pos = np.arange(L)
+    profile = 38.0 - 6.0 * (pos / max(1, L - 1)) ** 2  # 3' decay
+    profile[: min(5, L)] -= np.linspace(4, 0, min(5, L))  # warm-up
+    read_off = rng.normal(0.0, 2.0, (n, 1))
+    ar = np.empty((n, L))
+    ar[:, 0] = rng.normal(0, 1.5, n)
+    alpha = 0.85
+    innov = rng.normal(0, 1.5 * np.sqrt(1 - alpha * alpha), (n, L))
+    for j in range(1, L):  # AR(1) across cycles
+        ar[:, j] = alpha * ar[:, j - 1] + innov[:, j]
+    q = profile[None, :] + read_off + ar
+    # rare quality dips (bubbles): a contiguous low window in ~2% of reads
+    ndip = max(1, n // 50)
+    rows = rng.integers(0, n, ndip)
+    for r in rows:
+        s = int(rng.integers(0, max(1, L - 12)))
+        q[r, s : s + 12] -= rng.uniform(15, 25)
+    q = np.clip(q, 2, 40)
+    if legacy:
+        return (q.astype(np.int64) + 33).astype(np.uint8)
+    edges = np.array([9, 19, 24, 29, 34, 36, 38])  # 8 bins
+    return _Q_BINS[np.digitize(q, edges)]
+
+
+def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
+        legacy: bool, paired: bool = True) -> None:
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = make_genome(rng, genome)
+    starts = rng.integers(0, genome - read_len, n_reads)
+    quals = make_quals(rng, n_reads, read_len, legacy)
+    # tile/x/y counters like a real flowcell: sorted-ish tiles, jittery x/y
+    tiles = np.sort(rng.integers(1101, 1120, n_reads))
+    xs = rng.integers(1000, 29000, n_reads)
+    ys = rng.integers(1000, 29000, n_reads)
+    with open(path, "wb") as f:
+        out = []
+        for i in range(n_reads):
+            r = g[starts[i] : starts[i] + read_len].copy()
+            # error rate follows the quality string (q -> p = 10^(-q/10))
+            q = quals[i].astype(np.float64) - 33.0
+            perr = np.power(10.0, -q / 10.0)
+            mut = rng.random(read_len) < perr
+            nmut = int(mut.sum())
+            if nmut:
+                r[mut] = (r[mut] + rng.integers(1, 4, nmut)) & 3
+            if i % 2:
+                r = (3 - r)[::-1]
+            pair = 2 if (paired and i % 2) else 1
+            hdr = b"@SIM:1:FC705VJ:1:%d:%d:%d %d:N:0:ATCACG" % (
+                tiles[i], xs[i], ys[i], pair,
+            )
+            out.append(b"%s\n%s\n+\n%s\n" % (hdr, bases[r].tobytes(), quals[i].tobytes()))
+            if len(out) >= 4096:
+                f.write(b"".join(out))
+                out = []
+        f.write(b"".join(out))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--len", dest="read_len", type=int, default=100)
+    ap.add_argument("--genome", type=int, default=1_000_000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--legacy-quals", action="store_true",
+                    help="40-level Phred alphabet instead of 8 RTA3 bins")
+    a = ap.parse_args()
+    gen(a.out, a.reads, a.read_len, a.genome, a.seed, a.legacy_quals)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
