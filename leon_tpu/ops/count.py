@@ -282,6 +282,52 @@ class DeviceCounter:
         self._runs_n = out_size
         self._next_merge = out_size + self.merge_factor * self.slab
 
+    def _merged_run(self):
+        """Collapse all pending slabs/runs to ONE compacted run on device;
+        returns (keys_t MSW-first, counts, bucket) or None when empty."""
+        self._flush_slab()
+        if not self._runs:
+            return None
+        if len(self._runs) > 1:
+            self._merge_runs()
+        return self._runs[0]
+
+    def distinct_run(self) -> tuple[np.ndarray, np.ndarray]:
+        """Finalize accumulation to the compacted distinct multiset on the
+        HOST: (uniq (M, W) uint32 LSW-first, counts (M,) int32), pad
+        entries trimmed. This is the exchange unit for multi-host counting
+        (parallel/distributed.py): 5-30x smaller than the raw multiset at
+        sequencing coverage."""
+        r = self._merged_run()
+        if r is None:
+            return np.zeros((0, self.W), np.uint32), np.zeros(0, np.int32)
+        keys_c, cnt_c, _b = r
+        self._runs, self._runs_n = [], 0
+        cnt = np.asarray(cnt_c)
+        W = self.W
+        uniq = np.stack([np.asarray(keys_c[W - 1 - j]) for j in range(W)], axis=1)
+        m = cnt > 0
+        return np.ascontiguousarray(uniq[m]), cnt[m].astype(np.int32)
+
+    def ingest_run(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Feed a sorted distinct run (as produced by distinct_run, possibly
+        from another process) back into the merge hierarchy. finalize()
+        then computes the global cutoff/Bloom from the exact merged counts."""
+        M = int(uniq.shape[0])
+        if M == 0:
+            return
+        bucket = _bucket_size(M)
+        W = self.W
+        keys_t = []
+        for j in range(W):
+            col = np.full(bucket, 0xFFFFFFFF, np.uint32)
+            col[:M] = uniq[:, W - 1 - j]  # MSW first
+            keys_t.append(jnp.asarray(col))
+        cnt = np.zeros(bucket, np.int32)
+        cnt[:M] = counts
+        self._runs.append((tuple(keys_t), jnp.asarray(cnt), bucket))
+        self._runs_n += bucket
+
     def finalize(self, abundance, bits_per_kmer: float, H: int, seed: int):
         """Returns (bitset device array, log2_m, cutoff, n_solid, hist).
 

@@ -4,16 +4,20 @@ The reference's only scaling axis is threads on one node (SURVEY.md §2.4);
 the TPU-native design scales across hosts with process-level data
 parallelism over container blocks:
 
-1. every process parses the (shared-filesystem) input and takes blocks
-   round-robin;
-2. k-mer count partials are exchanged (process allgather) and merged
-   EXACTLY, so the abundance cutoff and the Bloom filter are identical on
-   every host;
-3. each host walk-encodes its blocks, deferring anchor-dictionary index
-   resolution; per-block first-use key lists are exchanged and every host
-   replays them in global block order — the global dictionary, and
-   therefore every block payload, is byte-identical to a single-process
-   run (shard invariance, SURVEY.md §4.3);
+1. every process STREAMS the (shared-filesystem) input block by block and
+   takes blocks round-robin — no whole-file materialization, peak RSS is
+   one block plus this shard's encoded streams;
+2. each process counts its shard's k-mers on DEVICE (the slab counter,
+   ops/count.py), compacts to the distinct (kmer, count) run, and the runs
+   are exchanged (raw-array allgather, 5-30x smaller than the multiset) and
+   merged back ON DEVICE — the abundance cutoff and the Bloom filter are
+   exact and identical on every host;
+3. each host walk-encodes its blocks through the same dispatch-ahead
+   in-flight queue as the single-process pipeline, deferring
+   anchor-dictionary index resolution; per-block first-use key lists are
+   exchanged and every host replays them in global block order — the
+   global dictionary, and therefore every block payload, is byte-identical
+   to a single-process run (shard invariance, SURVEY.md §4.3);
 4. block payloads gather to process 0, which writes the container.
 
 Works unchanged with one process (all exchanges degenerate to identity).
@@ -22,8 +26,9 @@ Works unchanged with one process (all exchanges degenerate to identity).
 from __future__ import annotations
 
 import os
-import pickle
+import struct
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -32,7 +37,7 @@ from leon_tpu.codecs import blocks as blockcodec
 from leon_tpu.codecs import frames
 from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
-from leon_tpu.ops import bloom, count
+from leon_tpu.ops import count
 from leon_tpu.ops import kmer as K
 
 
@@ -69,13 +74,75 @@ def _allgather_bytes(data: bytes) -> list[bytes]:
     return [gathered[p, : int(lens[p])].tobytes() for p in range(nproc)]
 
 
+# --- raw (pickle-free) framings for the two exchanges -----------------------
+
+
+def _pack_run(uniq: np.ndarray, counts: np.ndarray) -> bytes:
+    """Distinct count run: u64 M, u32 W, uniq (M, W) '<u4', counts '<i4'."""
+    M, W = uniq.shape
+    return (struct.pack("<QI", M, W)
+            + np.ascontiguousarray(uniq.astype("<u4")).tobytes()
+            + counts.astype("<i4").tobytes())
+
+
+def _unpack_run(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    M, W = struct.unpack_from("<QI", blob, 0)
+    o = 12
+    uniq = np.frombuffer(blob, "<u4", M * W, o).reshape(M, W)
+    counts = np.frombuffer(blob, "<i4", M, o + 4 * M * W)
+    return uniq, counts
+
+
+def _pack_keylists(lists: dict[int, list[bytes]], key_sz: int) -> bytes:
+    """Per-block first-use key lists: u32 nblocks, then per block u32 bi,
+    u32 nkeys, nkeys*key_sz raw bytes."""
+    out = [struct.pack("<I", len(lists))]
+    for bi, keys in lists.items():
+        out.append(struct.pack("<II", bi, len(keys)))
+        out.extend(keys)
+    return b"".join(out)
+
+
+def _unpack_keylists(blob: bytes, key_sz: int) -> dict[int, list[bytes]]:
+    (nb,) = struct.unpack_from("<I", blob, 0)
+    o = 4
+    out: dict[int, list[bytes]] = {}
+    for _ in range(nb):
+        bi, nk = struct.unpack_from("<II", blob, o)
+        o += 8
+        out[bi] = [blob[o + i * key_sz : o + (i + 1) * key_sz] for i in range(nk)]
+        o += nk * key_sz
+    return out
+
+
+def _pack_payloads(payloads: dict[int, tuple[bytes, int]]) -> bytes:
+    """Block payloads: u32 nblocks, then per block u32 bi, u32 n_reads,
+    u64 len, payload bytes."""
+    out = [struct.pack("<I", len(payloads))]
+    for bi, (pl, nr) in payloads.items():
+        out.append(struct.pack("<IIQ", bi, nr, len(pl)))
+        out.append(pl)
+    return b"".join(out)
+
+
+def _unpack_payloads(blob: bytes) -> dict[int, tuple[bytes, int]]:
+    (nb,) = struct.unpack_from("<I", blob, 0)
+    o = 4
+    out: dict[int, tuple[bytes, int]] = {}
+    for _ in range(nb):
+        bi, nr, ln = struct.unpack_from("<IIQ", blob, o)
+        o += 16
+        out[bi] = (blob[o : o + ln], nr)
+        o += ln
+    return out
+
+
 def compress_distributed(input_path: str, output_path: Optional[str] = None,
                          cfg: Optional[LeonConfig] = None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from leon_tpu import pipeline
-    from leon_tpu.ops import walk
 
     cfg = cfg or LeonConfig()
     t0 = time.time()
@@ -86,9 +153,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
 
     k = cfg.kmer_size
     W = K.words_for_k(k)
-    parse = bank.parse_all(input_path, cfg.reads_per_block)
-    fmt = parse.fmt
-    my_block_idx = [i for i in range(len(parse.blocks)) if i % nproc == pid]
+    fmt = bank.sniff_format(input_path)
 
     header_mode = 0 if cfg.noheader else 1
     if fmt == bank.FASTA or cfg.noqual:
@@ -96,75 +161,119 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     else:
         qual_mode = container.QUAL_LOSSLESS if cfg.lossless else container.QUAL_LOSSY
     out_fmt = bank.FASTA if (fmt == bank.FASTQ and cfg.seq_only) else fmt
+    seq_only_conv = fmt == bank.FASTQ and cfg.seq_only
 
-    # --- pass 1: count my shard, exchange partials, merge exactly ---
+    def conv(b):
+        if not seq_only_conv:
+            return b
+        if isinstance(b, bank.ArrayBlock):
+            return b.to_seq_only_fasta()
+        return bank.SeqBlock(
+            bank.FASTA, b.headers, b.seqs,
+            line_lens=[[len(s)] if len(s) else [] for s in b.seqs],
+        )
+
+    # one parser choice for all passes (must agree with single-process runs
+    # for shard invariance — same block boundaries, same streams)
+    use_array_parser = bank.validate_arrays(input_path)
+
+    def stream_blocks():
+        """(bi, block) for EVERY block — parse is streaming (constant
+        memory); callers skip blocks they don't own."""
+        it = (bank.read_blocks_arrays(input_path, cfg.reads_per_block)
+              if use_array_parser
+              else bank.read_blocks(input_path, cfg.reads_per_block))
+        for bi, b in enumerate(it):
+            yield bi, b
+
+    # --- pass 1: device-count my shard, exchange distinct runs, merge ---
     H, seed = cfg.bloom_hashes, cfg.seed
-    partials = []
-    preps: dict[int, blockcodec.BlockPrep] = {}
-    for bi in my_block_idx:
-        block = parse.blocks[bi]
-        prep = blockcodec.prepare_block(block, cfg.max_device_len)
+    counter = count.DeviceCounter(
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
+    )
+    n_reads = 0
+    n_blocks = 0
+    for bi, block in stream_blocks():
+        n_reads += block.n_reads
+        n_blocks += 1
+        if bi % nproc != pid:
+            continue
+        prep = blockcodec.prepare_block(conv(block), cfg.max_device_len)
         for ch in pipeline.chunk_block(prep, cfg, k):
             if ch.L < k + 1 or not (ch.dev_len >= k).any():
                 continue
-            canon, _, valid = K.kmer_scan(ch.codes, ch.dev_len, k)
-            partials.append(count.count_batch(np.asarray(canon), np.asarray(valid)))
-    uniq, counts = count.merge_counts(partials)
-    merged = count.merge_counts(
-        [pickle.loads(b) for b in _allgather_bytes(pickle.dumps((uniq, counts)))]
+            packed = jnp.asarray(ch.packed)
+            canon, _, valid = K.kmer_scan_packed(packed, ch.dev_len, k, ch.L)
+            counter.add(canon, valid)
+
+    uniq, cnts = counter.distinct_run()
+    merged = count.DeviceCounter(
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
     )
-    uniq, counts = merged
-    if cfg.abundance is not None:
-        cutoff = cfg.abundance
-    else:
-        cutoff = count.auto_cutoff(count.histogram(counts)) if counts.size else 2
-    solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
-    n_solid = int(solid.shape[0])
-    log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
-    bitset = bloom.build_np(solid, log2_m, H, seed, k)
-    bitset_j = jnp.asarray(bitset)
+    for blob in _allgather_bytes(_pack_run(uniq, cnts)):
+        merged.ingest_run(*_unpack_run(blob))
+    bitset_j, log2_m, cutoff, n_solid, _hist = merged.finalize(
+        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
+    )
+    bitset = np.asarray(bitset_j)
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
-        n_hashes=H, final_newline=parse.final_newline, log2_mbits=log2_m,
-        seed=seed, n_reads=parse.n_reads, abundance=cutoff,
+        n_hashes=H, final_newline=bank.final_newline(input_path),
+        log2_mbits=log2_m, seed=seed, n_reads=n_reads, abundance=cutoff,
         seglen=cfg.max_device_len,
         orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
     )
 
-    # --- pass 2: encode my blocks with deferred dictionary resolution ---
+    # --- pass 2: encode my blocks (dispatch-ahead in-flight queue), with
+    # deferred dictionary resolution; heavy per-block arrays are dropped as
+    # soon as the walks drain so RSS tracks the shard's ENCODED size ---
+    with_conf = meta.qual_mode == container.QUAL_LOSSY
     encoders: dict[int, blockcodec.BlockEncoder] = {}
-    for bi in my_block_idx:
-        block = parse.blocks[bi]
-        if fmt == bank.FASTQ and cfg.seq_only:
-            block = bank.SeqBlock(
-                bank.FASTA, block.headers, block.seqs,
-                line_lens=[[len(s)] if len(s) else [] for s in block.seqs],
+    pending: deque = deque()
+
+    def process(item):
+        be, ch, inflight = item
+        if ch is None:  # block finished: release the sequence data
+            be.prep.flat_codes = np.zeros(0, np.uint8)
+            if isinstance(be.block, bank.ArrayBlock):
+                be.block.seq_cat = np.zeros(0, np.uint8)
+            else:
+                # keep list length: SeqBlock.n_reads is len(seqs)
+                be.block.seqs = [b""] * len(be.block.seqs)
+            return
+        enc = pipeline.drain_walk_chunk(
+            ch, inflight, bitset_j, k, H, log2_m, seed, with_conf
+        )
+        be.add_subbatch(
+            blockcodec.SubbatchData(
+                codes=ch.codes, seg_len=ch.seg_len, seg_read=ch.seg_read,
+                seg_off=ch.seg_off, n=ch.n, enc=enc,
             )
+        )
+
+    for bi, block in stream_blocks():
+        if bi % nproc != pid:
+            continue
+        block = conv(block)
         prep = blockcodec.prepare_block(block, cfg.max_device_len)
         be = blockcodec.BlockEncoder(cfg, meta, None, block, prep)
-        for ch in pipeline.chunk_block(prep, cfg, k):
-            enc = None
-            if ch.L >= k + 1 and (ch.dev_len >= k).any():
-                B = ch.codes.shape[0]
-                cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
-                cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
-                buf = walk.encode_batch_compact(
-                    ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed,
-                    cap_err, cap_bif,
-                )
-                enc = walk.unpack_compact(np.asarray(buf), ch.n, B, ch.L, cap_err, cap_bif,
-                                          with_conf=True, k=k)
-                if enc is None:
-                    enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
-                    enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
-            be.add_subbatch(
-                blockcodec.SubbatchData(
-                    codes=ch.codes, seg_len=ch.seg_len, seg_read=ch.seg_read,
-                    seg_off=ch.seg_off, n=ch.n, enc=enc,
-                )
-            )
         encoders[bi] = be
+        for ch in pipeline.chunk_block(prep, cfg, k):
+            inflight = None
+            if ch.L >= k + 1 and (ch.dev_len >= k).any():
+                packed_d = jnp.asarray(ch.packed)
+                dlen_d = ch.dev_len
+                inflight = pipeline.dispatch_walk_chunk(
+                    ch, packed_d, dlen_d, bitset_j, k, H, log2_m, seed, cfg,
+                    with_conf,
+                )
+            pending.append((be, ch, inflight))
+            while len(pending) > cfg.max_inflight_chunks:
+                process(pending.popleft())
+        pending.append((be, None, None))
+    while pending:
+        process(pending.popleft())
 
     # --- dictionary replay: per-block distinct first-use key lists ---
     def distinct_in_order(chunks: list[np.ndarray]) -> list[bytes]:
@@ -177,22 +286,23 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
         rb = raw.tobytes()
         return [rb[i * sz : (i + 1) * sz] for i in np.sort(first)]
 
+    key_sz = W * 4
     my_lists = {bi: distinct_in_order(be.anchor_key_chunks) for bi, be in encoders.items()}
     all_lists: dict[int, list[bytes]] = {}
-    for blob in _allgather_bytes(pickle.dumps(my_lists)):
-        all_lists.update(pickle.loads(blob))
+    for blob in _allgather_bytes(_pack_keylists(my_lists, key_sz)):
+        all_lists.update(_unpack_keylists(blob, key_sz))
     adict = blockcodec.AnchorDict(W)
     # dict size before each block's first-use entries — finish() needs it
     # for stream 4's implicit-new coding (blocks.py), since the dict here
     # is prepopulated rather than grown block by block
     prefix_len: dict[int, int] = {}
-    for bi in range(len(parse.blocks)):
+    for bi in range(n_blocks):
         prefix_len[bi] = len(adict)
         for key in all_lists.get(bi, ()):
             adict.index_key(key)
 
     # --- finish my blocks against the global dictionary, gather to p0 ---
-    my_payloads = {}
+    my_payloads: dict[int, tuple[bytes, int]] = {}
     stream_sizes: dict[int, int] = {}
     n_anchored = 0
     for bi, be in encoders.items():
@@ -205,19 +315,19 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
             stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
 
     gathered: dict[int, tuple[bytes, int]] = {}
-    for blob in _allgather_bytes(pickle.dumps(my_payloads)):
-        gathered.update(pickle.loads(blob))
+    for blob in _allgather_bytes(_pack_payloads(my_payloads)):
+        gathered.update(_unpack_payloads(blob))
 
     stats = {
         "input": input_path, "output": output_path,
-        "n_reads": parse.n_reads, "n_anchored_local": n_anchored,
+        "n_reads": n_reads, "n_anchored_local": n_anchored,
         "n_solid_kmers": n_solid, "abundance": cutoff,
         "process": pid, "n_processes": nproc,
         "time_total_s": round(time.time() - t0, 3),
     }
     if pid == 0:
-        payloads = [gathered[i][0] for i in range(len(parse.blocks))]
-        n_per_block = [gathered[i][1] for i in range(len(parse.blocks))]
+        payloads = [gathered[i][0] for i in range(n_blocks)]
+        n_per_block = [gathered[i][1] for i in range(n_blocks)]
         c = container.Container(
             meta=meta,
             dict_payload=adict.payload(),

@@ -273,10 +273,60 @@ def _count_pass_host(preps, cfg: LeonConfig, k: int):
     return count.merge_counts(partials)
 
 
+def dispatch_walk_chunk(ch: Chunk, packed_d, dlen_d, bitset_j, k: int, H: int,
+                        log2_m: int, seed: int, cfg: LeonConfig, with_conf: bool):
+    """Dispatch one chunk's compact walk encode (async D2H started).
+    Returns the in-flight handle for drain_walk_chunk."""
+    from leon_tpu.ops import walk
+
+    B = ch.codes.shape[0]
+    cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
+    cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
+    buf = walk.encode_batch_compact_packed(
+        packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+        cap_err, cap_bif, with_conf, ch.L,
+    )
+    buf.copy_to_host_async()
+    return (buf, cap_err, cap_bif, packed_d, dlen_d)
+
+
+def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
+                     log2_m: int, seed: int, with_conf: bool) -> Optional[dict]:
+    """Drain one dispatched compact walk: D2H sync, unpack, capacity retry
+    (4x caps), dense-layout fallback. Returns the enc dict, or None when
+    the chunk was never dispatched (all-short lanes)."""
+    from leon_tpu.ops import walk
+
+    if inflight is None:
+        return None
+    buf, cap_err, cap_bif, packed_d, dlen_d = inflight
+    B = ch.codes.shape[0]
+    tr("enc.drain.begin")
+    buf_h = np.asarray(buf)
+    tr("enc.drain.end")
+    enc = walk.unpack_compact(
+        buf_h, ch.n, B, ch.L, cap_err, cap_bif, with_conf=with_conf, k=k,
+    )
+    tr("enc.unpack.end")
+    if enc is None:
+        # event capacity overflow (high error rate chunk): retry with 4x
+        # caps before falling back to the dense layout
+        buf2 = walk.encode_batch_compact_packed(
+            packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+            4 * cap_err, 4 * cap_bif, with_conf, ch.L,
+        )
+        enc = walk.unpack_compact(
+            np.asarray(buf2), ch.n, B, ch.L, 4 * cap_err, 4 * cap_bif,
+            with_conf=with_conf, k=k,
+        )
+    if enc is None:
+        enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
+        enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
+    return enc
+
+
 def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
     import jax.numpy as jnp
-
-    from leon_tpu.ops import walk
 
     cfg = cfg or LeonConfig()
     if cfg.profile_dir:
@@ -463,34 +513,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             for sid, sz in sizes.items():
                 stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
             return
-        enc = None
-        if inflight is not None:
-            buf, cap_err, cap_bif, packed_d, dlen_d = inflight
-            B = ch.codes.shape[0]
-            tr("enc.drain.begin")
-            buf_h = np.asarray(buf)
-            tr("enc.drain.end")
-            enc = walk.unpack_compact(
-                buf_h, ch.n, B, ch.L, cap_err, cap_bif,
-                with_conf=with_conf, k=k,
-            )
-            tr("enc.unpack.end")
-            if enc is None:
-                # event capacity overflow (high error rate chunk): retry
-                # with 4x caps before falling back to the dense layout
-                buf2 = walk.encode_batch_compact_packed(
-                    packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
-                    4 * cap_err, 4 * cap_bif, with_conf, ch.L,
-                )
-                enc = walk.unpack_compact(
-                    np.asarray(buf2), ch.n, B, ch.L, 4 * cap_err, 4 * cap_bif,
-                    with_conf=with_conf, k=k,
-                )
-            if enc is None:
-                enc_j = walk.encode_batch(
-                    ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed
-                )
-                enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
+        enc = drain_walk_chunk(ch, inflight, bitset_j, k, H, log2_m, seed, with_conf)
+        if enc is not None:
             n_anchored += int(enc["anchored"].sum())
         be.add_subbatch(
             blockcodec.SubbatchData(
@@ -510,22 +534,16 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             ci += 1
             inflight = None
             if ch.L >= k + 1 and (ch.dev_len >= k).any():
-                B = ch.codes.shape[0]
-                cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
-                cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
                 tr(f"enc.chunk{ci}.ready")
                 packed_d = dev_cache.pop(ci - 1, None) if dev_cache is not None else None
                 if packed_d is None:
                     packed_d = placer.batch2(ch.packed) if placer.mesh else jnp.asarray(ch.packed)
                 dlen_d = placer.batch1(ch.dev_len)
                 tr(f"enc.chunk{ci}.h2d")
-                buf = walk.encode_batch_compact_packed(
-                    packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
-                    cap_err, cap_bif, with_conf, ch.L,
+                inflight = dispatch_walk_chunk(
+                    ch, packed_d, dlen_d, bitset_j, k, H, log2_m, seed, cfg, with_conf
                 )
-                buf.copy_to_host_async()
                 tr(f"enc.chunk{ci}.dispatched")
-                inflight = (buf, cap_err, cap_bif, packed_d, dlen_d)
             pending.append((be, ch, inflight))
             while len(pending) > cfg.max_inflight_chunks:
                 process(pending.popleft())

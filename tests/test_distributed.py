@@ -54,16 +54,7 @@ def test_single_process_distributed_equals_pipeline(tmp_path, rng):
     assert open(out_a, "rb").read() == open(out_b, "rb").read()
 
 
-@pytest.mark.slow
-def test_two_process_shard_invariance(tmp_path, rng):
-    src = str(tmp_path / "d.fasta")
-    _make_input(src, rng)
-    cfg = LeonConfig(batch_reads=64, reads_per_block=60)
-    ref_out = str(tmp_path / "single.leon")
-    pipeline.compress(src, ref_out, cfg=cfg)
-
-    out = str(tmp_path / "dist.leon")
-    port = "29517"
+def _run_two_process(src, out, port):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
@@ -78,4 +69,41 @@ def test_two_process_shard_invariance(tmp_path, rng):
     outs = [p.communicate(timeout=420) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{so.decode()}\n{se.decode()[-2000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_shard_invariance(tmp_path, rng):
+    src = str(tmp_path / "d.fasta")
+    _make_input(src, rng)
+    cfg = LeonConfig(batch_reads=64, reads_per_block=60)
+    ref_out = str(tmp_path / "single.leon")
+    pipeline.compress(src, ref_out, cfg=cfg)
+
+    out = str(tmp_path / "dist.leon")
+    _run_two_process(src, out, "29517")
+    assert open(out, "rb").read() == open(ref_out, "rb").read()
+
+
+@pytest.mark.slow
+def test_two_process_shard_invariance_fastq(tmp_path, rng):
+    """FASTQ (lossy-qual default) through the streaming distributed encode:
+    headers, quals and the lossy transform must all shard-invariantly match
+    the single-process archive."""
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    contig = rng.integers(0, 4, 700, dtype=np.uint8)
+    src = str(tmp_path / "d.fastq")
+    with open(src, "wb") as f:
+        for i in range(220):
+            ln = int(rng.integers(60, 110))
+            st = int(rng.integers(0, 700 - ln))
+            q = (rng.integers(35, 74, ln)).astype(np.uint8).tobytes()
+            f.write(b"@SIM:1:FC:1:%d:%d:%d 1:N:0:ACGT\n%s\n+\n%s\n"
+                    % (i // 50, i, i * 7 % 991,
+                       BASES[contig[st : st + ln]].tobytes(), q))
+    cfg = LeonConfig(batch_reads=64, reads_per_block=60)
+    ref_out = str(tmp_path / "single.leon")
+    pipeline.compress(src, ref_out, cfg=cfg)
+
+    out = str(tmp_path / "dist.leon")
+    _run_two_process(src, out, "29531")
     assert open(out, "rb").read() == open(ref_out, "rb").read()
