@@ -303,6 +303,7 @@ class BlockEncoder:
                 self.qual_arr = np.frombuffer(qcat, dtype=np.uint8).copy()
                 qlens = np.array([len(q) for q in (block.quals or [])], dtype=np.int64)
             self.qual_start = np.concatenate(([0], np.cumsum(qlens)[:-1])) if qlens.size else np.zeros(0, np.int64)
+            self._qual_lens = qlens  # per-read lengths for the method-4 coder
 
     def add_subbatch(self, sb: SubbatchData) -> None:
         n = sb.n
@@ -458,7 +459,11 @@ class BlockEncoder:
 
             add(S_HEADERS, hcodec.encode(block.headers))
         if self.meta.qual_mode and self.qual_arr is not None:
-            add(S_QUALS, self.qual_arr.tobytes(), try_o1=True)
+            # biggest stream: position-aware q1 model vs order-1 vs zlib
+            # (static rANS skipped — it never wins on quality data and the
+            # extra full encode costs real time at scale)
+            add(S_QUALS, self.qual_arr.tobytes(), try_rans=False,
+                try_o1=True, lens=self._qual_lens)
         self.qual_arr = None
         is_arr = isinstance(block, bank.ArrayBlock)
         if block.fmt == bank.FASTQ:
@@ -592,13 +597,21 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
     n_reads, pos = varint.decode_one(payload, 0)
     n_streams, pos = varint.decode_one(payload, pos)
     sdata: dict[int, bytes] = {}
+    qual_frame: Optional[bytes] = None
     for _ in range(n_streams):
         sid = payload[pos]
-        data, pos = frames.unframe(payload, pos + 1)
-        sdata[sid] = data
+        if sid == S_QUALS:
+            # defer: the method-4 coder needs the read lengths, decoded
+            # from the readlen stream below
+            qual_frame, pos = frames.skip_frame(payload, pos + 1)
+        else:
+            data, pos = frames.unframe(payload, pos + 1)
+            sdata[sid] = data
 
     deltas = varint.unzigzag(varint.decode_array(sdata.get(S_READLEN, b""), n_reads))
     lengths = np.cumsum(deltas)
+    if qual_frame is not None:
+        sdata[S_QUALS], _ = frames.unframe(qual_frame, 0, lens=lengths)
     seg_read, seg_off, seg_len = segment_table(lengths, meta.seglen)
     n_segs = seg_read.shape[0]
 

@@ -19,12 +19,16 @@ METHOD_RAW = 0
 METHOD_ZLIB = 1
 METHOD_RANS = 2
 METHOD_O1 = 3
+METHOD_Q1 = 4
 
 _ZLEVEL = 6  # frozen: deterministic output across runs
 
 
-def frame(data: bytes, try_rans: bool = True, try_o1: bool = False) -> bytes:
-    """Encode `data` with the smallest applicable method."""
+def frame(data: bytes, try_rans: bool = True, try_o1: bool = False,
+          lens=None) -> bytes:
+    """Encode `data` with the smallest applicable method. `lens` (per-read
+    lengths summing to len(data)) additionally enables the position-aware
+    quality model (method 4); the decoder must then pass the same lens."""
     best_m, best = METHOD_RAW, data
     if len(data) >= 16:
         z = zlib.compress(data, _ZLEVEL)
@@ -42,6 +46,12 @@ def frame(data: bytes, try_rans: bool = True, try_o1: bool = False) -> bytes:
             r = o1.encode(data)
             if r is not None and len(r) < len(best):
                 best_m, best = METHOD_O1, r
+        if lens is not None:
+            from leon_tpu.codecs import q1
+
+            r = q1.encode(data, lens)
+            if r is not None and len(r) < len(best):
+                best_m, best = METHOD_Q1, r
     out = bytearray([best_m])
     varint.encode_one(len(data), out)
     varint.encode_one(len(best), out)
@@ -49,8 +59,9 @@ def frame(data: bytes, try_rans: bool = True, try_o1: bool = False) -> bytes:
     return bytes(out)
 
 
-def unframe(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
-    """Decode one framed stream starting at `pos`; returns (data, new_pos)."""
+def unframe(buf: bytes, pos: int = 0, lens=None) -> tuple[bytes, int]:
+    """Decode one framed stream starting at `pos`; returns (data, new_pos).
+    Method-4 frames require `lens` (the block's per-read lengths)."""
     method = buf[pos]
     rawlen, pos = varint.decode_one(buf, pos + 1)
     paylen, pos = varint.decode_one(buf, pos)
@@ -68,8 +79,24 @@ def unframe(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
         from leon_tpu.codecs import o1
 
         data = o1.decode(payload, rawlen)
+    elif method == METHOD_Q1:
+        from leon_tpu.codecs import q1
+
+        if lens is None:
+            raise ValueError("method-4 frame outside a lens-bearing stream")
+        data = q1.decode(payload, rawlen, lens)
     else:
         raise ValueError(f"unknown frame method {method}")
     if len(data) != rawlen:
         raise ValueError(f"frame length mismatch: {len(data)} != {rawlen}")
     return data, pos
+
+
+def skip_frame(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """Return (whole framed record bytes, new_pos) without decoding — for
+    streams whose decode needs context not yet available (method 4)."""
+    start = pos
+    _rawlen, pos = varint.decode_one(buf, pos + 1)
+    paylen, pos = varint.decode_one(buf, pos)
+    pos += paylen
+    return buf[start:pos], pos

@@ -57,6 +57,16 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.leon_o1_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.leon_q1_encode.restype = ctypes.c_int64
+    lib.leon_q1_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.leon_q1_decode.restype = ctypes.c_int64
+    lib.leon_q1_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.leon_ragged_move.restype = None
     lib.leon_ragged_move.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

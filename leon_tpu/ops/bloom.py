@@ -121,44 +121,57 @@ def hash_words(words, k: int, seed: int, xp):
 MAX_LOG2_M = 36  # word index (2^(log2_m-5)) must stay below 2^31 for i32 gathers
 
 
-def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
-    """(word_index int32 (..., H), bit uint32 (..., H)) from the strand
-    hashes. Bit position p lives at bitset word p>>5, bit p&31.
+def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
+    """BLOCKED Bloom addressing (hash family v3, FORMAT.md §4): all H bits
+    of a key live in ONE u32 bitset word, so membership is a single
+    gathered word + mask test. On TPU the walk is gather-bound (4
+    candidates x H hashes x every step, random HBM access); blocking cuts
+    the gather count H-fold for a modest false-positive penalty (~2-3x at
+    12 bits/kmer, still <1.5%).
 
-    log2_m <= 32: hash family v2 (FORMAT.md §4), p_i = (h1 + i*h2) mod 2^log2_m
-    with h1 = min(f1,r1), h2 = min(f2,r2)|1 — unchanged from v1 archives.
+    word index (strand-invariant):
+      log2_m <= 32:      w = h1 mod 2^(log2_m-5)
+      log2_m in (32,36]: w = ((h2 & (2^(log2_m-32)-1)) << 27) | (h1 >> 5)
+    with h1 = min(f1,r1), h2 = min(f2,r2)|1.
+    bit positions: bit_i = (x2 >> 5i) & 31 for i < 6, then
+    ((x1 >> 5(i-6)) & 31) for i in [6, 8), with x2 = f2^r2, x1 = f1^r1
+    (both strand-invariant). mask = OR of (1 << bit_i); a key sets <= H
+    distinct bits. Bit-identical in numpy and jnp.
 
-    log2_m in (32, 36]: the v2-64 extension (FORMAT.md §4): 64-bit double
-    hashing P_i = H1 + i*H2 mod 2^64 with H1 = (h2<<32)|h1 and
-    H2 = (h1<<32)|h2 (h2 is odd, so H2 is odd), computed in u32 pairs with
-    explicit carries (no 64-bit types anywhere — TPU-native word math);
-    p_i = P_i mod 2^log2_m. Both paths are bit-identical in numpy and jnp.
+    Returns (word_index int32 (...,), mask uint32 (...,)).
     """
     u = xp.uint32
     i32 = xp.int32 if xp is jnp else np.int64
     h1 = xp.minimum(f1, r1)
     h2 = xp.minimum(f2, r2) | u(1)
     if log2_m <= 32:
-        mask = u((1 << log2_m) - 1 if log2_m < 32 else _M32)
-        wis, bits = [], []
-        for i in range(n_hashes):
-            p = (h1 + u(i) * h2) & mask
-            wis.append((p >> u(5)).astype(i32))
-            bits.append(p & u(31))
-        return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
-    if log2_m > MAX_LOG2_M:
+        wi = (h1 & u((1 << (log2_m - 5)) - 1)).astype(i32)
+    elif log2_m <= MAX_LOG2_M:
+        himask = u((1 << (log2_m - 32)) - 1)
+        wi = (((h2 & himask) << u(27)) | (h1 >> u(5))).astype(i32)
+    else:
         raise ValueError(f"log2_m {log2_m} > {MAX_LOG2_M}")
-    himask = u((1 << (log2_m - 32)) - 1)
-    lo, hi = h1, h2  # running P_i; P_0 = H1
-    wis, bits = [], []
-    for _ in range(n_hashes):
-        wi = (((hi & himask) << u(27)) | (lo >> u(5))).astype(i32)
-        wis.append(wi)
-        bits.append(lo & u(31))
-        lo2 = (lo + h2).astype(xp.uint32)
-        carry = (lo2 < lo).astype(xp.uint32)  # u32 add wrapped
-        hi = (hi + h1 + carry).astype(xp.uint32)
-        lo = lo2
+    x2 = f2 ^ r2
+    x1 = f1 ^ r1
+    mask = xp.zeros(h1.shape, xp.uint32) if hasattr(h1, "shape") else u(0)
+    for i in range(n_hashes):
+        b = ((x2 >> u(5 * i)) if i < 6 else (x1 >> u(5 * (i - 6)))) & u(31)
+        mask = mask | (u(1) << b)
+    return wi, mask
+
+
+def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
+    """Per-bit view of the blocked addressing: (word int32 (..., H), bit
+    uint32 (..., H)) — the SAME bits wordmask_from_hashes tests, unrolled
+    for build paths that deduplicate (word, bit) pairs."""
+    u = xp.uint32
+    wi, _ = wordmask_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+    x2 = f2 ^ r2
+    x1 = f1 ^ r1
+    bits = []
+    for i in range(n_hashes):
+        bits.append((((x2 >> u(5 * i)) if i < 6 else (x1 >> u(5 * (i - 6)))) & u(31)))
+    wis = [wi] * n_hashes
     return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
 
@@ -166,6 +179,12 @@ def wordbit(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
     """(word_index, bit) of packed k-mer words (..., W)."""
     f1, r1, f2, r2 = hash_words(words, k, seed, xp)
     return wordbit_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+
+
+def wordmask(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
+    """(word_index, 32-bit mask) of packed k-mer words (..., W)."""
+    f1, r1, f2, r2 = hash_words(words, k, seed, xp)
+    return wordmask_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
 
 
 def choose_log2_m(n_solid: int, bits_per_kmer: float) -> int:
@@ -194,8 +213,8 @@ def build_np(solid_words: np.ndarray, log2_m: int, n_hashes: int, seed: int, k: 
     """Host build: returns uint32 bitset of shape (2^log2_m / 32,)."""
     bitset = np.zeros(1 << max(0, log2_m - 5), dtype=np.uint32)
     if solid_words.shape[0]:
-        wi, bit = wordbit(solid_words, n_hashes, log2_m, seed, np, k)
-        np.bitwise_or.at(bitset, wi.reshape(-1), np.uint32(1) << bit.reshape(-1))
+        wi, mask = wordmask(solid_words, n_hashes, log2_m, seed, np, k)
+        np.bitwise_or.at(bitset, wi.reshape(-1), mask.reshape(-1))
     return bitset
 
 
@@ -207,15 +226,21 @@ def probe_wordbit(bitset, wi, bit, xp):
     return (hit == 1).all(axis=-1)
 
 
+def probe_wordmask(bitset, wi, mask, xp):
+    """Blocked membership: ONE gathered word per key, all mask bits set."""
+    w = bitset[wi]
+    return (w & mask) == mask
+
+
 def probe(bitset, words, n_hashes: int, log2_m: int, seed: int, k: int):
     """Device probe of packed k-mer words (..., W) -> bool (...)."""
-    wi, bit = wordbit(words, n_hashes, log2_m, seed, jnp, k)
-    return probe_wordbit(bitset, wi, bit, jnp)
+    wi, mask = wordmask(words, n_hashes, log2_m, seed, jnp, k)
+    return probe_wordmask(bitset, wi, mask, jnp)
 
 
 def probe_np(bitset: np.ndarray, words: np.ndarray, n_hashes: int, log2_m: int, seed: int, k: int):
-    wi, bit = wordbit(words, n_hashes, log2_m, seed, np, k)
-    return probe_wordbit(bitset, wi, bit, np)
+    wi, mask = wordmask(words, n_hashes, log2_m, seed, np, k)
+    return probe_wordmask(bitset, wi, mask, np)
 
 
 def build_device(uniq_words, counts, cutoff, log2_m: int, n_hashes: int,

@@ -88,9 +88,10 @@ def _anchor_scan(codes, k: int, seed: int):
 
 
 def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m):
-    """Membership of 4 candidates given their strand hashes, each (B, 4)."""
-    wi, bit = bloom.wordbit_from_hashes(cf1, cr1, cf2, cr2, H, log2_m, jnp)
-    return bloom.probe_wordbit(bitset, wi, bit, jnp)
+    """Membership of 4 candidates given their strand hashes, each (B, 4).
+    Blocked Bloom (FORMAT.md §4 v3): ONE gathered u32 word per candidate."""
+    wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, log2_m, jnp)
+    return bloom.probe_wordmask(bitset, wi, mask, jnp)
 
 
 def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, side, ME):
@@ -180,8 +181,8 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     valid = pos <= (lengths[:, None] - k)
     # membership at every position (B, P)
     hh1 = jnp.minimum(h1f, h1r)
-    wi, bit = bloom.wordbit_from_hashes(h1f, h1r, h2f, h2r, H, log2_m, jnp)
-    member = bloom.probe_wordbit(bitset, wi, bit, jnp) & valid
+    wi, mask = bloom.wordmask_from_hashes(h1f, h1r, h2f, h2r, H, log2_m, jnp)
+    member = bloom.probe_wordmask(bitset, wi, mask, jnp) & valid
 
     anchored = member.any(axis=1)
     # minimizer-style anchor (FORMAT.md §5): the solid position with the

@@ -113,7 +113,7 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
 # ---------------------------------------------------------------------------
 
 
-_CKPT_VERSION = 1
+_CKPT_VERSION = 2  # counts Bloom layout; bump with FORMAT §4
 
 
 def _ckpt_key(cfg: LeonConfig, k: int, input_path: str) -> tuple:

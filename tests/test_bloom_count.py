@@ -133,9 +133,10 @@ def test_auto_cutoff():
 
 @pytest.mark.parametrize("log2_m", [20, 32, 33, 36])
 def test_wordbit_np_jnp_identical(rng, log2_m):
-    """Hash family v2 + the v2-64 extension (FORMAT.md §4) must be
-    bit-identical between the numpy and jnp implementations — decoder
-    determinism depends on it."""
+    """Hash family v3 (blocked, FORMAT.md §4) must be bit-identical
+    between the numpy and jnp implementations — decoder determinism
+    depends on it — and the per-bit view must agree with the fused
+    word+mask view the probes use."""
     f1, r1, f2, r2 = (rng.integers(0, 2**32, 2048, dtype=np.uint32) for _ in range(4))
     win, bin_ = bloom.wordbit_from_hashes(f1, r1, f2, r2, 4, log2_m, np)
     wij, bij = bloom.wordbit_from_hashes(
@@ -144,9 +145,19 @@ def test_wordbit_np_jnp_identical(rng, log2_m):
     assert np.array_equal(win.astype(np.int64), np.asarray(wij).astype(np.int64))
     assert np.array_equal(bin_, np.asarray(bij))
     assert int(win.max()) < (1 << (log2_m - 5))
-    # the H probe positions of one k-mer must be distinct (odd stride)
-    pos = win.astype(np.int64) * 32 + bin_.astype(np.int64)
-    assert (np.diff(np.sort(pos, axis=1), axis=1) != 0).all()
+    # blocked: all H bits of a key live in the SAME word
+    assert (win == win[:, :1]).all()
+    wm, mask = bloom.wordmask_from_hashes(f1, r1, f2, r2, 4, log2_m, np)
+    wmj, maskj = bloom.wordmask_from_hashes(
+        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, log2_m, jnp
+    )
+    assert np.array_equal(wm.astype(np.int64), np.asarray(wmj).astype(np.int64))
+    assert np.array_equal(mask, np.asarray(maskj))
+    assert np.array_equal(wm, win[:, 0])
+    or_bits = np.zeros_like(mask)
+    for i in range(4):
+        or_bits |= np.uint32(1) << bin_[:, i]
+    assert np.array_equal(mask, or_bits)
 
 
 def test_bloom64_membership(rng):
