@@ -325,6 +325,20 @@ def _gather(arr, starts, lens):
 _ARRAY_CHUNK_BYTES = 1 << 28  # streaming parse granularity (256 MB)
 
 
+def _capped_chunk(path: str, chunk_bytes: int) -> int:
+    """Never ask BufferedReader for more than the file holds: read(n)
+    preallocates an n-byte buffer, and faulting in 256 MB costs ~1 s on a
+    throttled host even for a 10 MB input."""
+    import os
+
+    if path.endswith(".gz"):
+        return chunk_bytes  # decompressed size unknown
+    try:
+        return max(1 << 16, min(chunk_bytes, os.path.getsize(path) + 1))
+    except OSError:
+        return chunk_bytes
+
+
 def validate_arrays(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
     """True when the input parses on the vectorized array path (regular
     structure). Streaming and cheap — a line scan with first-byte checks,
@@ -332,6 +346,7 @@ def validate_arrays(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
     instead of handling a mid-stream IrregularInput."""
     import numpy as np
 
+    chunk_bytes = _capped_chunk(path, chunk_bytes)
     with _open(path) as f:
         head = f.read(1)
         if head == b">":
@@ -391,6 +406,7 @@ def read_blocks_arrays(path: str, reads_per_block: int,
     upfront; the raise here is a safety net only."""
     import numpy as np
 
+    chunk_bytes = _capped_chunk(path, chunk_bytes)
     with _open(path) as f:
         carry = b""
         fmt = None

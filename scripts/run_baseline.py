@@ -127,6 +127,21 @@ def main():
     # config 4: k=63 with explicit abundance
     results.append(run("ecoli_k63", eco, LeonConfig(kmer_size=63, abundance=3, noheader=True, noqual=True)))
 
+    # configs 5-6: realistic synthetic data (scripts/gen_realistic.py —
+    # repeat-bearing genome, instrument headers, empirical-shape quality
+    # strings; the closest no-network stand-in for the reference's real
+    # SRA oracle, scripts/simple_test.sh SRR387476)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gen_realistic
+
+    for legacy, tag in ((False, "realistic_rta3"), (True, "realistic_legacy")):
+        src = os.path.join(WORK, tag + ".fastq")
+        if not os.path.exists(src):
+            print("generating", src, flush=True)
+            gen_realistic.gen(src, n_reads // 2, 100, glen // 2, 11 + legacy, legacy)
+        results.append(run(tag + "_lossless", src, LeonConfig(lossless=True), oracle="byte"))
+        results.append(run(tag + "_lossy", src, LeonConfig()))
+
     # gzip comparator
     data = open(eco, "rb").read()
     t0 = time.time()

@@ -402,3 +402,28 @@ def test_multiline_fastq_same_wrap_and_lossy(tmp_path, rng, contig):
     assert [blk.seqs for blk in a] == [blk.seqs for blk in b]
     assert [blk.headers for blk in a] == [blk.headers for blk in b]
     assert [blk.line_lens for blk in a] == [blk.line_lens for blk in b]
+
+
+def test_realistic_generator_roundtrip(tmp_path):
+    """Realistic synthetic FASTQ (scripts/gen_realistic.py: repeat-bearing
+    genome, instrument-format headers, empirical-shape qualities) must
+    round-trip byte-exactly lossless and header/DNA-exactly lossy — the
+    no-network stand-in for the reference's real SRA oracle
+    (scripts/simple_test.sh SRR387476)."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_realistic",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_realistic.py"),
+    )
+    gr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gr)
+    for legacy in (False, True):
+        src = str(tmp_path / f"real{int(legacy)}.fastq")
+        gr.gen(src, 400, 100, 20_000, 17 + legacy, legacy)
+        out = str(tmp_path / f"real{int(legacy)}.leon")
+        pipeline.compress(src, out, cfg=small_cfg(lossless=True))
+        d = pipeline.decompress(out, str(tmp_path / f"real{int(legacy)}.out"),
+                                cfg=small_cfg(lossless=True))
+        assert open(src, "rb").read() == open(d["output"], "rb").read()
