@@ -241,6 +241,32 @@ class SubbatchData:
     enc: Optional[dict]
 
 
+def _pack_2bit(vals: bytes | bytearray) -> bytes:
+    """2-bit values (0..3), 4 per byte, value i at bits 2i..2i+1 of byte
+    i//4; tail padded with zeros (count comes from stream 5)."""
+    a = np.frombuffer(bytes(vals), dtype=np.uint8)
+    if not a.size:
+        return b""
+    pad = (-a.size) % 4
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, np.uint8)])
+    c = a.reshape(-1, 4)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)).tobytes()
+
+
+def _unpack_2bit(data: bytes, n: int) -> np.ndarray:
+    b = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((b.size, 4), np.uint8)
+    out[:, 0] = b & 3
+    out[:, 1] = (b >> 2) & 3
+    out[:, 2] = (b >> 4) & 3
+    out[:, 3] = b >> 6
+    flat = out.reshape(-1)
+    if flat.size < n:
+        raise ValueError("2-bit stream shorter than event count")
+    return flat[:n]
+
+
 def _encode_line_struct(line_lens: list) -> bytes:
     """Streams 14/17 payload: per read varint n_lines; if n_lines > 1,
     n_lines-1 varint line lengths (the last line length is implied by the
@@ -436,8 +462,10 @@ class BlockEncoder:
             ep = np.concatenate(self.errpos)
             if ep.size:
                 add(S_ERRPOS, varint.encode_array(ep))
-        add(S_ERRNT, bytes(self.errnt))
-        add(S_BIF, bytes(self.bif))
+        # streams 7/8 carry 2-bit values (base code / candidate rank):
+        # packed 4 per byte (FORMAT.md §6), little-endian within the byte
+        add(S_ERRNT, _pack_2bit(self.errnt))
+        add(S_BIF, _pack_2bit(self.bif))
         add(S_RAWSEQ, bytes(self.rawseq))
         excn = [p.size for p in prep.exc_pos if p is not None]
         if excn:
@@ -664,8 +692,8 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
     n_err = int((nerr_r + nerr_l).sum())
     n_bif = int((nbif_r + nbif_l).sum())
     errgaps = varint.decode_array(sdata.get(S_ERRPOS, b""), n_err).astype(np.int64)
-    errnts = np.frombuffer(sdata.get(S_ERRNT, b""), dtype=np.uint8)
-    bifs = np.frombuffer(sdata.get(S_BIF, b""), dtype=np.uint8)
+    errnts = _unpack_2bit(sdata.get(S_ERRNT, b""), n_err)
+    bifs = _unpack_2bit(sdata.get(S_BIF, b""), n_bif)
     if errnts.size != n_err or bifs.size != n_bif:
         raise ValueError("event stream count mismatch")
 

@@ -26,8 +26,12 @@ class LeonConfig:
 
     # leon_tpu-specific knobs (all recorded in the container where they
     # affect decoding; see FORMAT.md)
-    bloom_bits_per_kmer: float = 12.0
-    bloom_hashes: int = 4
+    # None = auto from the measured coverage histogram (bloom.auto_params):
+    # the stored filter dominates DNA-mode archives and the end-to-end
+    # optimum shifts with coverage — lean (4 bits/kmer, H=2) at 4x up to
+    # 8 bits/kmer, H=3 at 36x+. Set explicitly to pin.
+    bloom_bits_per_kmer: Optional[float] = None
+    bloom_hashes: Optional[int] = None
     seed: int = 0x1234ABCD
     reads_per_block: int = 65536     # parallel-decode unit
     batch_reads: int = 16384         # device batch lanes
@@ -75,7 +79,7 @@ class LeonConfig:
             raise ValueError(f"kmer-size must be in [1, 255], got {self.kmer_size}")
         if self.abundance is not None and self.abundance < 1:
             raise ValueError("abundance must be >= 1")
-        if not (1 <= self.bloom_hashes <= 8):
+        if self.bloom_hashes is not None and not (1 <= self.bloom_hashes <= 8):
             raise ValueError("bloom hashes must be in [1, 8]")
         if self.seq_only:
             self.noheader = True

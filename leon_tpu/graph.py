@@ -28,20 +28,28 @@ from leon_tpu.ops.kmer import U32, shl2, shr2_ins
 class DBG:
     """A probabilistic de Bruijn graph: nodes = canonical solid k-mers
     present in the Bloom bitset (false positives possible, like the
-    reference's Bloom-backed graph)."""
+    reference's Bloom-backed graph).
 
-    bitset: jnp.ndarray  # (2^log2_m / 32,) uint32
+    The graph uses CLASSIC (unblocked) Bloom addressing
+    (bloom.build_np_classic / probe_classic), not the container's blocked
+    v3 family: assembly-style traversal (walk/simple paths) stops at any
+    apparent branch, so its false-positive sensitivity is categorically
+    higher than the compressor's event-recording walk — an FP there costs
+    a few output bytes, an FP here truncates a contig. Classic addressing
+    pays H gathers per probe for ~5-10x lower FP at equal size."""
+
+    bitset: jnp.ndarray  # (n_words,) uint32
     k: int
     n_hashes: int
-    log2_m: int
+    n_words: int
     seed: int
 
     # -- node queries ------------------------------------------------------
 
     def contains(self, kmers) -> jnp.ndarray:
         """(N, W) packed k-mer words (either strand) -> (N,) bool."""
-        return bloom.probe(self.bitset, jnp.asarray(kmers), self.n_hashes,
-                           self.log2_m, self.seed, self.k)
+        return bloom.probe_classic(self.bitset, jnp.asarray(kmers), self.n_hashes,
+                                   self.n_words, self.seed, self.k)
 
     # -- edge queries ------------------------------------------------------
 

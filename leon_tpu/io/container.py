@@ -43,7 +43,7 @@ class Meta:
     header_mode: int       # 0 none, 1 kept
     n_hashes: int
     final_newline: bool
-    log2_mbits: int
+    n_words: int           # Bloom bitset size in u32 words (exact, not 2^n)
     seed: int
     n_reads: int
     abundance: int
@@ -60,11 +60,12 @@ class Meta:
             self.header_mode,
             self.n_hashes,
             1 if self.final_newline else 0,
-            self.log2_mbits,
+            0,
             0,
         )
         out += struct.pack(
-            "<IQII", self.seed & 0xFFFFFFFF, self.n_reads, self.abundance, self.seglen
+            "<IQIII", self.seed & 0xFFFFFFFF, self.n_reads, self.abundance,
+            self.seglen, self.n_words,
         )
         varint.encode_one(len(self.orig_ext), out)
         out += self.orig_ext
@@ -72,14 +73,14 @@ class Meta:
 
     @classmethod
     def unpack(cls, buf: bytes) -> "Meta":
-        k, fmt, qual_mode, header_mode, n_hashes, flags, log2_mbits, _r = struct.unpack_from("<8B", buf, 0)
-        seed, n_reads, abundance, seglen = struct.unpack_from("<IQII", buf, 8)
-        n, pos = varint.decode_one(buf, 28)
+        k, fmt, qual_mode, header_mode, n_hashes, flags, _r1, _r2 = struct.unpack_from("<8B", buf, 0)
+        seed, n_reads, abundance, seglen, n_words = struct.unpack_from("<IQIII", buf, 8)
+        n, pos = varint.decode_one(buf, 32)
         ext = buf[pos : pos + n]
         return cls(
             k=k, fmt=fmt, qual_mode=qual_mode, header_mode=header_mode,
             n_hashes=n_hashes, final_newline=bool(flags & 1),
-            log2_mbits=log2_mbits, seed=seed, n_reads=n_reads,
+            n_words=n_words, seed=seed, n_reads=n_reads,
             abundance=abundance, seglen=seglen, orig_ext=ext,
         )
 

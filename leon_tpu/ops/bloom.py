@@ -118,10 +118,28 @@ def hash_words(words, k: int, seed: int, xp):
     return f1, r1, f2, r2
 
 
-MAX_LOG2_M = 36  # word index (2^(log2_m-5)) must stay below 2^31 for i32 gathers
+MAX_WORDS = (1 << 31) - 64  # word index must fit int32 for device gathers
 
 
-def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
+def mulhi32(a, b, xp):
+    """High 32 bits of the u32 x u32 product, in pure u32 arithmetic —
+    bit-identical in numpy and jnp (neither needs 64-bit types). This is
+    the `fastrange` reduction: mulhi32(h, n) maps a uniform u32 hash to
+    [0, n) without division or power-of-two sizes."""
+    u = xp.uint32
+    M16 = u(0xFFFF)
+    al, ah = a & M16, a >> u(16)
+    bl, bh = b & M16, b >> u(16)
+    ll = al * bl
+    hl = ah * bl
+    lh = al * bh
+    hh = ah * bh
+    # (ll>>16) + (hl&M16) + lh <= (2^16-1) + (2^16-1) + (2^16-1)^2 = 2^32-1
+    cross = (ll >> u(16)) + (hl & M16) + lh
+    return hh + (hl >> u(16)) + (cross >> u(16))
+
+
+def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
     """BLOCKED Bloom addressing (hash family v3, FORMAT.md §4): all H bits
     of a key live in ONE u32 bitset word, so membership is a single
     gathered word + mask test. On TPU the walk is gather-bound (4
@@ -129,10 +147,10 @@ def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
     the gather count H-fold for a modest false-positive penalty (~2-3x at
     12 bits/kmer, still <1.5%).
 
-    word index (strand-invariant):
-      log2_m <= 32:      w = h1 mod 2^(log2_m-5)
-      log2_m in (32,36]: w = ((h2 & (2^(log2_m-32)-1)) << 27) | (h1 >> 5)
-    with h1 = min(f1,r1), h2 = min(f2,r2)|1.
+    word index (strand-invariant): w = mulhi32(h1, n_words) — fastrange,
+    so the filter is sized EXACTLY at bits_per_kmer * n_solid instead of
+    the next power of two (stored-Bloom bytes dominate DNA-mode archives;
+    power-of-two rounding wasted up to 2x).
     bit positions: bit_i = (x2 >> 5i) & 31 for i < 6, then
     ((x1 >> 5(i-6)) & 31) for i in [6, 8), with x2 = f2^r2, x1 = f1^r1
     (both strand-invariant). mask = OR of (1 << bit_i); a key sets <= H
@@ -142,15 +160,10 @@ def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
     """
     u = xp.uint32
     i32 = xp.int32 if xp is jnp else np.int64
+    if n_words > MAX_WORDS:
+        raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
     h1 = xp.minimum(f1, r1)
-    h2 = xp.minimum(f2, r2) | u(1)
-    if log2_m <= 32:
-        wi = (h1 & u((1 << (log2_m - 5)) - 1)).astype(i32)
-    elif log2_m <= MAX_LOG2_M:
-        himask = u((1 << (log2_m - 32)) - 1)
-        wi = (((h2 & himask) << u(27)) | (h1 >> u(5))).astype(i32)
-    else:
-        raise ValueError(f"log2_m {log2_m} > {MAX_LOG2_M}")
+    wi = mulhi32(h1, u(n_words), xp).astype(i32)
     x2 = f2 ^ r2
     x1 = f1 ^ r1
     mask = xp.zeros(h1.shape, xp.uint32) if hasattr(h1, "shape") else u(0)
@@ -160,12 +173,12 @@ def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
     return wi, mask
 
 
-def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
+def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
     """Per-bit view of the blocked addressing: (word int32 (..., H), bit
     uint32 (..., H)) — the SAME bits wordmask_from_hashes tests, unrolled
     for build paths that deduplicate (word, bit) pairs."""
     u = xp.uint32
-    wi, _ = wordmask_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+    wi, _ = wordmask_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
     x2 = f2 ^ r2
     x1 = f1 ^ r1
     bits = []
@@ -175,45 +188,107 @@ def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, log2_m: int, xp):
     return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
 
-def wordbit(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
+def wordbit(words, n_hashes: int, n_words: int, seed: int, xp, k: int):
     """(word_index, bit) of packed k-mer words (..., W)."""
     f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    return wordbit_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+    return wordbit_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
 
 
-def wordmask(words, n_hashes: int, log2_m: int, seed: int, xp, k: int):
+def wordmask(words, n_hashes: int, n_words: int, seed: int, xp, k: int):
     """(word_index, 32-bit mask) of packed k-mer words (..., W)."""
     f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    return wordmask_from_hashes(f1, r1, f2, r2, n_hashes, log2_m, xp)
+    return wordmask_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
 
 
-def choose_log2_m(n_solid: int, bits_per_kmer: float) -> int:
-    want = max(64.0, n_solid * bits_per_kmer)
-    log2_m = max(6, int(np.ceil(np.log2(want))))
-    return min(log2_m, MAX_LOG2_M)
+def wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
+    """CLASSIC (unblocked) addressing: H independent (word, bit) pairs by
+    double hashing g_i = h1 + i*h2, word = fastrange(g_i), bit = g_i & 31.
+    Lower false-positive rate than the blocked v3 family (no per-word key
+    clustering) at H gathers per probe — used by the graph API's
+    FP-sensitive traversals, NOT by the container format."""
+    u = xp.uint32
+    i32 = xp.int32 if xp is jnp else np.int64
+    if n_words > MAX_WORDS:
+        raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
+    h1 = xp.minimum(f1, r1)
+    h2 = xp.minimum(f2, r2) | u(1)
+    wis, bits = [], []
+    for i in range(n_hashes):
+        g = h1 + u(i) * h2
+        wis.append(mulhi32(g, u(n_words), xp).astype(i32))
+        bits.append(g & u(31))
+    return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
 
-def saturation_warning(n_solid: int, log2_m: int, n_hashes: int) -> str | None:
-    """Projected false-positive rate when the filter is (over)loaded; the
-    reference never warns — we do, because a saturated filter silently
-    collapses the ratio. Returns a message when FP > 1%."""
-    m = float(1 << log2_m)
-    fill = 1.0 - np.exp(-n_solid * n_hashes / m)
-    fp = fill**n_hashes
-    if fp > 0.01:
+def build_np_classic(solid_words: np.ndarray, n_words: int, n_hashes: int,
+                     seed: int, k: int) -> np.ndarray:
+    bitset = np.zeros(n_words, dtype=np.uint32)
+    if solid_words.shape[0]:
+        f1, r1, f2, r2 = hash_words(solid_words, k, seed, np)
+        wi, bit = wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes, n_words, np)
+        np.bitwise_or.at(bitset, wi.reshape(-1), np.uint32(1) << bit.reshape(-1))
+    return bitset
+
+
+def probe_classic(bitset, words, n_hashes: int, n_words: int, seed: int, k: int):
+    """Classic-addressed probe of packed k-mer words (..., W) -> bool."""
+    xp = np if isinstance(words, np.ndarray) else jnp
+    f1, r1, f2, r2 = hash_words(words, k, seed, xp)
+    wi, bit = wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
+    return probe_wordbit(bitset, wi, bit, xp)
+
+
+def auto_params(hist: np.ndarray, cutoff: int) -> tuple[float, int]:
+    """(bits_per_kmer, n_hashes) from the count histogram. The stored
+    filter and the extra walk events it prevents trade off against each
+    other; the end-to-end optimum shifts with coverage (low coverage →
+    few reuses per solid k-mer → lean filter wins; high coverage → every
+    false positive repeats across many reads). Swept on realistic 4x and
+    10x-coverage data: the optimum is shallow and non-monotonic in the
+    fractional bits (the stored bitset's zlib size moves with fill), so
+    the rule picks between the two measured optima by mean solid-kmer
+    coverage: (4, H=2) below 5.5x, (6, H=3) above."""
+    c = min(max(int(cutoff), 0), hist.size - 1)
+    n_solid = float(hist[c:].sum())
+    if n_solid <= 0:
+        return 5.0, 2
+    mean_cov = float((np.arange(hist.size) * hist)[c:].sum()) / n_solid
+    return (6.0, 3) if mean_cov >= 5.5 else (4.0, 2)
+
+
+def choose_n_words(n_solid: int, bits_per_kmer: float) -> int:
+    """Bitset words for an EXACTLY-sized filter (multiple of 64 words =
+    2048 bits; fastrange addressing needs no power of two)."""
+    want_words = int(np.ceil(max(64.0, n_solid * bits_per_kmer) / 32.0))
+    return min(-(-want_words // 64) * 64, MAX_WORDS)
+
+
+def saturation_warning(n_solid: int, n_words: int, bits_per_kmer: float) -> str | None:
+    """Warn when the filter is materially SMALLER than its configured
+    design point (the default bits_per_kmer is deliberately lean — sized
+    at the measured end-to-end ratio optimum, where the stored filter and
+    the extra walk events balance — so an absolute false-positive
+    threshold would fire on every healthy run). With exact sizing this
+    only happens when MAX_WORDS clips a huge build; the reference never
+    warns at all, and a silently clipped filter collapses the ratio."""
+    want_bits = n_solid * bits_per_kmer
+    have_bits = 32.0 * n_words
+    if have_bits < 0.8 * want_bits:
         return (
-            f"Bloom filter overloaded: {n_solid} solid k-mers in 2^{log2_m} "
-            f"bits -> projected FP rate {fp:.1%}; compression ratio will "
-            "degrade (raise bloom_bits_per_kmer or abundance)"
+            f"Bloom filter clipped: {n_solid} solid k-mers want "
+            f"{want_bits / 8e6:.0f} MB at {bits_per_kmer} bits/kmer but the "
+            f"filter is capped at {have_bits / 8e6:.0f} MB; false positives "
+            "will inflate the event streams (raise abundance to shrink the "
+            "solid set)"
         )
     return None
 
 
-def build_np(solid_words: np.ndarray, log2_m: int, n_hashes: int, seed: int, k: int) -> np.ndarray:
-    """Host build: returns uint32 bitset of shape (2^log2_m / 32,)."""
-    bitset = np.zeros(1 << max(0, log2_m - 5), dtype=np.uint32)
+def build_np(solid_words: np.ndarray, n_words: int, n_hashes: int, seed: int, k: int) -> np.ndarray:
+    """Host build: returns uint32 bitset of shape (n_words,)."""
+    bitset = np.zeros(n_words, dtype=np.uint32)
     if solid_words.shape[0]:
-        wi, mask = wordmask(solid_words, n_hashes, log2_m, seed, np, k)
+        wi, mask = wordmask(solid_words, n_hashes, n_words, seed, np, k)
         np.bitwise_or.at(bitset, wi.reshape(-1), mask.reshape(-1))
     return bitset
 
@@ -232,43 +307,41 @@ def probe_wordmask(bitset, wi, mask, xp):
     return (w & mask) == mask
 
 
-def probe(bitset, words, n_hashes: int, log2_m: int, seed: int, k: int):
+def probe(bitset, words, n_hashes: int, n_words: int, seed: int, k: int):
     """Device probe of packed k-mer words (..., W) -> bool (...)."""
-    wi, mask = wordmask(words, n_hashes, log2_m, seed, jnp, k)
+    wi, mask = wordmask(words, n_hashes, n_words, seed, jnp, k)
     return probe_wordmask(bitset, wi, mask, jnp)
 
 
-def probe_np(bitset: np.ndarray, words: np.ndarray, n_hashes: int, log2_m: int, seed: int, k: int):
-    wi, mask = wordmask(words, n_hashes, log2_m, seed, np, k)
+def probe_np(bitset: np.ndarray, words: np.ndarray, n_hashes: int, n_words: int, seed: int, k: int):
+    wi, mask = wordmask(words, n_hashes, n_words, seed, np, k)
     return probe_wordmask(bitset, wi, mask, np)
 
 
-def build_device(uniq_words, counts, cutoff, log2_m: int, n_hashes: int,
+def build_device(uniq_words, counts, cutoff, n_words: int, n_hashes: int,
                  seed: int, k: int):
     """Device build from a distinct-kmer run: (M, W) u32 words + (M,) i32
     counts (0 = pad). Sort-dedup-scatter: sorting the (word, bit) pairs and
     dropping duplicates makes scatter-ADD equal bitwise OR (each set bit
-    contributes exactly once) without the 2^log2_m byte-per-bit scratch the
-    old path needed — that scratch is what capped log2_m at 32."""
+    contributes exactly once) without a byte-per-bit scratch array."""
     from functools import partial
 
     import jax
 
-    @partial(jax.jit, static_argnames=("log2_m", "H", "seed", "k"))
-    def _build(uw, cnt, co, log2_m: int, H: int, seed: int, k: int):
-        nwords = 1 << (log2_m - 5)
-        wi, bit = wordbit(uw, H, log2_m, seed, jnp, k)  # (M, H)
+    @partial(jax.jit, static_argnames=("n_words", "H", "seed", "k"))
+    def _build(uw, cnt, co, n_words: int, H: int, seed: int, k: int):
+        wi, bit = wordbit(uw, H, n_words, seed, jnp, k)  # (M, H)
         solid = cnt >= co
-        wif = jnp.where(solid[:, None], wi.astype(jnp.uint32), jnp.uint32(nwords)).reshape(-1)
+        wif = jnp.where(solid[:, None], wi.astype(jnp.uint32), jnp.uint32(n_words)).reshape(-1)
         bitf = jnp.where(solid[:, None], bit, jnp.uint32(0)).reshape(-1)
         swi, sbit = jax.lax.sort((wif, bitf), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones(1, bool), (swi[1:] != swi[:-1]) | (sbit[1:] != sbit[:-1])]
         )
-        idx = jnp.where(first, swi, jnp.uint32(nwords)).astype(jnp.int32)
-        out = jnp.zeros(nwords + 1, jnp.uint32).at[idx].add(
+        idx = jnp.where(first, swi, jnp.uint32(n_words)).astype(jnp.int32)
+        out = jnp.zeros(n_words + 1, jnp.uint32).at[idx].add(
             jnp.uint32(1) << sbit, mode="drop"
         )
-        return out[:nwords]
+        return out[:n_words]
 
-    return _build(uniq_words, counts, cutoff, log2_m, n_hashes, seed, k)
+    return _build(uniq_words, counts, cutoff, n_words, n_hashes, seed, k)

@@ -328,8 +328,11 @@ class DeviceCounter:
         self._runs.append((tuple(keys_t), jnp.asarray(cnt), bucket))
         self._runs_n += bucket
 
-    def finalize(self, abundance, bits_per_kmer: float, H: int, seed: int):
-        """Returns (bitset device array, log2_m, cutoff, n_solid, hist).
+    def finalize(self, abundance, bits_per_kmer, H, seed: int):
+        """Returns (bitset device array, n_words, cutoff, n_solid, hist, H).
+
+        bits_per_kmer/H may be None: auto-chosen from the measured
+        coverage histogram (bloom.auto_params — the frozen rule).
 
         Launch discipline (the tunnel charges heavily per big program):
         one fused concat+sort launch over the pending slab (or the run
@@ -341,9 +344,13 @@ class DeviceCounter:
         if not self._pend and not self._runs:
             hist = np.zeros(256, np.int64)
             cutoff = abundance if abundance is not None else 2
-            log2_m = bloom.choose_log2_m(1, bits_per_kmer)
-            bitset = jnp.zeros(1 << (log2_m - 5), jnp.uint32)
-            return bitset, log2_m, cutoff, 0, hist
+            if bits_per_kmer is None:
+                bits_per_kmer = 5.0
+            if H is None:
+                H = 2
+            n_words = bloom.choose_n_words(1, bits_per_kmer)
+            bitset = jnp.zeros(n_words, jnp.uint32)
+            return bitset, n_words, cutoff, 0, hist, H
 
         if not self._runs:
             skeys, boundary, counts = self._sorted_pending()
@@ -367,18 +374,23 @@ class DeviceCounter:
         hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))  # one transfer
         tr("count.fin.hist_sync")
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
+        auto_bpk, auto_h = bloom.auto_params(hist, cutoff)
+        if bits_per_kmer is None:
+            bits_per_kmer = auto_bpk
+        if H is None:
+            H = auto_h
         n_solid = int(hist[min(cutoff, 255):].sum())
-        log2_m = bloom.choose_log2_m(max(1, n_solid), bits_per_kmer)
+        n_words = bloom.choose_n_words(max(1, n_solid), bits_per_kmer)
         W = self.W
         words = jnp.stack([keys_c[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
-        bitset = bloom.build_device(words, cnt_c, jnp.int32(cutoff), log2_m, H, seed, self.k)
+        bitset = bloom.build_device(words, cnt_c, jnp.int32(cutoff), n_words, H, seed, self.k)
         tr("count.fin.bloom_dispatched")
         import sys as _sys
 
-        warn = bloom.saturation_warning(n_solid, log2_m, H)
+        warn = bloom.saturation_warning(n_solid, n_words, bits_per_kmer)
         if warn:
             print(f"[leon-tpu] {warn}", file=_sys.stderr)
-        return bitset, log2_m, cutoff, n_solid, hist
+        return bitset, n_words, cutoff, n_solid, hist, H
 
 
 def auto_cutoff(hist: np.ndarray) -> int:

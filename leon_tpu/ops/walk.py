@@ -87,14 +87,14 @@ def _anchor_scan(codes, k: int, seed: int):
     return fwds, hs
 
 
-def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m):
+def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words):
     """Membership of 4 candidates given their strand hashes, each (B, 4).
     Blocked Bloom (FORMAT.md §4 v3): ONE gathered u32 word per candidate."""
-    wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, log2_m, jnp)
+    wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
     return bloom.probe_wordmask(bitset, wi, mask, jnp)
 
 
-def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, side, ME):
+def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, side, ME):
     """Scan one walk direction with rolling candidate hashes. state0 =
     (fwd words, f1, r1, f2, r2) at the anchor. Returns step-ordered planes
     (B, ME): is_bif, rank, is_err, bnt, is_conf."""
@@ -131,7 +131,7 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, see
 
         cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
         cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m)
+        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         solid_b = jnp.take_along_axis(si, b[:, None], axis=1)[:, 0].astype(bool)
@@ -164,12 +164,12 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, see
     return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed"))
-def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed"))
+def walk_planes(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
     """Anchor search + both walk directions. Returns step-ordered planes.
 
     codes: (B, L) uint8 base codes (exceptions pre-substituted),
-    lengths: (B,) int32, bitset: (2^log2_m/32,) uint32 device array.
+    lengths: (B,) int32, bitset: (2^n_words/32,) uint32 device array.
     """
     B, L = codes.shape
     ME = max(1, L - k)
@@ -181,7 +181,7 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     valid = pos <= (lengths[:, None] - k)
     # membership at every position (B, P)
     hh1 = jnp.minimum(h1f, h1r)
-    wi, mask = bloom.wordmask_from_hashes(h1f, h1r, h2f, h2r, H, log2_m, jnp)
+    wi, mask = bloom.wordmask_from_hashes(h1f, h1r, h2f, h2r, H, n_words, jnp)
     member = bloom.probe_wordmask(bitset, wi, mask, jnp) & valid
 
     anchored = member.any(axis=1)
@@ -196,8 +196,8 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
     a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (h1f, h1r, h2f, h2r))
     state0 = (afwd, *a_h)
 
-    r = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, "right", ME)
-    l = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, log2_m, seed, "left", ME)
+    r = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, "right", ME)
+    l = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, "left", ME)
     return dict(
         anchored=anchored, apos=apos,
         bif_r=r[0], rank_r=r[1], err_r=r[2], bnt_r=r[3], conf_r=r[4],
@@ -232,7 +232,7 @@ def _conf_mask(conf_r, conf_l, apos, k, L):
     return out[:, :L]
 
 
-def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
+def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int,
                          cap_err: int, cap_bif: int, with_conf: bool):
     """Walk-encode with device-side event-stream compaction into ONE flat
     u16 buffer (the D2H tunnel is latency- and bandwidth-bound, so ship
@@ -254,7 +254,7 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, log2_m: int, se
         raise ValueError("event capacities must be multiples of 8")
     B, L = codes.shape
     ME = max(1, L - k)
-    e = walk_planes(codes, lengths, bitset, k, H, log2_m, seed)
+    e = walk_planes(codes, lengths, bitset, k, H, n_words, seed)
 
     nerr_r = e["err_r"].sum(axis=1, dtype=jnp.int32)
     nerr_l = e["err_l"].sum(axis=1, dtype=jnp.int32)
@@ -341,17 +341,17 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, log2_m: int, se
     )
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif", "with_conf"))
-def encode_batch_compact(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int,
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "cap_err", "cap_bif", "with_conf"))
+def encode_batch_compact(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int,
                          cap_err: int, cap_bif: int, with_conf: bool = True):
     """See _encode_compact_impl."""
-    return _encode_compact_impl(codes, lengths, bitset, k, H, log2_m, seed,
+    return _encode_compact_impl(codes, lengths, bitset, k, H, n_words, seed,
                                 cap_err, cap_bif, with_conf)
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "cap_err", "cap_bif",
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "cap_err", "cap_bif",
                                    "with_conf", "L"))
-def encode_batch_compact_packed(packed, lengths, bitset, k: int, H: int, log2_m: int,
+def encode_batch_compact_packed(packed, lengths, bitset, k: int, H: int, n_words: int,
                                 seed: int, cap_err: int, cap_bif: int,
                                 with_conf: bool, L: int):
     """encode_batch_compact taking 2-bit packed codes (kmer.pack_codes_np
@@ -359,7 +359,7 @@ def encode_batch_compact_packed(packed, lengths, bitset, k: int, H: int, log2_m:
     from leon_tpu.ops.kmer import unpack_codes_dev
 
     return _encode_compact_impl(unpack_codes_dev(packed, L), lengths, bitset,
-                                k, H, log2_m, seed, cap_err, cap_bif, with_conf)
+                                k, H, n_words, seed, cap_err, cap_bif, with_conf)
 
 
 def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
@@ -416,8 +416,8 @@ def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed"))
-def encode_batch(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int):
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed"))
+def encode_batch(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
     """Dense slot-compacted event tensors (fallback path for chunks that
     overflow the compact capacities, and the tensor-level test interface).
 
@@ -426,7 +426,7 @@ def encode_batch(codes, lengths, bitset, k: int, H: int, log2_m: int, seed: int)
     """
     B, L = codes.shape
     ME = max(1, L - k)
-    e = walk_planes(codes, lengths, bitset, k, H, log2_m, seed)
+    e = walk_planes(codes, lengths, bitset, k, H, n_words, seed)
 
     ar = jnp.arange(B)[:, None]
     s = jnp.arange(ME, dtype=jnp.int32)[None, :]
@@ -496,7 +496,7 @@ def _unpack_kmer(words, k: int):
 
 
 def _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                      err_plane, nbif, bif, k, H, log2_m, seed, side, ME, L):
+                      err_plane, nbif, bif, k, H, n_words, seed, side, ME, L):
     """Re-walk one direction with rolling hashes. err_plane: (B, L) uint8,
     0 = no error at that position, else 4 + true base code. Returns the
     decoded base per step (B, ME)."""
@@ -532,7 +532,7 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
 
         cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
         cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, log2_m)
+        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         is_bif = active & ~is_err & (scount >= 2)
@@ -589,11 +589,11 @@ def unpack_codes_u32_np(packed: np.ndarray, L: int) -> np.ndarray:
     return out.reshape(B, -1)[:, :L]
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "L"))
 def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
                       nerr_r, nerr_l, nbif_r, nbif_l,
                       err_base, bif_base, errgaps, errnts, bifs,
-                      k: int, H: int, log2_m: int, seed: int, L: int):
+                      k: int, H: int, n_words: int, seed: int, L: int):
     """decode_batch taking the container's FLAT event streams (padded to a
     static capacity) — ~1-2 bytes/event over the H2D tunnel instead of
     dense (B, ME) planes. err_base/bif_base are chunk-relative exclusive
@@ -621,15 +621,15 @@ def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
         apos, anchored, lengths, afwd, bitset,
         nbif_r, bf_r, nerr_r, ep_r, en_r,
         nbif_l, bf_l, nerr_l, ep_l, en_l,
-        k, H, log2_m, seed, L,
+        k, H, n_words, seed, L,
     ))
 
 
-@partial(jax.jit, static_argnames=("k", "H", "log2_m", "seed", "L"))
+@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "L"))
 def decode_batch(apos, anchored, lengths, afwd, bitset,
                  nbif_r, bif_r, nerr_r, errpos_r, errnt_r,
                  nbif_l, bif_l, nerr_l, errpos_l, errnt_l,
-                 k: int, H: int, log2_m: int, seed: int, L: int):
+                 k: int, H: int, n_words: int, seed: int, L: int):
     """Reconstruct anchored reads by re-walking the graph (FORMAT.md §6).
 
     afwd: (B, W) forward-orientation anchor k-mer words (host resolves the
@@ -666,9 +666,9 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     state0 = (afwd, f1, r1, f2, r2)
 
     bs_r = _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                             err_plane, nbif_r, bif_r, k, H, log2_m, seed, "right", ME, L)
+                             err_plane, nbif_r, bif_r, k, H, n_words, seed, "right", ME, L)
     bs_l = _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                             err_plane, nbif_l, bif_l, k, H, log2_m, seed, "left", ME, L)
+                             err_plane, nbif_l, bif_l, k, H, n_words, seed, "left", ME, L)
 
     # place the decoded bases with two post-scan scatters
     s = jnp.arange(ME, dtype=jnp.int32)[None, :]

@@ -212,7 +212,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     )
     for blob in _allgather_bytes(_pack_run(uniq, cnts)):
         merged.ingest_run(*_unpack_run(blob))
-    bitset_j, log2_m, cutoff, n_solid, _hist = merged.finalize(
+    bitset_j, n_words, cutoff, n_solid, _hist, H = merged.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
     bitset = np.asarray(bitset_j)
@@ -220,7 +220,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
         n_hashes=H, final_newline=bank.final_newline(input_path),
-        log2_mbits=log2_m, seed=seed, n_reads=n_reads, abundance=cutoff,
+        n_words=n_words, seed=seed, n_reads=n_reads, abundance=cutoff,
         seglen=cfg.max_device_len,
         orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
     )
@@ -243,7 +243,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
                 be.block.seqs = [b""] * len(be.block.seqs)
             return
         enc = pipeline.drain_walk_chunk(
-            ch, inflight, bitset_j, k, H, log2_m, seed, with_conf
+            ch, inflight, bitset_j, k, H, n_words, seed, with_conf
         )
         be.add_subbatch(
             blockcodec.SubbatchData(
@@ -265,7 +265,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
                 packed_d = jnp.asarray(ch.packed)
                 dlen_d = ch.dev_len
                 inflight = pipeline.dispatch_walk_chunk(
-                    ch, packed_d, dlen_d, bitset_j, k, H, log2_m, seed, cfg,
+                    ch, packed_d, dlen_d, bitset_j, k, H, n_words, seed, cfg,
                     with_conf,
                 )
             pending.append((be, ch, inflight))

@@ -30,18 +30,19 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
-def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, log2_m: int, H: int, seed: int, k: int):
+def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, n_words: int, H: int, seed: int, k: int):
     """Scatter this shard's solid k-mers into a 0/1 byte array of m bits.
 
     Byte-per-bit (not packed) so the scatter is a plain max-scatter and the
     cross-device OR is `pmax` — XLA has no OR-allreduce, but max on {0,1}
     is one. Packing to u32 words happens after the merge.
     """
-    if log2_m > 32:
-        raise ValueError("mesh byte-per-bit builder supports log2_m <= 32; "
-                         "use bloom.build_device + replication for larger filters")
-    m = 1 << log2_m
-    wi, bit = bloom.wordbit(words, H, log2_m, seed, jnp, k)  # (S, H)
+    if n_words > (1 << 27):
+        raise ValueError("mesh byte-per-bit builder supports n_words <= 2^27 "
+                         "(byte-per-bit scratch = 32*n_words bytes); use "
+                         "bloom.build_device + replication for larger filters")
+    m = 32 * n_words
+    wi, bit = bloom.wordbit(words, H, n_words, seed, jnp, k)  # (S, H)
     pos = (wi.astype(jnp.uint32) << jnp.uint32(5)) | bit
     v = jnp.broadcast_to(valid[:, None], pos.shape)
     idx = jnp.where(v, pos, U32(m)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
@@ -56,13 +57,13 @@ def _pack_bits(by: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(b * weights, axis=1, dtype=U32)
 
 
-def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, log2_m: int, H: int, seed: int, k: int):
+def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, n_words: int, H: int, seed: int, k: int):
     """Build the replicated Bloom bitset collectively: shard the solid-kmer
     list over "d", scatter locally, OR-allreduce, pack. Returns a
     fully-replicated (m/32,) uint32 device array.
 
-    Byte-per-bit scratch costs 2^log2_m bytes per device; callers gate on
-    log2_m and fall back to the host build for huge filters.
+    Byte-per-bit scratch costs 2^n_words bytes per device; callers gate on
+    n_words and fall back to the host build for huge filters.
     """
     n = mesh.devices.size
     S = solid_words.shape[0]
@@ -78,14 +79,14 @@ def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, log2_m: int, H: int
         out_specs=P(),
     )
     def build(w, v):
-        by = _bloom_bytes_local(w, v, log2_m, H, seed, k)
+        by = _bloom_bytes_local(w, v, n_words, H, seed, k)
         by = lax.pmax(by, "d")
         return _pack_bits(by)
 
     return jax.jit(build)(words, valid)
 
 
-def make_sharded_encoder(mesh: Mesh, k: int, H: int, log2_m: int, seed: int):
+def make_sharded_encoder(mesh: Mesh, k: int, H: int, n_words: int, seed: int):
     """jit-compiled data-parallel encode step: batch lanes sharded over "d",
     bitset replicated. Returns fn(codes (B,L), lengths (B,), bitset)."""
     from leon_tpu.ops import walk
@@ -96,7 +97,7 @@ def make_sharded_encoder(mesh: Mesh, k: int, H: int, log2_m: int, seed: int):
 
     @partial(jax.jit, static_argnames=(), in_shardings=(shard_2d, shard_b, rep))
     def step(codes, lengths, bitset):
-        return walk.encode_batch(codes, lengths, bitset, k, H, log2_m, seed)
+        return walk.encode_batch(codes, lengths, bitset, k, H, n_words, seed)
 
     return step
 

@@ -151,13 +151,14 @@ def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
             if len(raw) != int(d["bitset_bytes"]):
                 return None
         bitset = np.frombuffer(raw, dtype="<u4")
-        return bitset, int(d["log2_m"]), int(d["cutoff"]), int(d["n_solid"])
+        return (bitset, int(d["n_words"]), int(d["cutoff"]), int(d["n_solid"]),
+                int(d["n_hashes"]))
     except Exception:
         return None
 
 
 def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
-                           bitset, log2_m, cutoff, n_solid):
+                           bitset, n_words, cutoff, n_solid, n_hashes):
     import json
 
     raw = bitset.astype("<u4").tobytes()
@@ -165,7 +166,8 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
         {
             "key": list(_ckpt_key(cfg, k, input_path)),
             "bitset_bytes": len(raw),
-            "log2_m": int(log2_m), "cutoff": int(cutoff), "n_solid": int(n_solid),
+            "n_words": int(n_words), "cutoff": int(cutoff),
+            "n_solid": int(n_solid), "n_hashes": int(n_hashes),
         }
     ).encode()
     tmp = cfg.checkpoint + ".tmp"
@@ -223,7 +225,7 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
     dev_cache (non-stream mode): the packed code arrays uploaded here stay
     on device keyed by chunk index, so the encode pass re-uses them — each
     base crosses the tunnel once, 2-bit packed.
-    Returns (bitset device array, log2_m, cutoff, n_solid)."""
+    Returns (bitset device array, n_words, cutoff, n_solid)."""
     import jax.numpy as jnp
 
     counter = count.DeviceCounter(
@@ -251,11 +253,11 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
         if n_total:
             _progress(cfg, "count", ib + 1, n_total)
     tr("count.finalize.begin")
-    bitset, log2_m, cutoff, n_solid, _hist = counter.finalize(
+    bitset, n_words, cutoff, n_solid, _hist, H_used = counter.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
     tr("count.finalize.end")
-    return bitset, log2_m, cutoff, n_solid
+    return bitset, n_words, cutoff, n_solid, H_used
 
 
 def _count_pass_host(preps, cfg: LeonConfig, k: int):
@@ -274,7 +276,7 @@ def _count_pass_host(preps, cfg: LeonConfig, k: int):
 
 
 def dispatch_walk_chunk(ch: Chunk, packed_d, dlen_d, bitset_j, k: int, H: int,
-                        log2_m: int, seed: int, cfg: LeonConfig, with_conf: bool):
+                        n_words: int, seed: int, cfg: LeonConfig, with_conf: bool):
     """Dispatch one chunk's compact walk encode (async D2H started).
     Returns the in-flight handle for drain_walk_chunk."""
     from leon_tpu.ops import walk
@@ -283,7 +285,7 @@ def dispatch_walk_chunk(ch: Chunk, packed_d, dlen_d, bitset_j, k: int, H: int,
     cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
     cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
     buf = walk.encode_batch_compact_packed(
-        packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+        packed_d, dlen_d, bitset_j, k, H, n_words, seed,
         cap_err, cap_bif, with_conf, ch.L,
     )
     buf.copy_to_host_async()
@@ -291,7 +293,7 @@ def dispatch_walk_chunk(ch: Chunk, packed_d, dlen_d, bitset_j, k: int, H: int,
 
 
 def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
-                     log2_m: int, seed: int, with_conf: bool) -> Optional[dict]:
+                     n_words: int, seed: int, with_conf: bool) -> Optional[dict]:
     """Drain one dispatched compact walk: D2H sync, unpack, capacity retry
     (4x caps), dense-layout fallback. Returns the enc dict, or None when
     the chunk was never dispatched (all-short lanes)."""
@@ -312,7 +314,7 @@ def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
         # event capacity overflow (high error rate chunk): retry with 4x
         # caps before falling back to the dense layout
         buf2 = walk.encode_batch_compact_packed(
-            packed_d, dlen_d, bitset_j, k, H, log2_m, seed,
+            packed_d, dlen_d, bitset_j, k, H, n_words, seed,
             4 * cap_err, 4 * cap_bif, with_conf, ch.L,
         )
         enc = walk.unpack_compact(
@@ -320,7 +322,7 @@ def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
             with_conf=with_conf, k=k,
         )
     if enc is None:
-        enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, log2_m, seed)
+        enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, n_words, seed)
         enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
     return enc
 
@@ -424,11 +426,11 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     prep_iter = preps if not stream_mode else iter_preps()
     use_host_count = False
     if ck is not None:
-        bitset, log2_m, cutoff, n_solid = ck
+        bitset, n_words, cutoff, n_solid, H = ck
         bitset_j = jnp.asarray(bitset)
     else:
         try:
-            bitset_j, log2_m, cutoff, n_solid = _count_pass_device(
+            bitset_j, n_words, cutoff, n_solid, H = _count_pass_device(
                 prep_iter, cfg, k, H, seed, placer, dev_cache
             )
             bitset = None  # transferred lazily for the container
@@ -441,22 +443,26 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             prep_iter = preps if not stream_mode else iter_preps()
     if ck is None and use_host_count:
         uniq, counts = _count_pass_host(prep_iter, cfg, k)
+        hist = count.histogram(counts) if counts.size else np.zeros(256, np.int64)
         if cfg.abundance is not None:
             cutoff = cfg.abundance
         else:
-            cutoff = count.auto_cutoff(count.histogram(counts)) if counts.size else 2
+            cutoff = count.auto_cutoff(hist) if counts.size else 2
+        auto_bpk, auto_h = bloom.auto_params(hist, cutoff)
+        bpk = cfg.bloom_bits_per_kmer if cfg.bloom_bits_per_kmer is not None else auto_bpk
+        H = cfg.bloom_hashes if cfg.bloom_hashes is not None else auto_h
         solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
         n_solid = int(solid.shape[0])
-        log2_m = bloom.choose_log2_m(max(1, n_solid), cfg.bloom_bits_per_kmer)
-        warn = bloom.saturation_warning(n_solid, log2_m, H)
+        n_words = bloom.choose_n_words(max(1, n_solid), bpk)
+        warn = bloom.saturation_warning(n_solid, n_words, bpk)
         if warn:
             print(f"[leon-tpu] {warn}", file=sys.stderr)
-        bitset = bloom.build_np(solid, log2_m, H, seed, k)
+        bitset = bloom.build_np(solid, n_words, H, seed, k)
         bitset_j = jnp.asarray(bitset)
     if ck is None and cfg.checkpoint:
         if bitset is None:
             bitset = np.asarray(bitset_j)
-        _save_count_checkpoint(cfg, k, input_path, bitset, log2_m, cutoff, n_solid)
+        _save_count_checkpoint(cfg, k, input_path, bitset, n_words, cutoff, n_solid, H)
     if n_reads is None:
         if ck is not None:
             # checkpoint skipped pass 1: count records with a parse-only pass
@@ -470,7 +476,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
-        n_hashes=H, final_newline=final_nl, log2_mbits=log2_m,
+        n_hashes=H, final_newline=final_nl, n_words=n_words,
         seed=seed, n_reads=n_reads, abundance=cutoff,
         seglen=cfg.max_device_len,
         orig_ext=b"fasta" if out_fmt == bank.FASTA else b"fastq",
@@ -513,7 +519,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             for sid, sz in sizes.items():
                 stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
             return
-        enc = drain_walk_chunk(ch, inflight, bitset_j, k, H, log2_m, seed, with_conf)
+        enc = drain_walk_chunk(ch, inflight, bitset_j, k, H, n_words, seed, with_conf)
         if enc is not None:
             n_anchored += int(enc["anchored"].sum())
         be.add_subbatch(
@@ -541,7 +547,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 dlen_d = placer.batch1(ch.dev_len)
                 tr(f"enc.chunk{ci}.h2d")
                 inflight = dispatch_walk_chunk(
-                    ch, packed_d, dlen_d, bitset_j, k, H, log2_m, seed, cfg, with_conf
+                    ch, packed_d, dlen_d, bitset_j, k, H, n_words, seed, cfg, with_conf
                 )
                 tr(f"enc.chunk{ci}.dispatched")
             pending.append((be, ch, inflight))
@@ -616,7 +622,7 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
     drain lets block i+1's walks overlap block i's host assembly."""
     from leon_tpu.ops import walk
 
-    k, H, log2_m, seed = meta.k, meta.n_hashes, meta.log2_mbits, meta.seed
+    k, H, n_words, seed = meta.k, meta.n_hashes, meta.n_words, meta.seed
     n_segs = db.seg_read.shape[0]
 
     # forward-orientation anchor words per anchored segment (vectorized)
@@ -666,7 +672,7 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
             padded(db.errgaps.astype(np.uint16), e0, e1),
             padded(db.errnts, e0, e1),
             padded(db.bifs, b0, b1),
-            k, H, log2_m, seed, Lb,
+            k, H, n_words, seed, Lb,
         )
         dec.copy_to_host_async()
         dispatched.append((s, anch, sl, Lb, dec))

@@ -57,13 +57,13 @@ jax.block_until_ready(canon)
 def slab_flush():
     ctr = count.DeviceCounter(k, slab_kmers=1 << 25)
     ctr.add(canon, valid)
-    return ctr.finalize(3, 12.0, H, seed)
+    return ctr.finalize(3, 12.0, H, seed)[:5]
 
 
 timeit("slab count finalize (1.6M kmers)", slab_flush, n=3)
 
-bitset, log2_m, cutoff, n_solid, _ = slab_flush()
-print(f"  n_solid={n_solid} log2_m={log2_m}")
+bitset, n_words, cutoff, n_solid, _ = slab_flush()
+print(f"  n_solid={n_solid} n_words={n_words}")
 
 cap_err = (8 * B + 7) // 8 * 8
 cap_bif = (4 * B + 7) // 8 * 8
@@ -71,7 +71,7 @@ cap_bif = (4 * B + 7) // 8 * 8
 
 def enc_roundtrip():
     buf = walk.encode_batch_compact(
-        codes, lengths, bitset, k, H, log2_m, seed, cap_err, cap_bif, with_conf=False
+        codes, lengths, bitset, k, H, n_words, seed, cap_err, cap_bif, with_conf=False
     )
     return np.asarray(buf)
 
@@ -90,7 +90,7 @@ from leon_tpu.io import container as cont
 
 cfg = LeonConfig()
 meta = cont.Meta(k=k, fmt=0, qual_mode=0, header_mode=0, n_hashes=H,
-                 final_newline=True, log2_mbits=log2_m, seed=seed,
+                 final_newline=True, n_words=n_words, seed=seed,
                  n_reads=B, abundance=3, seglen=cfg.max_device_len,
                  orig_ext=b"fasta")
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)

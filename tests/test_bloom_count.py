@@ -79,15 +79,15 @@ def test_bloom_membership(rng):
     codes = rng.integers(0, 4, (5500, k), dtype=np.uint8)
     words = K.pack_codes_batch_np(codes, k)
     members, others = words[:500], words[500:]
-    log2_m = bloom.choose_log2_m(500, 12.0)
-    bits = bloom.build_np(members, log2_m, 4, 7, k)
-    assert np.all(bloom.probe_np(bits, members, 4, log2_m, 7, k))
+    n_words = bloom.choose_n_words(500, 12.0)
+    bits = bloom.build_np(members, n_words, 4, 7, k)
+    assert np.all(bloom.probe_np(bits, members, 4, n_words, 7, k))
     import jax.numpy as jnp
 
-    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, log2_m, 7, k))
+    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, n_words, 7, k))
     assert np.all(got)
     # false positive rate sane (< 5% at 12 bits/kmer, 4 hashes)
-    fp = bloom.probe_np(bits, others, 4, log2_m, 7, k).mean()
+    fp = bloom.probe_np(bits, others, 4, n_words, 7, k).mean()
     assert fp < 0.05
 
 
@@ -131,25 +131,26 @@ def test_auto_cutoff():
     assert count.auto_cutoff(h2) == 2
 
 
-@pytest.mark.parametrize("log2_m", [20, 32, 33, 36])
-def test_wordbit_np_jnp_identical(rng, log2_m):
-    """Hash family v3 (blocked, FORMAT.md §4) must be bit-identical
-    between the numpy and jnp implementations — decoder determinism
-    depends on it — and the per-bit view must agree with the fused
-    word+mask view the probes use."""
+@pytest.mark.parametrize("n_words", [1 << 15, 99_968, 3_000_064, (1 << 31) - 64])
+def test_wordbit_np_jnp_identical(rng, n_words):
+    """Hash family v3 (blocked + fastrange, FORMAT.md §4) must be
+    bit-identical between the numpy and jnp implementations — decoder
+    determinism depends on it — and the per-bit view must agree with the
+    fused word+mask view the probes use. Sizes include non-powers-of-two
+    (exact sizing is the point of fastrange) and the int32 ceiling."""
     f1, r1, f2, r2 = (rng.integers(0, 2**32, 2048, dtype=np.uint32) for _ in range(4))
-    win, bin_ = bloom.wordbit_from_hashes(f1, r1, f2, r2, 4, log2_m, np)
+    win, bin_ = bloom.wordbit_from_hashes(f1, r1, f2, r2, 4, n_words, np)
     wij, bij = bloom.wordbit_from_hashes(
-        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, log2_m, jnp
+        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, n_words, jnp
     )
     assert np.array_equal(win.astype(np.int64), np.asarray(wij).astype(np.int64))
     assert np.array_equal(bin_, np.asarray(bij))
-    assert int(win.max()) < (1 << (log2_m - 5))
+    assert int(win.max()) < n_words and int(win.min()) >= 0
     # blocked: all H bits of a key live in the SAME word
     assert (win == win[:, :1]).all()
-    wm, mask = bloom.wordmask_from_hashes(f1, r1, f2, r2, 4, log2_m, np)
+    wm, mask = bloom.wordmask_from_hashes(f1, r1, f2, r2, 4, n_words, np)
     wmj, maskj = bloom.wordmask_from_hashes(
-        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, log2_m, jnp
+        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, n_words, jnp
     )
     assert np.array_equal(wm.astype(np.int64), np.asarray(wmj).astype(np.int64))
     assert np.array_equal(mask, np.asarray(maskj))
@@ -160,21 +161,21 @@ def test_wordbit_np_jnp_identical(rng, log2_m):
     assert np.array_equal(mask, or_bits)
 
 
-def test_bloom64_membership(rng):
-    """log2_m > 32 (v2-64): members all found via both backends; word
-    indexes cover the upper half of the filter (the >2^32 bits)."""
+def test_bloom_large_nonpow2_membership(rng):
+    """A large non-power-of-two filter: members all found via both
+    backends; fastrange spreads word indexes across the whole range."""
     k = 31
     members = rng.integers(0, 2**32, (5000, 2), dtype=np.uint32)
-    log2_m = 33
-    bits = bloom.build_np(members, log2_m, 4, 7, k)
-    assert bits.nbytes == (1 << log2_m) // 8
-    assert bool(np.all(bloom.probe_np(bits, members, 4, log2_m, 7, k)))
-    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, log2_m, 7, k))
+    n_words = 5_000_128  # 160 Mbit, not a power of two
+    bits = bloom.build_np(members, n_words, 4, 7, k)
+    assert bits.nbytes == 4 * n_words
+    assert bool(np.all(bloom.probe_np(bits, members, 4, n_words, 7, k)))
+    got = np.asarray(bloom.probe(jnp.asarray(bits), jnp.asarray(members), 4, n_words, 7, k))
     assert got.all()
-    wi, _ = bloom.wordbit(members, 4, log2_m, 7, np, k)
-    assert int(wi.max()) >= (1 << (log2_m - 5)) // 2  # high half used
+    wi, _ = bloom.wordbit(members, 4, n_words, 7, np, k)
+    assert int(wi.max()) >= n_words // 2  # high half used
     others = rng.integers(0, 2**32, (20000, 2), dtype=np.uint32)
-    assert bloom.probe_np(bits, others, 4, log2_m, 7, k).mean() < 0.001
+    assert bloom.probe_np(bits, others, 4, n_words, 7, k).mean() < 0.001
 
 
 def test_build_device_matches_build_np(rng):
@@ -183,16 +184,16 @@ def test_build_device_matches_build_np(rng):
     k = 31
     uniq = rng.integers(0, 2**32, (4000, 2), dtype=np.uint32)
     counts = rng.integers(1, 6, 4000).astype(np.int32)
-    for log2_m in (18, 22):
+    for n_words in (8192, 150_016):  # incl. non-power-of-two
         dev = np.asarray(
             bloom.build_device(
-                jnp.asarray(uniq), jnp.asarray(counts), jnp.int32(3), log2_m, 4, 7, k
+                jnp.asarray(uniq), jnp.asarray(counts), jnp.int32(3), n_words, 4, 7, k
             )
         )
-        ref = bloom.build_np(uniq[counts >= 3], log2_m, 4, 7, k)
+        ref = bloom.build_np(uniq[counts >= 3], n_words, 4, 7, k)
         assert np.array_equal(dev, ref)
 
 
 def test_saturation_warning():
-    assert bloom.saturation_warning(500_000, 20, 4) is not None  # overloaded
-    assert bloom.saturation_warning(10_000, 20, 4) is None       # healthy (fp ~ 2e-6)
+    assert bloom.saturation_warning(500_000, 1 << 15, 12.0) is not None  # clipped
+    assert bloom.saturation_warning(10_000, 1 << 15, 12.0) is None       # healthy

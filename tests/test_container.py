@@ -56,7 +56,7 @@ def test_bad_version(archive, tmp_path):
 def test_meta_roundtrip():
     m = container.Meta(
         k=63, fmt=1, qual_mode=2, header_mode=1, n_hashes=5,
-        final_newline=False, log2_mbits=27, seed=0xDEADBEEF,
+        final_newline=False, n_words=1 << 22, seed=0xDEADBEEF,
         n_reads=123456789012, abundance=7, seglen=2048, orig_ext=b"fastq",
     )
     assert container.Meta.unpack(m.pack()) == m

@@ -39,12 +39,12 @@ def test_slab_counter_matches_host_oracle(rng, k, W):
             jnp.asarray(kmers[s : s + 2500].reshape(1, -1, W)),
             jnp.asarray(valid[s : s + 2500].reshape(1, -1)),
         )
-    bitset, log2_m, cutoff, n_solid, hist = ctr.finalize(2, 12.0, 4, 7)
+    bitset, n_words, cutoff, n_solid, hist, _H = ctr.finalize(2, 12.0, 4, 7)
 
     assert np.array_equal(hist[1:256], hist_ref[1:256])
     solid_ref = uq[cn >= 2]
     assert n_solid == solid_ref.shape[0]
-    assert np.array_equal(np.asarray(bitset), bloom.build_np(solid_ref, log2_m, 4, 7, k))
+    assert np.array_equal(np.asarray(bitset), bloom.build_np(solid_ref, n_words, 4, 7, k))
 
 
 def test_slab_boundary_duplicates_merge_exactly(rng):
@@ -59,7 +59,7 @@ def test_slab_boundary_duplicates_merge_exactly(rng):
     for s in range(0, kmers.shape[0], 512):
         c = kmers[s : s + 512]
         ctr.add(jnp.asarray(c.reshape(1, -1, W)), jnp.asarray(np.ones((1, c.shape[0]), bool)))
-    _, _, _, _, hist = ctr.finalize(None, 12.0, 4, 7)
+    _, _, _, _, hist, _H = ctr.finalize(None, 12.0, 4, 7)
     uq, cn = np.unique(kmers, axis=0, return_counts=True)
     hist_ref = np.bincount(np.minimum(cn, 255), minlength=256)
     hist_ref[0] = 0
@@ -68,6 +68,6 @@ def test_slab_boundary_duplicates_merge_exactly(rng):
 
 def test_slab_counter_empty():
     ctr = count.DeviceCounter(31)
-    bitset, log2_m, cutoff, n_solid, hist = ctr.finalize(None, 12.0, 4, 7)
+    bitset, n_words, cutoff, n_solid, hist, _H = ctr.finalize(None, 12.0, 4, 7)
     assert n_solid == 0 and cutoff == 2
     assert not np.asarray(bitset).any()

@@ -19,11 +19,11 @@ def dbg_and_contig(rng):
     canon, _, valid = K.kmer_scan(codes, lengths, k)
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= 2]
-    log2_m = bloom.choose_log2_m(max(1, len(solid)), 14.0)
+    n_words = bloom.choose_n_words(max(1, len(solid)), 14.0)
     import jax.numpy as jnp
 
-    bits = jnp.asarray(bloom.build_np(solid, log2_m, H, seed, k))
-    g = graph.DBG(bitset=bits, k=k, n_hashes=H, log2_m=log2_m, seed=seed)
+    bits = jnp.asarray(bloom.build_np_classic(solid, n_words, H, seed, k))
+    g = graph.DBG(bitset=bits, k=k, n_hashes=H, n_words=n_words, seed=seed)
     return g, contig, solid, k
 
 

@@ -28,14 +28,14 @@ def test_sharded_bloom_equals_host(read_batch):
     from leon_tpu.parallel import mesh as pmesh
 
     codes, lengths = read_batch
-    k, H, seed, log2_m = 31, 4, 5, 16
+    k, H, seed, n_words = 31, 4, 5, 2048
     canon, _, valid = K.kmer_scan(codes, lengths, k)
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= 2]
 
     m = pmesh.make_mesh(8)
-    dev = np.asarray(pmesh.sharded_bloom_build(m, solid, log2_m, H, seed, k))
-    host = bloom.build_np(solid, log2_m, H, seed, k)
+    dev = np.asarray(pmesh.sharded_bloom_build(m, solid, n_words, H, seed, k))
+    host = bloom.build_np(solid, n_words, H, seed, k)
     np.testing.assert_array_equal(dev, host)
 
 
@@ -49,14 +49,14 @@ def test_sharded_encoder_matches_single(read_batch):
     canon, _, valid = K.kmer_scan(codes, lengths, k)
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= 2]
-    log2_m = bloom.choose_log2_m(max(1, len(solid)), 12.0)
-    bits = bloom.build_np(solid, log2_m, H, seed, k)
+    n_words = bloom.choose_n_words(max(1, len(solid)), 12.0)
+    bits = bloom.build_np(solid, n_words, H, seed, k)
     bits_j = jnp.asarray(bits)
 
-    single = walk.encode_batch(codes, lengths, bits_j, k, H, log2_m, seed)
+    single = walk.encode_batch(codes, lengths, bits_j, k, H, n_words, seed)
 
     m = pmesh.make_mesh(8)
-    enc_fn = pmesh.make_sharded_encoder(m, k, H, log2_m, seed)
+    enc_fn = pmesh.make_sharded_encoder(m, k, H, n_words, seed)
     sharded = enc_fn(codes, lengths, bits_j)
     for key in ("anchored", "apos", "nerr_r", "nbif_r", "errpos_r", "bif_r"):
         np.testing.assert_array_equal(

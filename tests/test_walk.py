@@ -25,9 +25,9 @@ def solid_bloom(codes, lengths, k, abundance=2, H=4, seed=0x1234ABCD):
     canon, _, valid = K.kmer_scan(codes, lengths, k)
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= abundance]
-    log2_m = bloom.choose_log2_m(max(1, solid.shape[0]), 12.0)
-    bits = bloom.build_np(solid, log2_m, H, seed, k)
-    return bits, log2_m, solid
+    n_words = bloom.choose_n_words(max(1, solid.shape[0]), 12.0)
+    bits = bloom.build_np(solid, n_words, H, seed, k)
+    return bits, n_words, solid
 
 
 @pytest.mark.parametrize("k", [15, 31, 33])
@@ -35,13 +35,13 @@ def test_walk_roundtrip(sim_reads, k):
     codes, lengths = build_batch(sim_reads)
     B, L = codes.shape
     H, seed = 4, 0x1234ABCD
-    bits, log2_m, solid = solid_bloom(codes, lengths, k)
+    bits, n_words, solid = solid_bloom(codes, lengths, k)
     assert solid.shape[0] > 0
 
     import jax.numpy as jnp
 
     bits_j = jnp.asarray(bits)
-    enc = walk.encode_batch(codes, lengths, bits_j, k, H, log2_m, seed)
+    enc = walk.encode_batch(codes, lengths, bits_j, k, H, n_words, seed)
     enc = {kk: np.asarray(v) for kk, v in enc.items()}
     anchored = enc["anchored"]
     assert anchored.mean() > 0.8  # high-coverage sim: most reads anchor
@@ -59,7 +59,7 @@ def test_walk_roundtrip(sim_reads, k):
         enc["apos"], anchored, lengths, afwd, bits_j,
         enc["nbif_r"], enc["bif_r"], enc["nerr_r"], enc["errpos_r"], enc["errnt_r"],
         enc["nbif_l"], enc["bif_l"], enc["nerr_l"], enc["errpos_l"], enc["errnt_l"],
-        k, H, log2_m, seed, L,
+        k, H, n_words, seed, L,
     )
     dec = np.asarray(dec)
     for i in range(B):
@@ -78,11 +78,11 @@ def test_walk_short_and_degenerate_reads(rng):
     codes, lengths = build_batch(reads)
     # seed must match between Bloom build and probe — it is part of the
     # format contract (FORMAT.md §4)
-    bits, log2_m, _ = solid_bloom(codes, lengths, k, abundance=2, seed=seed)
+    bits, n_words, _ = solid_bloom(codes, lengths, k, abundance=2, seed=seed)
 
     import jax.numpy as jnp
 
-    enc = walk.encode_batch(codes, lengths, jnp.asarray(bits), k, H, log2_m, seed)
+    enc = walk.encode_batch(codes, lengths, jnp.asarray(bits), k, H, n_words, seed)
     anchored = np.asarray(enc["anchored"])
     # reads shorter than k can never anchor
     assert not anchored[-3] and not anchored[-1]
@@ -94,10 +94,10 @@ def test_walk_short_and_degenerate_reads(rng):
 def test_confirmed_mask(sim_reads):
     k, H, seed = 31, 4, 0x1234ABCD
     codes, lengths = build_batch(sim_reads)
-    bits, log2_m, _ = solid_bloom(codes, lengths, k)
+    bits, n_words, _ = solid_bloom(codes, lengths, k)
     import jax.numpy as jnp
 
-    enc = walk.encode_batch(codes, lengths, jnp.asarray(bits), k, H, log2_m, seed)
+    enc = walk.encode_batch(codes, lengths, jnp.asarray(bits), k, H, n_words, seed)
     conf = np.asarray(enc["confirmed"])
     anchored = np.asarray(enc["anchored"])
     apos = np.asarray(enc["apos"])
