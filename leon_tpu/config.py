@@ -28,8 +28,8 @@ class LeonConfig:
     # affect decoding; see FORMAT.md)
     # None = auto from the measured coverage histogram (bloom.auto_params):
     # the stored filter dominates DNA-mode archives and the end-to-end
-    # optimum shifts with coverage — lean (4 bits/kmer, H=2) at 4x up to
-    # 8 bits/kmer, H=3 at 36x+. Set explicitly to pin.
+    # optimum tracks coverage — bits/kmer ~= mean solid-kmer coverage,
+    # clipped to [4, 24], H in {2,3,4}. Set explicitly to pin.
     bloom_bits_per_kmer: Optional[float] = None
     bloom_hashes: Optional[int] = None
     seed: int = 0x1234ABCD

@@ -241,19 +241,23 @@ def probe_classic(bitset, words, n_hashes: int, n_words: int, seed: int, k: int)
 def auto_params(hist: np.ndarray, cutoff: int) -> tuple[float, int]:
     """(bits_per_kmer, n_hashes) from the count histogram. The stored
     filter and the extra walk events it prevents trade off against each
-    other; the end-to-end optimum shifts with coverage (low coverage →
-    few reuses per solid k-mer → lean filter wins; high coverage → every
-    false positive repeats across many reads). Swept on realistic 4x and
-    10x-coverage data: the optimum is shallow and non-monotonic in the
-    fractional bits (the stored bitset's zlib size moves with fill), so
-    the rule picks between the two measured optima by mean solid-kmer
-    coverage: (4, H=2) below 5.5x, (6, H=3) above."""
+    other, and the optimum shifts with coverage: every false-positive
+    branch repeats in each read that crosses it, so the FP cost scales
+    with the mean solid-kmer coverage while the filter cost is flat per
+    solid k-mer. Calibrated by end-to-end archive-size sweeps at 4x/10x/
+    25x/50x coverage (1% and 0.5% error): measured optima (bpk, H) =
+    (4,2) at mean_cov 3.3, (8,3) at 7.3 and 5.8, (18,4) at 17.5, (24,4)
+    at 35 — i.e. bpk tracks 1.2x mean_cov over the practical range, and
+    H=5 measured worse than H=4 everywhere. Rule: bpk = clip(1.2 *
+    mean_cov, 4, 24); H steps 2/3/4 at bpk 6/10."""
     c = min(max(int(cutoff), 0), hist.size - 1)
     n_solid = float(hist[c:].sum())
     if n_solid <= 0:
-        return 5.0, 2
+        return 8.0, 3
     mean_cov = float((np.arange(hist.size) * hist)[c:].sum()) / n_solid
-    return (6.0, 3) if mean_cov >= 5.5 else (4.0, 2)
+    bpk = float(np.clip(1.2 * mean_cov, 4.0, 24.0))
+    H = 2 if bpk < 6.0 else (3 if bpk < 10.0 else 4)
+    return bpk, H
 
 
 def choose_n_words(n_solid: int, bits_per_kmer: float) -> int:

@@ -395,11 +395,25 @@ class DeviceCounter:
 
 def auto_cutoff(hist: np.ndarray) -> int:
     """Automatic abundance threshold (reference: README.md:54 'default:
-    automatic'). Our frozen rule: the first valley of the count histogram —
-    smallest c in [2, 50] with 0 < hist[c] <= hist[c+1] (a rise after the
-    error peak, with a non-empty valley); fallback 2."""
-    top = min(50, hist.size - 2)
-    for c in range(2, top + 1):
-        if 0 < hist[c] <= hist[c + 1]:
-            return c
-    return 2
+    automatic'). Frozen rule: locate the genomic coverage mode (the
+    highest smoothed-histogram peak at count >= 4) and return the first
+    count attaining the minimum of the valley before it — but only when
+    the valley is a real separation (valley < peak/2). Low-coverage data
+    whose error and genomic modes merge falls back to 2.
+
+    The earlier first-rise rule (smallest c with hist[c] <= hist[c+1])
+    fired on shot noise in the decreasing tail of merged-mode histograms
+    and could return cutoffs that empty the solid set entirely."""
+    n = hist.size
+    if n < 6:
+        return 2
+    h = hist.astype(np.float64)
+    p = 4 + int(np.argmax(h[4:]))
+    if h[p] <= 0:
+        return 2
+    v_slice = h[2 : p + 1]
+    vmin = v_slice.min()
+    if vmin >= 0.5 * h[p]:
+        return 2  # no valley: error and genomic modes merged (low coverage)
+    c = 2 + int(np.argmin(v_slice))
+    return min(c, 50)
