@@ -121,6 +121,28 @@ def hash_words(words, k: int, seed: int, xp):
 MAX_WORDS = (1 << 31) - 64  # word index must fit int32 for device gathers
 
 
+def alloc_words(n_words: int) -> int:
+    """Device-allocation size (the STATIC shape) for an exact-size filter:
+    next point on a 1/8-octave geometric grid, rounded to a 64-word
+    multiple. The exact n_words rides through the jitted kernels as traced
+    data (fastrange needs no power of two), so XLA programs depend only on
+    the allocation shape — the grid bounds distinct shapes to 8 per octave
+    (<=25% HBM overhead, zero archive overhead: the container stores the
+    exact n_words prefix) instead of one fresh compile per filter size."""
+    n = max(64, int(n_words))
+    step = max(64, 1 << ((n - 1).bit_length() - 3))
+    a = -(-n // step) * step
+    return min(-(-a // 64) * 64, MAX_WORDS)
+
+
+def _as_u32(n_words, xp):
+    """n_words as a u32 scalar: python/numpy ints stay concrete, traced
+    values pass through (exact size is DATA, not a static shape)."""
+    if isinstance(n_words, (int, np.integer)):
+        return xp.uint32(n_words)
+    return n_words.astype(xp.uint32)
+
+
 def mulhi32(a, b, xp):
     """High 32 bits of the u32 x u32 product, in pure u32 arithmetic —
     bit-identical in numpy and jnp (neither needs 64-bit types). This is
@@ -160,10 +182,10 @@ def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
     """
     u = xp.uint32
     i32 = xp.int32 if xp is jnp else np.int64
-    if n_words > MAX_WORDS:
+    if isinstance(n_words, (int, np.integer)) and n_words > MAX_WORDS:
         raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
     h1 = xp.minimum(f1, r1)
-    wi = mulhi32(h1, u(n_words), xp).astype(i32)
+    wi = mulhi32(h1, _as_u32(n_words, xp), xp).astype(i32)
     x2 = f2 ^ r2
     x1 = f1 ^ r1
     mask = xp.zeros(h1.shape, xp.uint32) if hasattr(h1, "shape") else u(0)
@@ -208,14 +230,15 @@ def wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp)
     FP-sensitive traversals, NOT by the container format."""
     u = xp.uint32
     i32 = xp.int32 if xp is jnp else np.int64
-    if n_words > MAX_WORDS:
+    if isinstance(n_words, (int, np.integer)) and n_words > MAX_WORDS:
         raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
     h1 = xp.minimum(f1, r1)
     h2 = xp.minimum(f2, r2) | u(1)
+    nw = _as_u32(n_words, xp)
     wis, bits = [], []
     for i in range(n_hashes):
         g = h1 + u(i) * h2
-        wis.append(mulhi32(g, u(n_words), xp).astype(i32))
+        wis.append(mulhi32(g, nw, xp).astype(i32))
         bits.append(g & u(31))
     return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
@@ -322,30 +345,47 @@ def probe_np(bitset: np.ndarray, words: np.ndarray, n_hashes: int, n_words: int,
     return probe_wordmask(bitset, wi, mask, np)
 
 
-def build_device(uniq_words, counts, cutoff, n_words: int, n_hashes: int,
-                 seed: int, k: int):
-    """Device build from a distinct-kmer run: (M, W) u32 words + (M,) i32
-    counts (0 = pad). Sort-dedup-scatter: sorting the (word, bit) pairs and
-    dropping duplicates makes scatter-ADD equal bitwise OR (each set bit
-    contributes exactly once) without a byte-per-bit scratch array."""
+def _build_device_jit():
     from functools import partial
 
     import jax
 
-    @partial(jax.jit, static_argnames=("n_words", "H", "seed", "k"))
-    def _build(uw, cnt, co, n_words: int, H: int, seed: int, k: int):
-        wi, bit = wordbit(uw, H, n_words, seed, jnp, k)  # (M, H)
+    @partial(jax.jit, static_argnames=("n_alloc", "H", "seed", "k"))
+    def _build(uw, cnt, co, nw, n_alloc: int, H: int, seed: int, k: int):
+        wi, bit = wordbit(uw, H, nw, seed, jnp, k)  # (M, H)
         solid = cnt >= co
-        wif = jnp.where(solid[:, None], wi.astype(jnp.uint32), jnp.uint32(n_words)).reshape(-1)
+        # pad slot n_alloc (static, >= traced nw) absorbs non-solid rows
+        wif = jnp.where(solid[:, None], wi.astype(jnp.uint32), jnp.uint32(n_alloc)).reshape(-1)
         bitf = jnp.where(solid[:, None], bit, jnp.uint32(0)).reshape(-1)
         swi, sbit = jax.lax.sort((wif, bitf), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones(1, bool), (swi[1:] != swi[:-1]) | (sbit[1:] != sbit[:-1])]
         )
-        idx = jnp.where(first, swi, jnp.uint32(n_words)).astype(jnp.int32)
-        out = jnp.zeros(n_words + 1, jnp.uint32).at[idx].add(
+        idx = jnp.where(first, swi, jnp.uint32(n_alloc)).astype(jnp.int32)
+        out = jnp.zeros(n_alloc + 1, jnp.uint32).at[idx].add(
             jnp.uint32(1) << sbit, mode="drop"
         )
-        return out[:n_words]
+        return out[:n_alloc]
 
-    return _build(uniq_words, counts, cutoff, n_words, n_hashes, seed, k)
+    return _build
+
+
+_build_device = None
+
+
+def build_device(uniq_words, counts, cutoff, n_words: int, n_hashes: int,
+                 seed: int, k: int):
+    """Device build from a distinct-kmer run: (M, W) u32 words + (M,) i32
+    counts (0 = pad). Sort-dedup-scatter: sorting the (word, bit) pairs and
+    dropping duplicates makes scatter-ADD equal bitwise OR (each set bit
+    contributes exactly once) without a byte-per-bit scratch array.
+
+    Returns a bitset of shape (alloc_words(n_words),): exact n_words is
+    traced data, only the padded allocation shape is static — so the
+    compiled program is shared across filter sizes within a grid bucket."""
+    global _build_device
+    if _build_device is None:
+        _build_device = _build_device_jit()
+    n_alloc = alloc_words(n_words)
+    return _build_device(uniq_words, counts, cutoff, jnp.uint32(n_words),
+                         n_alloc, n_hashes, seed, k)

@@ -349,7 +349,7 @@ class DeviceCounter:
             if H is None:
                 H = 2
             n_words = bloom.choose_n_words(1, bits_per_kmer)
-            bitset = jnp.zeros(n_words, jnp.uint32)
+            bitset = jnp.zeros(bloom.alloc_words(n_words), jnp.uint32)
             return bitset, n_words, cutoff, 0, hist, H
 
         if not self._runs:

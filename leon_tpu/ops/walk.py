@@ -164,12 +164,13 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
     return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed"))
+@partial(jax.jit, static_argnames=("k", "H", "seed"))
 def walk_planes(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
     """Anchor search + both walk directions. Returns step-ordered planes.
 
     codes: (B, L) uint8 base codes (exceptions pre-substituted),
-    lengths: (B,) int32, bitset: (2^n_words/32,) uint32 device array.
+    lengths: (B,) int32, bitset: (>= n_words,) uint32 device array
+    (padded to bloom.alloc_words; n_words itself is traced data).
     """
     B, L = codes.shape
     ME = max(1, L - k)
@@ -341,7 +342,7 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, s
     )
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "cap_err", "cap_bif", "with_conf"))
+@partial(jax.jit, static_argnames=("k", "H", "seed", "cap_err", "cap_bif", "with_conf"))
 def encode_batch_compact(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int,
                          cap_err: int, cap_bif: int, with_conf: bool = True):
     """See _encode_compact_impl."""
@@ -349,7 +350,7 @@ def encode_batch_compact(codes, lengths, bitset, k: int, H: int, n_words: int, s
                                 cap_err, cap_bif, with_conf)
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "cap_err", "cap_bif",
+@partial(jax.jit, static_argnames=("k", "H", "seed", "cap_err", "cap_bif",
                                    "with_conf", "L"))
 def encode_batch_compact_packed(packed, lengths, bitset, k: int, H: int, n_words: int,
                                 seed: int, cap_err: int, cap_bif: int,
@@ -416,7 +417,7 @@ def unpack_compact(buf: np.ndarray, n: int, B: int, L: int,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed"))
+@partial(jax.jit, static_argnames=("k", "H", "seed"))
 def encode_batch(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
     """Dense slot-compacted event tensors (fallback path for chunks that
     overflow the compact capacities, and the tensor-level test interface).
@@ -589,7 +590,7 @@ def unpack_codes_u32_np(packed: np.ndarray, L: int) -> np.ndarray:
     return out.reshape(B, -1)[:, :L]
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "L"))
+@partial(jax.jit, static_argnames=("k", "H", "seed", "L"))
 def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
                       nerr_r, nerr_l, nbif_r, nbif_l,
                       err_base, bif_base, errgaps, errnts, bifs,
@@ -625,7 +626,7 @@ def decode_batch_flat(apos, anchored, lengths, afwd, bitset,
     ))
 
 
-@partial(jax.jit, static_argnames=("k", "H", "n_words", "seed", "L"))
+@partial(jax.jit, static_argnames=("k", "H", "seed", "L"))
 def decode_batch(apos, anchored, lengths, afwd, bitset,
                  nbif_r, bif_r, nerr_r, errpos_r, errnt_r,
                  nbif_l, bif_l, nerr_l, errpos_l, errnt_l,

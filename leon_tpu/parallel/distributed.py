@@ -215,7 +215,9 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     bitset_j, n_words, cutoff, n_solid, _hist, H = merged.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
     )
-    bitset = np.asarray(bitset_j)
+    # device bitset is padded to the alloc grid; container stores the
+    # exact n_words prefix
+    bitset = np.asarray(bitset_j)[:n_words]
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,

@@ -30,24 +30,22 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
-def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, n_words: int, H: int, seed: int, k: int):
+def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, nw, m_alloc: int,
+                       H: int, seed: int, k: int):
     """Scatter this shard's solid k-mers into a 0/1 byte array of m bits.
 
     Byte-per-bit (not packed) so the scatter is a plain max-scatter and the
     cross-device OR is `pmax` — XLA has no OR-allreduce, but max on {0,1}
-    is one. Packing to u32 words happens after the merge.
+    is one. Packing to u32 words happens after the merge. nw (exact word
+    count) is traced data; m_alloc = 32 * alloc_words(nw) is the static
+    scratch size.
     """
-    if n_words > (1 << 27):
-        raise ValueError("mesh byte-per-bit builder supports n_words <= 2^27 "
-                         "(byte-per-bit scratch = 32*n_words bytes); use "
-                         "bloom.build_device + replication for larger filters")
-    m = 32 * n_words
-    wi, bit = bloom.wordbit(words, H, n_words, seed, jnp, k)  # (S, H)
+    wi, bit = bloom.wordbit(words, H, nw, seed, jnp, k)  # (S, H)
     pos = (wi.astype(jnp.uint32) << jnp.uint32(5)) | bit
     v = jnp.broadcast_to(valid[:, None], pos.shape)
-    idx = jnp.where(v, pos, U32(m)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
-    by = jnp.zeros(m + 1, jnp.uint8).at[idx].max(jnp.uint8(1))
-    return by[:m]
+    idx = jnp.where(v, pos, U32(m_alloc)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
+    by = jnp.zeros(m_alloc + 1, jnp.uint8).at[idx].max(jnp.uint8(1))
+    return by[:m_alloc]
 
 
 def _pack_bits(by: jnp.ndarray) -> jnp.ndarray:
@@ -62,9 +60,15 @@ def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, n_words: int, H: in
     list over "d", scatter locally, OR-allreduce, pack. Returns a
     fully-replicated (m/32,) uint32 device array.
 
-    Byte-per-bit scratch costs 2^n_words bytes per device; callers gate on
-    n_words and fall back to the host build for huge filters.
+    Byte-per-bit scratch costs 32 * alloc_words(n_words) bytes per device;
+    callers gate on n_words and fall back to the host build for huge
+    filters. Returns a bitset padded to bloom.alloc_words(n_words).
     """
+    if n_words > (1 << 27):
+        raise ValueError("mesh byte-per-bit builder supports n_words <= 2^27 "
+                         "(byte-per-bit scratch = 32*n_words bytes); use "
+                         "bloom.build_device + replication for larger filters")
+    m_alloc = 32 * bloom.alloc_words(n_words)
     n = mesh.devices.size
     S = solid_words.shape[0]
     W = solid_words.shape[1] if solid_words.ndim == 2 else 1
@@ -75,15 +79,15 @@ def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, n_words: int, H: in
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("d")),
+        in_specs=(P("d", None), P("d"), P()),
         out_specs=P(),
     )
-    def build(w, v):
-        by = _bloom_bytes_local(w, v, n_words, H, seed, k)
+    def build(w, v, nw):
+        by = _bloom_bytes_local(w, v, nw, m_alloc, H, seed, k)
         by = lax.pmax(by, "d")
         return _pack_bits(by)
 
-    return jax.jit(build)(words, valid)
+    return jax.jit(build)(words, valid, jnp.uint32(n_words))
 
 
 def make_sharded_encoder(mesh: Mesh, k: int, H: int, n_words: int, seed: int):
@@ -95,11 +99,12 @@ def make_sharded_encoder(mesh: Mesh, k: int, H: int, n_words: int, seed: int):
     shard_2d = NamedSharding(mesh, P("d", None))
     rep = NamedSharding(mesh, P())
 
-    @partial(jax.jit, static_argnames=(), in_shardings=(shard_2d, shard_b, rep))
-    def step(codes, lengths, bitset):
-        return walk.encode_batch(codes, lengths, bitset, k, H, n_words, seed)
+    @partial(jax.jit, static_argnames=(), in_shardings=(shard_2d, shard_b, rep, rep))
+    def step(codes, lengths, bitset, nw):
+        return walk.encode_batch(codes, lengths, bitset, k, H, nw, seed)
 
-    return step
+    nw32 = jnp.uint32(n_words)
+    return lambda codes, lengths, bitset: step(codes, lengths, bitset, nw32)
 
 
 def make_sharded_counter(mesh: Mesh, k: int):

@@ -37,6 +37,15 @@ _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _BUCKETS = [64, 128, 256, 512, 1024, 2048]
 
 
+def _pad_bitset_dev(bitset: np.ndarray, n_words: int):
+    """Upload an exact-size bitset padded to the alloc-grid shape
+    (bloom.alloc_words): exact n_words rides the kernels as traced data,
+    so the padded SHAPE is all that keys XLA recompilation."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.pad(bitset, (0, bloom.alloc_words(n_words) - bitset.size)))
+
+
 def _progress(cfg: LeonConfig, stage: str, done: int, total: int) -> None:
     """Reference-style progress line ([R] GATB Progress bars, SURVEY.md §5.1)."""
     if cfg.verbose >= 1 and total > 1 and sys.stderr.isatty():
@@ -285,7 +294,7 @@ def dispatch_walk_chunk(ch: Chunk, packed_d, dlen_d, bitset_j, k: int, H: int,
     cap_err = ((cfg.event_cap_per_read * B) + 7) // 8 * 8
     cap_bif = ((cfg.bif_cap_per_read * B) + 7) // 8 * 8
     buf = walk.encode_batch_compact_packed(
-        packed_d, dlen_d, bitset_j, k, H, n_words, seed,
+        packed_d, dlen_d, bitset_j, k, H, np.uint32(n_words), seed,
         cap_err, cap_bif, with_conf, ch.L,
     )
     buf.copy_to_host_async()
@@ -314,7 +323,7 @@ def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
         # event capacity overflow (high error rate chunk): retry with 4x
         # caps before falling back to the dense layout
         buf2 = walk.encode_batch_compact_packed(
-            packed_d, dlen_d, bitset_j, k, H, n_words, seed,
+            packed_d, dlen_d, bitset_j, k, H, np.uint32(n_words), seed,
             4 * cap_err, 4 * cap_bif, with_conf, ch.L,
         )
         enc = walk.unpack_compact(
@@ -322,7 +331,8 @@ def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
             with_conf=with_conf, k=k,
         )
     if enc is None:
-        enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H, n_words, seed)
+        enc_j = walk.encode_batch(ch.codes, ch.dev_len, bitset_j, k, H,
+                                  np.uint32(n_words), seed)
         enc = {kk: np.asarray(v)[: ch.n] for kk, v in enc_j.items()}
     return enc
 
@@ -427,7 +437,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     use_host_count = False
     if ck is not None:
         bitset, n_words, cutoff, n_solid, H = ck
-        bitset_j = jnp.asarray(bitset)
+        bitset_j = _pad_bitset_dev(bitset, n_words)
     else:
         try:
             bitset_j, n_words, cutoff, n_solid, H = _count_pass_device(
@@ -458,10 +468,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         if warn:
             print(f"[leon-tpu] {warn}", file=sys.stderr)
         bitset = bloom.build_np(solid, n_words, H, seed, k)
-        bitset_j = jnp.asarray(bitset)
+        bitset_j = _pad_bitset_dev(bitset, n_words)
     if ck is None and cfg.checkpoint:
         if bitset is None:
-            bitset = np.asarray(bitset_j)
+            bitset = np.asarray(bitset_j)[:n_words]
         _save_count_checkpoint(cfg, k, input_path, bitset, n_words, cutoff, n_solid, H)
     if n_reads is None:
         if ck is not None:
@@ -491,9 +501,13 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     tr("enc.bloom_d2h.begin")
     if bitset is None:
-        bitset = np.asarray(bitset_j)
+        # device bitset is padded to the alloc grid; the container stores
+        # the exact n_words prefix (FORMAT.md §4 — exact sizing)
+        bitset = np.asarray(bitset_j)[:n_words]
     if placer.mesh is not None:
-        bitset_j = placer.replicated(bitset)
+        bitset_j = placer.replicated(
+            np.pad(bitset, (0, bloom.alloc_words(n_words) - n_words))
+        )
     tr("enc.bloom_d2h.end")
     writer = container.Writer(output_path)
     writer.section(container.TAG_META, meta.pack())
@@ -622,7 +636,8 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
     drain lets block i+1's walks overlap block i's host assembly."""
     from leon_tpu.ops import walk
 
-    k, H, n_words, seed = meta.k, meta.n_hashes, meta.n_words, meta.seed
+    k, H, seed = meta.k, meta.n_hashes, meta.seed
+    n_words = np.uint32(meta.n_words)
     n_segs = db.seg_read.shape[0]
 
     # forward-orientation anchor words per anchored segment (vectorized)
@@ -741,7 +756,7 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     dict_words = adict.words_array()
     bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
     bitset = np.frombuffer(bloom_bytes, dtype="<u4")
-    bitset_j = jnp.asarray(bitset)
+    bitset_j = _pad_bitset_dev(bitset, bitset.size)
     tr("dec.setup.end")
 
     read_index = 0

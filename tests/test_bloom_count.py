@@ -191,7 +191,10 @@ def test_build_device_matches_build_np(rng):
             )
         )
         ref = bloom.build_np(uniq[counts >= 3], n_words, 4, 7, k)
-        assert np.array_equal(dev, ref)
+        # device build returns an alloc_words-padded bitset; pad is zero
+        assert dev.size == bloom.alloc_words(n_words)
+        assert np.array_equal(dev[:n_words], ref)
+        assert not dev[n_words:].any()
 
 
 def test_saturation_warning():

@@ -44,7 +44,9 @@ def test_slab_counter_matches_host_oracle(rng, k, W):
     assert np.array_equal(hist[1:256], hist_ref[1:256])
     solid_ref = uq[cn >= 2]
     assert n_solid == solid_ref.shape[0]
-    assert np.array_equal(np.asarray(bitset), bloom.build_np(solid_ref, n_words, 4, 7, k))
+    assert np.array_equal(np.asarray(bitset)[:n_words],
+                          bloom.build_np(solid_ref, n_words, 4, 7, k))
+    assert not np.asarray(bitset)[n_words:].any()
 
 
 def test_slab_boundary_duplicates_merge_exactly(rng):

@@ -36,7 +36,9 @@ def test_sharded_bloom_equals_host(read_batch):
     m = pmesh.make_mesh(8)
     dev = np.asarray(pmesh.sharded_bloom_build(m, solid, n_words, H, seed, k))
     host = bloom.build_np(solid, n_words, H, seed, k)
-    np.testing.assert_array_equal(dev, host)
+    # device builds return alloc_words-padded bitsets; pad must be zero
+    np.testing.assert_array_equal(dev[:n_words], host)
+    assert not dev[n_words:].any()
 
 
 def test_sharded_encoder_matches_single(read_batch):
