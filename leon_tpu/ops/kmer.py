@@ -84,9 +84,13 @@ def pack_codes_np(codes: np.ndarray) -> np.ndarray:
     pad = (-L) % 16
     if pad:
         codes = np.concatenate([codes, np.zeros((B, pad), np.uint8)], axis=1)
-    c = codes.reshape(B, -1, 16).astype(np.uint32)
-    sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-    return (c << sh).sum(axis=2, dtype=np.uint32)
+    # pack 4 codes/byte in u8 (cheap strided ops), then reinterpret the
+    # byte stream as little-endian u32: byte j//4 bit 2(j%4) == word bit 2j,
+    # so the layout is bit-identical to the shift/sum formulation without
+    # the (B, L/16, 16) u32 temporary (which measured 0.3 s per chunk)
+    c = np.ascontiguousarray(codes)
+    b = c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4) | (c[:, 3::4] << 6)
+    return np.ascontiguousarray(b).view("<u4")
 
 
 def unpack_codes_dev(packed, L: int):
@@ -200,18 +204,18 @@ def pack_codes_batch_np(win: np.ndarray, k: int) -> np.ndarray:
     """
     B = win.shape[0]
     W = words_for_k(k)
-    w = win.astype(np.uint64)
-    words = np.zeros((B, W), dtype=np.uint32)
-    shift = 2 * (k - 1 - np.arange(k, dtype=np.uint64))
-    wordi = (shift // 32).astype(np.int64)
-    sh = (shift % 32).astype(np.uint64)
-    for j in range(W):
-        sel = wordi == j
-        if sel.any():
-            words[:, j] = (
-                (w[:, sel] << sh[sel][None, :]).sum(axis=1, dtype=np.uint64)
-            ).astype(np.uint32)
-    return words
+    # base i sits at bit 2*(k-1-i): reversing the window makes the layout
+    # little-endian 2-bit order, so pack 4 codes/byte with u8 ops and view
+    # the (zero-padded) byte rows as <u4 words — no u64 temporaries
+    rev = np.ascontiguousarray(win[:, ::-1], dtype=np.uint8)
+    pad = (-k) % 4
+    if pad:
+        rev = np.pad(rev, ((0, 0), (0, pad)))
+    b = rev[:, 0::4] | (rev[:, 1::4] << 2) | (rev[:, 2::4] << 4) | (rev[:, 3::4] << 6)
+    bpad = 4 * W - b.shape[1]
+    if bpad:
+        b = np.pad(b, ((0, 0), (0, bpad)))
+    return np.ascontiguousarray(b).view("<u4")
 
 
 def words_to_codes_batch_np(words: np.ndarray, k: int) -> np.ndarray:
