@@ -457,11 +457,14 @@ class BlockEncoder:
                 + frames.frame(np.packbits(newmask).tobytes())
                 + frames.frame(varint.encode_array(reuse.astype(np.uint64))),
             )
-            add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)))
+            # nevt/errpos varints have strong order-1 structure (event
+            # counts correlate within a read; gap bytes cluster) — the o1
+            # coder measured ~8%/2% under zlib/rANS on the E.coli corpus
+            add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)), try_o1=True)
         if self.errpos:
             ep = np.concatenate(self.errpos)
             if ep.size:
-                add(S_ERRPOS, varint.encode_array(ep))
+                add(S_ERRPOS, varint.encode_array(ep), try_o1=True)
         # streams 7/8 carry 2-bit values (base code / candidate rank):
         # packed 4 per byte (FORMAT.md §6), little-endian within the byte
         add(S_ERRNT, _pack_2bit(self.errnt))
