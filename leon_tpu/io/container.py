@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from leon_tpu.utils import varint
 
 MAGIC = b"LEONTPU1"
-VERSION = 2  # v2: blocked Bloom addressing (FORMAT.md §4 hash family v3)
+VERSION = 3  # v3: errnt carries rank among non-solid candidates (FORMAT.md §6)
 
 TAG_META = 1
 TAG_DICT = 2

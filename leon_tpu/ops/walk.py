@@ -97,7 +97,8 @@ def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words):
 def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, side, ME):
     """Scan one walk direction with rolling candidate hashes. state0 =
     (fwd words, f1, r1, f2, r2) at the anchor. Returns step-ordered planes
-    (B, ME): is_bif, rank, is_err, bnt, is_conf."""
+    (B, ME): is_bif, rank, is_err, errnt-rank (b among non-solid, v3),
+    is_conf."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
     T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
@@ -141,6 +142,12 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
         is_conf = active & solid_b & (scount == 1)
         is_bif = active & solid_b & (scount >= 2)
         is_err = active & ~solid_b
+        # errnt value (FORMAT.md §6 v3): rank of b among NON-solid
+        # candidates — the decoder recomputes the same solidity vector, so
+        # this is decodable and skews the stream to <=3 values (~1.58 bits
+        # after entropy coding vs 2.0 for the raw base code)
+        cns = jnp.cumsum(1 - si, axis=1)
+        ent = jnp.take_along_axis(cns, b[:, None], axis=1)[:, 0] - 1
 
         # error correction (FORMAT.md §6): on an error, advance with the
         # smallest solid base so the walk rejoins the graph path — one
@@ -157,7 +164,7 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
             fwd = shl2(fwd, bu, k)
         else:
             fwd = shr2_ins(fwd, bu, k)
-        ys = (is_bif, rank.astype(jnp.uint8), is_err, b.astype(jnp.uint8), is_conf)
+        ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8), is_conf)
         return (fwd, f1n, r1n, f2n, r2n), ys
 
     _, ys = lax.scan(step, state0, jnp.arange(ME, dtype=jnp.int32))
@@ -517,7 +524,7 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
         jc = jnp.clip(j, 0, L - 1)
         ev = jnp.take_along_axis(err_plane, jc[:, None], axis=1)[:, 0]
         is_err = active & (ev >= 4)
-        b_err = (ev & 3).astype(jnp.int32)
+        rank_ns = (ev & 3).astype(jnp.int32)  # rank among non-solid (v3)
         o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
 
         x4 = jnp.arange(4, dtype=jnp.int32)[None, :]
@@ -544,6 +551,11 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
         match = solid & (excl == rank[:, None])
         b_bif = jnp.argmax(match, axis=1).astype(jnp.int32)
         b_uniq = jnp.argmax(si, axis=1).astype(jnp.int32)
+        # mirror the encoder's errnt coding (FORMAT.md §6 v3): the stored
+        # value is b's rank among the step's NON-solid candidates
+        exns = jnp.cumsum(1 - si, axis=1) - (1 - si)
+        match_ns = (~solid) & (exns == rank_ns[:, None])
+        b_err = jnp.argmax(match_ns, axis=1).astype(jnp.int32)
 
         b = jnp.where(is_err, b_err, jnp.where(is_bif, b_bif, b_uniq))
         pbif = pbif + is_bif.astype(jnp.int32)
