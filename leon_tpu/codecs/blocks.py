@@ -448,14 +448,20 @@ class BlockEncoder:
             isfirst = np.zeros(dictidx.size, dtype=bool)
             isfirst[first_pos] = True
             newmask = (dictidx >= prev_len) & isfirst
-            reuse = dictidx[~newmask]
+            # reuses are recency-coded (v3): dist = dict size at the use
+            # minus 1 minus idx — overlapping reads reuse RECENT entries,
+            # so distances cluster near 0 (measured ~25% under absolute
+            # indices on the E.coli corpus)
+            size_at = prev_len + np.cumsum(newmask)
+            dist = (size_at - 1 - dictidx)[~newmask]
             head = bytearray()
             varint.encode_one(prev_len, head)
             add(
                 S_DICTIDX,
                 bytes(head)
                 + frames.frame(np.packbits(newmask).tobytes())
-                + frames.frame(varint.encode_array(reuse.astype(np.uint64))),
+                + frames.frame(varint.encode_array(dist.astype(np.uint64)),
+                               try_o1=True),
             )
             # nevt/errpos varints have strong order-1 structure (event
             # counts correlate within a read; gap bytes cluster) — the o1
@@ -674,10 +680,11 @@ def parse_block(payload: bytes, meta) -> DecodedBlock:
         ).astype(bool)
         reuse_raw, dp = frames.unframe(dbuf, dp)
         n_new = int(newmask.sum())
-        reuse = varint.decode_array(reuse_raw, n_anch - n_new).astype(np.int64)
+        dist = varint.decode_array(reuse_raw, n_anch - n_new).astype(np.int64)
         dictidx = np.empty(n_anch, dtype=np.int64)
         dictidx[newmask] = prev_len + np.arange(n_new, dtype=np.int64)
-        dictidx[~newmask] = reuse
+        size_at = prev_len + np.cumsum(newmask)
+        dictidx[~newmask] = size_at[~newmask] - 1 - dist
     nevt = varint.decode_array(sdata.get(S_NEVT, b""), 4 * n_anch).astype(np.int64).reshape(-1, 4)
 
     apos = np.zeros(n_segs, dtype=np.int64)
