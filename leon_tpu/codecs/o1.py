@@ -17,7 +17,9 @@ def encode(data: bytes) -> bytes | None:
     lib = native.get_lib()
     if lib is None or not data:
         return None
-    cap = len(data) + 64
+    # random data can expand a few % under the fast-adapting model; the
+    # frame chooser drops oversized results, so size the buffer generously
+    cap = len(data) + len(data) // 4 + 64
     out = ctypes.create_string_buffer(cap)
     n = lib.leon_o1_encode(data, len(data), out, cap)
     if n <= 0:

@@ -30,7 +30,9 @@ def encode(data: bytes, lens: np.ndarray) -> bytes | None:
     lens = _lens_ptr(lens)
     if int(lens.sum()) != len(data):
         return None
-    cap = len(data) + 64
+    # random data can expand a few % under the fast-adapting model; the
+    # frame chooser drops oversized results, so size the buffer generously
+    cap = len(data) + len(data) // 4 + 64
     out = ctypes.create_string_buffer(cap)
     n = lib.leon_q1_encode(data, len(data), lens.ctypes.data, len(lens), out, cap)
     if n <= 0:

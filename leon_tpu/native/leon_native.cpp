@@ -195,8 +195,22 @@ namespace {
 
 constexpr uint32_t PBITS = 11;          // probability precision
 constexpr uint32_t PMAX = 1u << PBITS;  // 2048
-constexpr uint32_t MOVE = 5;            // adaptation rate
 constexpr uint32_t TOP = 1u << 24;
+
+// Count-adaptive rate (q1 only): a fresh bit-tree node adapts fast
+// (shift 2) and settles to the steady-state rate (shift 5) after 48
+// updates. Measured -4% on E.coli-style qualities and ~4x on
+// highly-regular realistic quality strings vs a fixed shift-5 (the count
+// table mirrors exactly on the decode side, so the bitstream stays
+// deterministic). The o1 coder keeps the fixed rate: its inputs (Bloom
+// bitset, event-count varints) are near-stationary and fast adaptation
+// measurably loses there. c == nullptr selects the fixed rate.
+static inline uint32_t adapt_shift(uint16_t* c) {
+    if (c == nullptr) return 5;
+    uint16_t n = *c;
+    if (n < 48) *c = (uint16_t)(n + 1);
+    return 2 + (n >> 4);
+}
 
 struct RangeEnc {
     uint64_t low = 0;
@@ -221,15 +235,16 @@ struct RangeEnc {
         cache_size++;
         low = (low << 8) & 0xFFFFFFFFu;
     }
-    void encode_bit(uint16_t* p, int bit) {
+    void encode_bit(uint16_t* p, uint16_t* c, int bit) {
         uint32_t bound = (range >> PBITS) * *p;
+        uint32_t mv = adapt_shift(c);
         if (!bit) {
             range = bound;
-            *p = (uint16_t)(*p + ((PMAX - *p) >> MOVE));
+            *p = (uint16_t)(*p + ((PMAX - *p) >> mv));
         } else {
             low += bound;
             range -= bound;
-            *p = (uint16_t)(*p - (*p >> MOVE));
+            *p = (uint16_t)(*p - (*p >> mv));
         }
         while (range < TOP) {
             range <<= 8;
@@ -252,17 +267,18 @@ struct RangeDec {
         next();  // first byte emitted by flush path is always 0
         for (int i = 0; i < 4; i++) code = (code << 8) | next();
     }
-    int decode_bit(uint16_t* p) {
+    int decode_bit(uint16_t* p, uint16_t* c) {
         uint32_t bound = (range >> PBITS) * *p;
+        uint32_t mv = adapt_shift(c);
         int bit;
         if (code < bound) {
             range = bound;
-            *p = (uint16_t)(*p + ((PMAX - *p) >> MOVE));
+            *p = (uint16_t)(*p + ((PMAX - *p) >> mv));
             bit = 0;
         } else {
             code -= bound;
             range -= bound;
-            *p = (uint16_t)(*p - (*p >> MOVE));
+            *p = (uint16_t)(*p - (*p >> mv));
             bit = 1;
         }
         while (range < TOP) {
@@ -291,7 +307,7 @@ int64_t leon_o1_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t cap
         uint32_t node = 1;
         for (int b = 7; b >= 0; b--) {
             int bit = (sym >> b) & 1;
-            rc.encode_bit(&tree[node - 1], bit);
+            rc.encode_bit(&tree[node - 1], nullptr, bit);
             node = (node << 1) | bit;
         }
         ctx = sym;
@@ -312,7 +328,8 @@ int64_t leon_o1_decode(const uint8_t* pl, int64_t plen, uint8_t* out, int64_t n)
     for (int64_t i = 0; i < n; i++) {
         uint16_t* tree = &probs[(size_t)ctx * 255];
         uint32_t node = 1;
-        for (int b = 0; b < 8; b++) node = (node << 1) | rc.decode_bit(&tree[node - 1]);
+        for (int b = 0; b < 8; b++)
+            node = (node << 1) | rc.decode_bit(&tree[node - 1], nullptr);
         uint8_t sym = (uint8_t)(node & 0xFF);
         out[i] = sym;
         ctx = sym;
@@ -348,6 +365,7 @@ int64_t leon_q1_encode(const uint8_t* data, int64_t n, const int64_t* lens,
                        int64_t m, uint8_t* out, int64_t cap) {
   if (n <= 0) return 0;
   std::vector<uint16_t> probs((size_t)8192 * 255, PMAX / 2);
+  std::vector<uint16_t> cnts((size_t)8192 * 255, 0);
   RangeEnc rc;
   rc.out = out;
   rc.cap = cap;
@@ -357,12 +375,14 @@ int64_t leon_q1_encode(const uint8_t* data, int64_t n, const int64_t* lens,
     const int64_t L = lens[r];
     if (L < 0 || off + L > n) return -1;
     for (int64_t i = 0; i < L; i++) {
-      uint16_t* tree = &probs[(size_t)q1_ctx(rd, i) * 255];
+      size_t cx = (size_t)q1_ctx(rd, i) * 255;
+      uint16_t* tree = &probs[cx];
+      uint16_t* ct = &cnts[cx];
       uint8_t sym = rd[i];
       uint32_t node = 1;
       for (int b = 7; b >= 0; b--) {
         int bit = (sym >> b) & 1;
-        rc.encode_bit(&tree[node - 1], bit);
+        rc.encode_bit(&tree[node - 1], &ct[node - 1], bit);
         node = (node << 1) | bit;
       }
     }
@@ -378,6 +398,7 @@ int64_t leon_q1_decode(const uint8_t* pl, int64_t plen, const int64_t* lens,
                        int64_t m, uint8_t* out, int64_t n) {
   if (n <= 0) return n == 0 ? 0 : -1;
   std::vector<uint16_t> probs((size_t)8192 * 255, PMAX / 2);
+  std::vector<uint16_t> cnts((size_t)8192 * 255, 0);
   RangeDec rc;
   rc.in = pl;
   rc.len = plen;
@@ -388,9 +409,12 @@ int64_t leon_q1_decode(const uint8_t* pl, int64_t plen, const int64_t* lens,
     const int64_t L = lens[r];
     if (L < 0 || off + L > n) return -1;
     for (int64_t i = 0; i < L; i++) {
-      uint16_t* tree = &probs[(size_t)q1_ctx(rd, i) * 255];
+      size_t cx = (size_t)q1_ctx(rd, i) * 255;
+      uint16_t* tree = &probs[cx];
+      uint16_t* ct = &cnts[cx];
       uint32_t node = 1;
-      for (int b = 0; b < 8; b++) node = (node << 1) | rc.decode_bit(&tree[node - 1]);
+      for (int b = 0; b < 8; b++)
+        node = (node << 1) | rc.decode_bit(&tree[node - 1], &ct[node - 1]);
       rd[i] = (uint8_t)(node & 0xFF);
     }
     off += L;

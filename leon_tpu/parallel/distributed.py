@@ -37,6 +37,7 @@ from leon_tpu.codecs import blocks as blockcodec
 from leon_tpu.codecs import frames
 from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
+from leon_tpu import pipeline
 from leon_tpu.ops import count
 from leon_tpu.ops import kmer as K
 
@@ -333,7 +334,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
         c = container.Container(
             meta=meta,
             dict_payload=adict.payload(),
-            bloom_payload=frames.frame(bitset.astype("<u4").tobytes()),
+            bloom_payload=pipeline.frame_bloom(bitset),
             block_payloads=payloads,
             block_n_reads=n_per_block,
         )

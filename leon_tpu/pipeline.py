@@ -188,6 +188,19 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
     os.replace(tmp, cfg.checkpoint)
 
 
+def frame_bloom(bitset: np.ndarray) -> bytes:
+    """Entropy-frame the Bloom bitset for the container. o1 beats
+    zlib/rANS ~2.5% on the sparse bitset (bit correlations within bytes);
+    only tried under 128 MB — the adaptive coder is the slowest method and
+    the win does not justify minutes at genome scale. Every writer
+    (single-process and distributed) must use this one helper: the framed
+    bytes are part of the shard-invariance contract."""
+    from leon_tpu.codecs import frames as _f
+
+    return _f.frame(bitset.astype("<u4").tobytes(),
+                    try_o1=bitset.nbytes < (128 << 20))
+
+
 class _Placer:
     """Places device batches: single-device passthrough, or lane-sharded
     over a 1-D mesh of local chips (the product wiring of parallel/mesh.py
@@ -511,14 +524,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     tr("enc.bloom_d2h.end")
     writer = container.Writer(output_path)
     writer.section(container.TAG_META, meta.pack())
-    # o1 beats zlib/rANS ~2.5% on the sparse bitset (bit correlations
-    # within bytes); only tried under 128 MB — the adaptive coder is the
-    # slowest method and the win does not justify minutes at genome scale
-    writer.section(
-        container.TAG_BLOOM,
-        _frames.frame(bitset.astype("<u4").tobytes(),
-                      try_o1=bitset.nbytes < (128 << 20)),
-    )
+    writer.section(container.TAG_BLOOM, frame_bloom(bitset))
     tr("enc.bloom_framed")
 
     adict = blockcodec.AnchorDict(W)
