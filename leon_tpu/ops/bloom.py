@@ -261,7 +261,8 @@ def probe_classic(bitset, words, n_hashes: int, n_words: int, seed: int, k: int)
     return probe_wordbit(bitset, wi, bit, xp)
 
 
-def auto_params(hist: np.ndarray, cutoff: int) -> tuple[float, int]:
+def auto_params(hist: np.ndarray, cutoff: int,
+                lossy_quals: bool = False) -> tuple[float, int]:
     """(bits_per_kmer, n_hashes) from the count histogram. The stored
     filter and the extra walk events it prevents trade off against each
     other, and the optimum shifts with coverage: every false-positive
@@ -272,12 +273,22 @@ def auto_params(hist: np.ndarray, cutoff: int) -> tuple[float, int]:
     (4,2) at mean_cov 3.3, (8,3) at 7.3 and 5.8, (18,4) at 17.5, (24,4)
     at 35 — i.e. bpk tracks 1.2x mean_cov over the practical range, and
     H=5 measured worse than H=4 everywhere. Rule: bpk = clip(1.2 *
-    mean_cov, 4, 24); H steps 2/3/4 at bpk 6/10."""
+    mean_cov, 4, 24); H steps 2/3/4 at bpk 6/10.
+
+    lossy_quals shifts the optimum hard toward a DENSE filter: the LOSSY-Q1
+    transform only smooths qualities at graph-CONFIRMED positions
+    (scount == 1), so every false-positive branch also forfeits quality
+    smoothing — the FP cost includes the quality stream, not just walk
+    events. E.coli-sweep at kmer-cov 7 (lossy totals): bpk 7.3 -> 4.53 MB,
+    16 -> 3.69, 24 -> 3.65 (optimum), 32 -> 3.89. Rule: bpk = clip(3.4 *
+    mean_cov, 12, 24), H = 4."""
     c = min(max(int(cutoff), 0), hist.size - 1)
     n_solid = float(hist[c:].sum())
     if n_solid <= 0:
-        return 8.0, 3
+        return (16.0, 4) if lossy_quals else (8.0, 3)
     mean_cov = float((np.arange(hist.size) * hist)[c:].sum()) / n_solid
+    if lossy_quals:
+        return float(np.clip(3.4 * mean_cov, 12.0, 24.0)), 4
     bpk = float(np.clip(1.2 * mean_cov, 4.0, 24.0))
     H = 2 if bpk < 6.0 else (3 if bpk < 10.0 else 4)
     return bpk, H

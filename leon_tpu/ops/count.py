@@ -328,7 +328,8 @@ class DeviceCounter:
         self._runs.append((tuple(keys_t), jnp.asarray(cnt), bucket))
         self._runs_n += bucket
 
-    def finalize(self, abundance, bits_per_kmer, H, seed: int):
+    def finalize(self, abundance, bits_per_kmer, H, seed: int,
+                 lossy_quals: bool = False):
         """Returns (bitset device array, n_words, cutoff, n_solid, hist, H).
 
         bits_per_kmer/H may be None: auto-chosen from the measured
@@ -345,9 +346,9 @@ class DeviceCounter:
             hist = np.zeros(256, np.int64)
             cutoff = abundance if abundance is not None else 2
             if bits_per_kmer is None:
-                bits_per_kmer = 5.0
+                bits_per_kmer = 16.0 if lossy_quals else 5.0
             if H is None:
-                H = 2
+                H = 4 if lossy_quals else 2
             n_words = bloom.choose_n_words(1, bits_per_kmer)
             bitset = jnp.zeros(bloom.alloc_words(n_words), jnp.uint32)
             return bitset, n_words, cutoff, 0, hist, H
@@ -374,7 +375,7 @@ class DeviceCounter:
         hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))  # one transfer
         tr("count.fin.hist_sync")
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
-        auto_bpk, auto_h = bloom.auto_params(hist, cutoff)
+        auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
         if bits_per_kmer is None:
             bits_per_kmer = auto_bpk
         if H is None:

@@ -214,7 +214,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     for blob in _allgather_bytes(_pack_run(uniq, cnts)):
         merged.ingest_run(*_unpack_run(blob))
     bitset_j, n_words, cutoff, n_solid, _hist, H = merged.finalize(
-        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
+        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
+        lossy_quals=qual_mode == container.QUAL_LOSSY,
     )
     # device bitset is padded to the alloc grid; container stores the
     # exact n_words prefix

@@ -122,23 +122,27 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
 # ---------------------------------------------------------------------------
 
 
-_CKPT_VERSION = 2  # counts Bloom layout; bump with FORMAT §4
+_CKPT_VERSION = 3  # counts Bloom layout + key fields; bump with FORMAT §4
 
 
-def _ckpt_key(cfg: LeonConfig, k: int, input_path: str) -> tuple:
+def _ckpt_key(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool) -> tuple:
     try:
         size = os.path.getsize(input_path)
     except OSError:
         size = -1
+    # lossy_quals is part of the key: the auto Bloom sizing differs per
+    # qual mode (bloom.auto_params), so a lossless-mode checkpoint must
+    # not leak a lean filter into a lossy-mode run
     return (_CKPT_VERSION, k, cfg.seed, cfg.bloom_hashes,
             cfg.bloom_bits_per_kmer, cfg.abundance, cfg.max_device_len,
-            os.path.basename(input_path), size)
+            lossy_quals, os.path.basename(input_path), size)
 
 
 _CKPT_MAGIC = b"LEONCKPT"
 
 
-def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
+def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
+                           lossy_quals: bool):
     """Checkpoint format: magic | u32 json_len | json header | raw bitset
     bytes. Plain JSON + raw arrays — no pickle, so a hostile checkpoint
     file cannot execute code (it is at worst rejected)."""
@@ -154,7 +158,7 @@ def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
             if jlen > 1 << 20:
                 return None
             d = json.loads(f.read(jlen))
-            if d.get("key") != list(_ckpt_key(cfg, k, input_path)):
+            if d.get("key") != list(_ckpt_key(cfg, k, input_path, lossy_quals)):
                 return None
             raw = f.read(int(d["bitset_bytes"]))
             if len(raw) != int(d["bitset_bytes"]):
@@ -166,14 +170,14 @@ def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str):
         return None
 
 
-def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
+def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool,
                            bitset, n_words, cutoff, n_solid, n_hashes):
     import json
 
     raw = bitset.astype("<u4").tobytes()
     hdr = json.dumps(
         {
-            "key": list(_ckpt_key(cfg, k, input_path)),
+            "key": list(_ckpt_key(cfg, k, input_path, lossy_quals)),
             "bitset_bytes": len(raw),
             "n_words": int(n_words), "cutoff": int(cutoff),
             "n_solid": int(n_solid), "n_hashes": int(n_hashes),
@@ -236,7 +240,8 @@ class _Placer:
 
 def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
                        placer: Optional[_Placer] = None,
-                       dev_cache: Optional[dict] = None):
+                       dev_cache: Optional[dict] = None,
+                       lossy_quals: bool = False):
     """Device-resident k-mer counting + Bloom build (reference: DSK
     SortingCount + BloomBuilder, SURVEY.md §3.2 steps 2-3). K-mers stream
     through fixed HBM slabs (sorted + compacted to distinct runs on device
@@ -276,7 +281,7 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
             _progress(cfg, "count", ib + 1, n_total)
     tr("count.finalize.begin")
     bitset, n_words, cutoff, n_solid, _hist, H_used = counter.finalize(
-        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed
+        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed, lossy_quals
     )
     tr("count.finalize.end")
     return bitset, n_words, cutoff, n_solid, H_used
@@ -435,7 +440,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t1 = time.time()
     H = cfg.bloom_hashes
     seed = cfg.seed
-    ck = _load_count_checkpoint(cfg, k, input_path)
+    ck = _load_count_checkpoint(cfg, k, input_path,
+                                qual_mode == container.QUAL_LOSSY)
     tally = {"reads": 0}
 
     def iter_preps():
@@ -454,7 +460,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     else:
         try:
             bitset_j, n_words, cutoff, n_solid, H = _count_pass_device(
-                prep_iter, cfg, k, H, seed, placer, dev_cache
+                prep_iter, cfg, k, H, seed, placer, dev_cache,
+                lossy_quals=qual_mode == container.QUAL_LOSSY,
             )
             bitset = None  # transferred lazily for the container
         except Exception as e:  # device/compiler failure: fall back
@@ -471,7 +478,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             cutoff = cfg.abundance
         else:
             cutoff = count.auto_cutoff(hist) if counts.size else 2
-        auto_bpk, auto_h = bloom.auto_params(hist, cutoff)
+        auto_bpk, auto_h = bloom.auto_params(
+            hist, cutoff, lossy_quals=qual_mode == container.QUAL_LOSSY
+        )
         bpk = cfg.bloom_bits_per_kmer if cfg.bloom_bits_per_kmer is not None else auto_bpk
         H = cfg.bloom_hashes if cfg.bloom_hashes is not None else auto_h
         solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
@@ -485,7 +494,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     if ck is None and cfg.checkpoint:
         if bitset is None:
             bitset = np.asarray(bitset_j)[:n_words]
-        _save_count_checkpoint(cfg, k, input_path, bitset, n_words, cutoff, n_solid, H)
+        _save_count_checkpoint(cfg, k, input_path,
+                               qual_mode == container.QUAL_LOSSY,
+                               bitset, n_words, cutoff, n_solid, H)
     if n_reads is None:
         if ck is not None:
             # checkpoint skipped pass 1: count records with a parse-only pass
