@@ -14,7 +14,14 @@ Payload layout (all four sections are framed streams, FORMAT.md §7):
   frame B: literal header lengths (varints, in literal order)
   frame C: literal header bytes (concatenated)
   frame D: numeric token codes (varints: 0 = same string as previous
-           header's token, else 1 + zigzag(value - prev_value))
+           header's token, else 1 + zigzag(value - prev_value)), in
+           COLUMN-major order (format v3): all headers' field-0 codes,
+           then field-1, ... — same-field codes share a distribution
+           (constant tiles, random x/y), measured ~18% smaller than the
+           interleaved row-major layout after entropy coding. The decoder
+           recovers each delta header's numeric-token count from the token
+           structure (inherited from the last literal header), so the
+           ragged transpose is reversible before any value is read.
 
 When header_mode=0 at decode, reads are named `read_<i>` (global 0-based
 index), mirroring the reference's -noheader reconstruction.
@@ -69,11 +76,25 @@ def _deltas(tokens: list[bytes], prev: list[bytes]) -> list[int] | None:
     return out
 
 
+def _colmajor_order(counts: np.ndarray) -> np.ndarray:
+    """Permutation mapping row-major code positions to column-major file
+    order for ragged rows: position p of the row-major listing goes to
+    file slot order^-1... concretely `col_vals = row_vals[perm]` encodes
+    and `row_vals[perm] = col_vals` decodes."""
+    if counts.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    rows = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    cols = np.arange(rows.size, dtype=np.int64) - np.repeat(
+        np.cumsum(counts, dtype=np.int64) - counts, counts
+    )
+    return np.lexsort((rows, cols))
+
+
 def encode(headers: list[bytes]) -> bytes:
     modes = bytearray()
     lit_lens: list[int] = []
     lit_parts: list[bytes] = []
-    codes: list[int] = []
+    code_rows: list[list[int]] = []
     prev_tokens: list[bytes] | None = None
     for h in headers:
         tokens = _tokenize(h)
@@ -84,13 +105,19 @@ def encode(headers: list[bytes]) -> bytes:
             lit_parts.append(h)
         else:
             modes.append(1)
-            codes.extend(d)
+            code_rows.append(d)
         prev_tokens = tokens
+    counts = np.fromiter((len(r) for r in code_rows), dtype=np.int64,
+                         count=len(code_rows))
+    row_vals = np.concatenate(
+        [np.asarray(r, dtype=np.uint64) for r in code_rows]
+    ) if code_rows else np.zeros(0, np.uint64)
+    col_vals = row_vals[_colmajor_order(counts)]
     out = bytearray()
     out += frames.frame(bytes(modes))
     out += frames.frame(varint.encode_array(np.asarray(lit_lens, dtype=np.uint64)))
     out += frames.frame(b"".join(lit_parts))
-    out += frames.frame(varint.encode_array(np.asarray(codes, dtype=np.uint64)))
+    out += frames.frame(varint.encode_array(col_vals), try_o1=True)
     return bytes(out)
 
 
@@ -103,7 +130,29 @@ def decode(payload: bytes, n_reads: int) -> list[bytes]:
     codes_b, pos = frames.unframe(payload, pos)
     n_lit = sum(1 for m in modes if m == 0)
     lit_lens = varint.decode_array(lit_lens_b, n_lit).astype(np.int64)
-    codes = varint.decode_array(codes_b)
+    col_vals = varint.decode_array(codes_b)
+
+    # undo the column-major layout (frame D): each delta header's numeric
+    # count equals that of the structure in force (set by the last literal
+    # header), so all row counts are known before any value is read
+    counts: list[int] = []
+    cur_numeric = 0
+    lo = 0
+    li = 0
+    for m in modes:
+        if m == 0:
+            ln = int(lit_lens[li])
+            li += 1
+            cur_numeric = sum(
+                1 for t in _tokenize(lit_bytes[lo : lo + ln]) if t[:1].isdigit()
+            )
+            lo += ln
+        else:
+            counts.append(cur_numeric)
+    carr = np.asarray(counts, dtype=np.int64)
+    codes = np.zeros(int(carr.sum()), dtype=np.uint64)
+    if codes.size:
+        codes[_colmajor_order(carr)] = col_vals[: codes.size]
 
     out: list[bytes] = []
     prev_tokens: list[bytes] = []
