@@ -134,12 +134,14 @@ class Writer:
 
 
 def write(path: str, c: Container) -> int:
-    """Write a fully-materialized container (canonical section order)."""
+    """Write a fully-materialized container. Section order mirrors the
+    streaming pipeline writer exactly (META, BLOCK*, BLOOM, DICT, INDEX):
+    distributed archives must be byte-identical to single-process ones."""
     w = Writer(path)
     w.section(TAG_META, c.meta.pack())
-    w.section(TAG_BLOOM, c.bloom_payload)
     for payload, n in zip(c.block_payloads, c.block_n_reads):
         w.block(payload, n)
+    w.section(TAG_BLOOM, c.bloom_payload)
     w.section(TAG_DICT, c.dict_payload)
     return w.close()
 

@@ -524,10 +524,19 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     from leon_tpu.codecs import frames as _frames
 
     tr("enc.bloom_d2h.begin")
+    defer_bloom = False
     if bitset is None:
-        # device bitset is padded to the alloc grid; the container stores
-        # the exact n_words prefix (FORMAT.md §4 — exact sizing)
-        bitset = np.asarray(bitset_j)[:n_words]
+        if placer.mesh is None:
+            # single device: start the (slow-tunnel) bitset D2H now but
+            # write the BLOOM section AFTER the encode loop, so the
+            # transfer rides under the walk dispatches (readers dispatch
+            # on section tags, FORMAT.md §1 — order is free)
+            bitset_j.copy_to_host_async()
+            defer_bloom = True
+        else:
+            # device bitset is padded to the alloc grid; the container
+            # stores the exact n_words prefix (FORMAT.md §4 exact sizing)
+            bitset = np.asarray(bitset_j)[:n_words]
     if placer.mesh is not None:
         bitset_j = placer.replicated(
             np.pad(bitset, (0, bloom.alloc_words(n_words) - n_words))
@@ -535,7 +544,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     tr("enc.bloom_d2h.end")
     writer = container.Writer(output_path)
     writer.section(container.TAG_META, meta.pack())
-    writer.section(container.TAG_BLOOM, frame_bloom(bitset))
+    # the BLOOM section is written after the BLOCK sections in every mode
+    # (mesh runs materialize the bitset early for replication, but the
+    # section order must not depend on mesh_devices: archives are
+    # byte-identical at any device count)
     tr("enc.bloom_framed")
 
     adict = blockcodec.AnchorDict(W)
@@ -598,6 +610,11 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         process(pending.popleft())
     t_encode = time.time() - t1
 
+    tr("enc.bloom_late_d2h.begin")
+    if defer_bloom:
+        bitset = np.asarray(bitset_j)[:n_words]
+    writer.section(container.TAG_BLOOM, frame_bloom(bitset))
+    tr("enc.bloom_late_d2h.end")
     writer.section(container.TAG_DICT, adict.payload())
     total = writer.close()
     in_bytes = os.path.getsize(input_path)
