@@ -58,6 +58,22 @@ def test_mixed_random(rng):
     roundtrip(hs)
 
 
+def test_ragged_column_transpose():
+    """Delta runs with DIFFERENT numeric-token counts in one payload:
+    stresses the column-major layout's ragged transpose (frame D) — row
+    counts are inherited from each run's literal header structure."""
+    hs = []
+    for i in range(40):  # structure A: 2 numeric fields
+        hs.append(b"a:%d:%d" % (i, 1000 - i))
+    for i in range(40):  # structure B: 5 numeric fields
+        hs.append(b"x%d_%d_%d_%d.%d tail" % (i, 2 * i, i * i, 7, 99 - i))
+    for i in range(40):  # structure C: zero numeric fields
+        hs.append(b"constant-header")
+    for i in range(40):  # back to A
+        hs.append(b"a:%d:%d" % (i, i))
+    roundtrip(hs)
+
+
 def test_single_and_empty():
     roundtrip([b"only one"])
     assert H.decode(H.encode([]), 0) == []
