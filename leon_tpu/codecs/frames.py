@@ -24,34 +24,48 @@ METHOD_Q1 = 4
 _ZLEVEL = 6  # frozen: deterministic output across runs
 
 
+_PAR_FRAME_BYTES = 1 << 22  # run method trials concurrently above 4 MB
+
+
+def _candidates(data: bytes, try_rans: bool, try_o1: bool, lens):
+    cands = [(METHOD_ZLIB, lambda: zlib.compress(data, _ZLEVEL))]
+    if try_rans:
+        from leon_tpu.codecs import rans
+
+        cands.append((METHOD_RANS, lambda: rans.encode(data)))
+    if try_o1:
+        from leon_tpu.codecs import o1
+
+        cands.append((METHOD_O1, lambda: o1.encode(data)))
+    if lens is not None:
+        from leon_tpu.codecs import q1
+
+        cands.append((METHOD_Q1, lambda: q1.encode(data, lens)))
+    return cands
+
+
 def frame(data: bytes, try_rans: bool = True, try_o1: bool = False,
           lens=None) -> bytes:
     """Encode `data` with the smallest applicable method. `lens` (per-read
     lengths summing to len(data)) additionally enables the position-aware
-    quality model (method 4); the decoder must then pass the same lens."""
+    quality model (method 4); the decoder must then pass the same lens.
+
+    Big payloads (quality streams) try their 2-4 candidate encoders on
+    concurrent threads — zlib and the native coders all release the GIL,
+    so the frame costs max(encoder time), not the sum."""
     best_m, best = METHOD_RAW, data
     if len(data) >= 16:
-        z = zlib.compress(data, _ZLEVEL)
-        if len(z) < len(best):
-            best_m, best = METHOD_ZLIB, z
-        if try_rans:
-            from leon_tpu.codecs import rans
+        cands = _candidates(data, try_rans, try_o1, lens)
+        if len(data) >= _PAR_FRAME_BYTES and len(cands) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-            r = rans.encode(data)
+            with ThreadPoolExecutor(max_workers=len(cands)) as ex:
+                results = list(ex.map(lambda c: c[1](), cands))
+        else:
+            results = [fn() for _, fn in cands]
+        for (m, _), r in zip(cands, results):
             if r is not None and len(r) < len(best):
-                best_m, best = METHOD_RANS, r
-        if try_o1:
-            from leon_tpu.codecs import o1
-
-            r = o1.encode(data)
-            if r is not None and len(r) < len(best):
-                best_m, best = METHOD_O1, r
-        if lens is not None:
-            from leon_tpu.codecs import q1
-
-            r = q1.encode(data, lens)
-            if r is not None and len(r) < len(best):
-                best_m, best = METHOD_Q1, r
+                best_m, best = m, r
     out = bytearray([best_m])
     varint.encode_one(len(data), out)
     varint.encode_one(len(best), out)
