@@ -56,6 +56,8 @@ def gen_fastq(path: str) -> None:
 def main() -> int:
     import jax
 
+    if os.environ.get("LEON_BENCH_CPU") == "1":  # set by the CPU fallback
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -83,15 +85,31 @@ def main() -> int:
         return 0
     import subprocess
 
-    # pre-flight: a wedged TPU tunnel hangs every device call indefinitely;
-    # probe in a killable subprocess instead of hanging the whole bench
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax, jax.numpy as jnp; jax.block_until_ready(jax.jit(lambda v: v*2)(jnp.arange(4))); print('ok')"],
-        capture_output=True, timeout=600,
-    )
-    if b"ok" not in probe.stdout:
-        raise RuntimeError("TPU pre-flight probe failed: " + probe.stderr.decode()[-300:])
+    # pre-flight: a wedged TPU tunnel hangs every device call indefinitely
+    # (and a dead relay fails backend init instantly); probe in a killable
+    # subprocess, retrying with backoff — tunnel wedges clear on their own
+    # after a while. If the TPU never comes up, fall back to the CPU
+    # backend: an honest (slower) measured number beats recording 0.0.
+    cpu_fallback = False
+    for attempt in range(3):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.block_until_ready(jax.jit(lambda v: v*2)(jnp.arange(4))); print('ok')"],
+                capture_output=True, timeout=300,
+            )
+        except subprocess.TimeoutExpired:
+            probe = None
+        if probe is not None and b"ok" in probe.stdout:
+            break
+        if attempt < 2:
+            time.sleep(120)
+    else:
+        print(json.dumps({"warning": "TPU unavailable after retries; "
+                          "measuring on the CPU backend"}), file=sys.stderr)
+        cpu_fallback = True
+        os.environ["LEON_BENCH_CPU"] = "1"
+        jax.config.update("jax_platforms", "cpu")
 
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--warm"],
@@ -148,6 +166,8 @@ def main() -> int:
                     kk: stats[kk] for kk in stats if kk.startswith("time_")
                 },
                 "devices": [str(x) for x in jax.devices()],
+                "backend": jax.default_backend()
+                + (" (cpu fallback: TPU unavailable)" if cpu_fallback else ""),
             }
         ),
         file=sys.stderr,
