@@ -4,14 +4,16 @@ Reference behavior: DSK disk-streaming sorting-count ([R] gatb-core
 kmer/impl/SortingCountAlgorithm, /root/reference/README.md:13) with an
 automatic abundance cutoff from the count histogram (README.md:54).
 
-TPU-first shape (device-resident, transfer-minimal): per-chunk canonical
-k-mers accumulate in HBM; ONE `lax.sort` over the whole multiset (W uint32
-keys — no 64-bit anywhere) + segment run-length count + on-device count
-histogram. Only the 256-entry histogram crosses to the host (to pick the
-abundance cutoff); the Bloom filter is then built on device straight from
-the sorted array (no compaction, no host merge). The disk-partition dance
-of DSK is replaced by HBM accumulation; multi-chip sharding of the k-mer
-space comes via the parallel/ layer.
+TPU-first shape (device-resident, transfer-minimal): canonical k-mers
+stream through fixed-size HBM SLABS (DeviceCounter below); each slab is
+sorted (`lax.sort` over W uint32 keys — no 64-bit anywhere), run-length
+counted and compacted to its distinct set on device, and compacted runs
+merge hierarchically. Host traffic per slab: one scalar (the distinct
+count) plus, at finalize, the 256-entry count histogram (for the
+abundance cutoff); the Bloom filter builds on device from the final
+merged run. The disk-partition dance of DSK is replaced by bounded HBM
+slabs; multi-chip sharding of the k-mer space comes via the parallel/
+layer.
 
 The legacy host-merge path (count_batch/merge_counts) remains for tests
 and as the fallback when the k-mer multiset exceeds the HBM budget.

@@ -34,7 +34,6 @@ from typing import Optional
 import numpy as np
 
 from leon_tpu.codecs import blocks as blockcodec
-from leon_tpu.codecs import frames
 from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
 from leon_tpu import pipeline

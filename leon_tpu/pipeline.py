@@ -521,8 +521,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     # the host drains packed results (one async D2H per chunk), assembles
     # the container streams and appends finished blocks to the writer.
     t1 = time.time()
-    from leon_tpu.codecs import frames as _frames
-
     tr("enc.bloom_d2h.begin")
     defer_bloom = False
     if bitset is None:
