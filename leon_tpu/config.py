@@ -33,7 +33,11 @@ class LeonConfig:
     bloom_bits_per_kmer: Optional[float] = None
     bloom_hashes: Optional[int] = None
     seed: int = 0x1234ABCD
-    reads_per_block: int = 65536     # parallel-decode unit
+    # parallel-decode unit; also the granularity at which block-finish
+    # host work overlaps the next block's device walks (and decode's
+    # depth-2 block pipeline). 32768 measured ~30% faster compress and
+    # 3-6x faster decompress than 65536 for a 0.1-0.7% size cost
+    reads_per_block: int = 32768
     batch_reads: int = 16384         # device batch lanes
     max_device_len: int = 2048       # longer reads take the raw host path
     # slab size for the streaming device counter (ops/count.py): the
