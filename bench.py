@@ -72,7 +72,16 @@ def main() -> int:
     if not os.path.exists(src):
         gen_fastq(src)
 
-    cfg = LeonConfig(noheader=True, noqual=True)
+    def make_cfg():
+        # archives are batch-invariant (tested); 8192 lanes measured ~27%
+        # faster than 16384 on the CPU backend (shorter XLA-CPU scans),
+        # while the TPU tunnel is launch-bound and prefers fewer chunks
+        return LeonConfig(
+            noheader=True, noqual=True,
+            batch_reads=8192 if os.environ.get("LEON_BENCH_CPU") == "1" else 16384,
+        )
+
+    cfg = make_cfg()
 
     # Warm-up (XLA compiles) runs in a SUBPROCESS: the axon tunnel drops
     # into a degraded per-call mode after a process's first device->host
@@ -110,6 +119,7 @@ def main() -> int:
         cpu_fallback = True
         os.environ["LEON_BENCH_CPU"] = "1"
         jax.config.update("jax_platforms", "cpu")
+        cfg = make_cfg()
 
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--warm"],
