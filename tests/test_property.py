@@ -66,3 +66,75 @@ def test_arbitrary_fasta_roundtrips(tmp_path_factory, data):
         return  # malformed inputs may be rejected, never mis-encoded
     d = pipeline.decompress(str(tmp / "p.leon"), str(tmp / "p.out"), cfg=cfg)
     assert open(d["output"], "rb").read() == open(src, "rb").read()
+
+
+@st.composite
+def fastq_file(draw):
+    n = draw(st.integers(1, 15))
+    recs = []
+    for _ in range(n):
+        header = draw(st.binary(min_size=0, max_size=25).filter(lambda b: b"\n" not in b))
+        ln = draw(st.integers(0, 100))
+        seq = bytes(draw(st.sampled_from(SEQ_ALPHA)) for _ in range(ln))
+        qual = bytes(draw(st.integers(33, 126)) for _ in range(ln))
+        plus = draw(st.binary(min_size=0, max_size=10).filter(lambda b: b"\n" not in b))
+        recs.append((header, seq, plus, qual))
+    wrap = draw(st.sampled_from([0, 0, 13]))  # wrapped records are rare
+    final_nl = draw(st.booleans())
+    lossless = draw(st.booleans())
+    return recs, wrap, final_nl, lossless
+
+
+def _write_fastq(path, recs, wrap, final_nl):
+    with open(path, "wb") as f:
+        for h, s, p, q in recs:
+            f.write(b"@" + h + b"\n")
+            for part in ((s[j : j + wrap] for j in range(0, len(s), wrap))
+                         if wrap and len(s) > wrap else (s,)):
+                f.write(part + b"\n")
+            f.write(b"+" + p + b"\n")
+            for part in ((q[j : j + wrap] for j in range(0, len(q), wrap))
+                         if wrap and len(q) > wrap else (q,)):
+                f.write(part + b"\n")
+    if not final_nl:
+        with open(path, "rb+") as f:
+            f.seek(0, 2)
+            if f.tell():
+                f.seek(-1, 2)
+                if f.read(1) == b"\n":
+                    f.truncate(f.tell() - 1)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(fastq_file())
+def test_arbitrary_fastq_roundtrips(tmp_path_factory, data):
+    """FASTQ fuzz: junk bytes in sequences, '+'-line texts, full-ASCII
+    qualities, wrapped records, both quality modes. Lossless must be
+    byte-exact; lossy must keep headers/DNA/'+' byte-exact and quality
+    LENGTHS equal (LOSSY-Q1 rewrites values only)."""
+    recs, wrap, final_nl, lossless = data
+    tmp = tmp_path_factory.mktemp("propq")
+    src = tmp / "p.fastq"
+    _write_fastq(src, recs, wrap, final_nl)
+    cfg = LeonConfig(kmer_size=15, batch_reads=32, reads_per_block=16,
+                     lossless=lossless, verbose=0)
+    try:
+        pipeline.compress(str(src), str(tmp / "p.leon"), cfg=cfg)
+    except ValueError:
+        return  # malformed inputs may be rejected, never mis-encoded
+    d = pipeline.decompress(str(tmp / "p.leon"), str(tmp / "p.out"), cfg=cfg)
+    a = open(src, "rb").read()
+    b = open(d["output"], "rb").read()
+    if lossless:
+        assert a == b
+    else:
+        la, lb = a.split(b"\n"), b.split(b"\n")
+        assert len(la) == len(lb)
+        # per input line: non-quality lines byte-exact. With unwrapped
+        # records lines cycle @hdr, seq, +, qual — compare structurally
+        if not wrap:
+            for i in range(0, len(la) - 3, 4):
+                assert la[i] == lb[i] and la[i + 1] == lb[i + 1]
+                assert la[i + 2] == lb[i + 2]
+                assert len(la[i + 3]) == len(lb[i + 3])
