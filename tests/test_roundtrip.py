@@ -300,6 +300,36 @@ def test_checkpoint_resume(tmp_path, rng, contig):
     assert open(dd["output"], "rb").read() == open(src, "rb").read()
 
 
+def test_checkpoint_not_shared_across_qual_modes(tmp_path, rng, contig):
+    """The auto Bloom sizing differs per quality mode (lossy wants a dense
+    filter, bloom.auto_params); a checkpoint written by a lossless run must
+    be REJECTED by a lossy run on the same input, not reused (the key
+    includes the mode). Both runs still round-trip."""
+    import numpy as np
+
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    src = tmp_path / "q.fastq"
+    with open(src, "wb") as f:
+        for i in range(120):
+            s = sim_seq(rng, contig)
+            q = rng.integers(35, 74, len(s)).astype(np.uint8).tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, q))
+    ck = str(tmp_path / "q.ckpt")
+    cfg_ll = small_cfg(checkpoint=ck, lossless=True)
+    st_ll = pipeline.compress(str(src), str(tmp_path / "ll.leon"), cfg=cfg_ll)
+    cfg_lossy = small_cfg(checkpoint=ck)
+    st_lo = pipeline.compress(str(src), str(tmp_path / "lo.leon"), cfg=cfg_lossy)
+    # lossy auto-sizing is denser: had the lossless checkpoint been reused,
+    # the lossy archive's bloom would equal the lossless one
+    assert st_lo["bloom_bytes"] > st_ll["bloom_bytes"]
+    dd = pipeline.decompress(str(tmp_path / "ll.leon"), cfg=cfg_ll)
+    assert open(dd["output"], "rb").read() == open(src, "rb").read()
+    dd2 = pipeline.decompress(str(tmp_path / "lo.leon"), cfg=cfg_lossy)
+    out = open(dd2["output"], "rb").read().split(b"\n")
+    orig = open(src, "rb").read().split(b"\n")
+    assert out[::4] == orig[::4] and out[1::4] == orig[1::4]  # hdr + DNA
+
+
 def test_host_count_fallback(tmp_path, rng, contig, monkeypatch):
     """A device/compiler failure during counting falls back to the chunked
     host-merge path (pipeline.py); the archive must be identical to the
