@@ -65,6 +65,13 @@ class LeonConfig:
     # consuming their results (keeps the device busy across the D2H
     # latency of the TPU tunnel)
     max_inflight_chunks: int = 32
+    # store the solid k-mer set as unitigs (ops/unitig.py) instead of the
+    # raw Bloom bitset whenever the unitig payload is smaller — typically
+    # 5-10x — and let the decoder rebuild the bit-identical filter. The
+    # distinct-set gate bounds the builder's HBM working set (~100 B per
+    # distinct k-mer); past it the BLOOM section is written as before.
+    unitig_sections: bool = True
+    unitig_max_kmers: int = 64 << 20
     # when set, wrap compress/decompress in a jax.profiler trace written
     # here (the TPU-native analog of GATB TimeInfo/Progress tracing,
     # SURVEY.md §5.1)

@@ -22,13 +22,18 @@ from dataclasses import dataclass, field
 from leon_tpu.utils import varint
 
 MAGIC = b"LEONTPU1"
-VERSION = 3  # v3: errnt carries rank among non-solid candidates (FORMAT.md §6)
+# v3: errnt carries rank among non-solid candidates (FORMAT.md §6)
+# v4: the solid set may be stored as a UNITIGS section instead of BLOOM
+#     (FORMAT.md §4a); readers accept both versions
+VERSION = 4
+_READ_VERSIONS = (3, 4)
 
 TAG_META = 1
 TAG_DICT = 2
 TAG_BLOOM = 3
 TAG_BLOCK = 4
 TAG_INDEX = 5
+TAG_UNITIGS = 6
 
 QUAL_NONE = 0
 QUAL_LOSSLESS = 1
@@ -89,9 +94,10 @@ class Meta:
 class Container:
     meta: Meta
     dict_payload: bytes
-    bloom_payload: bytes
+    bloom_payload: bytes  # BLOOM payload, or UNITIGS payload if unitigs=True
     block_payloads: list[bytes] = field(default_factory=list)
     block_n_reads: list[int] = field(default_factory=list)
+    unitigs: bool = False
 
 
 class Writer:
@@ -141,7 +147,7 @@ def write(path: str, c: Container) -> int:
     w.section(TAG_META, c.meta.pack())
     for payload, n in zip(c.block_payloads, c.block_n_reads):
         w.block(payload, n)
-    w.section(TAG_BLOOM, c.bloom_payload)
+    w.section(TAG_UNITIGS if c.unitigs else TAG_BLOOM, c.bloom_payload)
     w.section(TAG_DICT, c.dict_payload)
     return w.close()
 
@@ -156,12 +162,14 @@ class Reader:
         head = self.f.read(13)
         if head[:8] != MAGIC:
             raise ValueError(f"{path}: not a LEONTPU container (bad magic)")
-        if head[8] != VERSION:
+        if head[8] not in _READ_VERSIONS:
             raise ValueError(f"{path}: unsupported container version {head[8]}")
+        self.version = head[8]
         (nsect,) = struct.unpack_from("<I", head, 9)
         self.meta: Meta | None = None
         self._dict_span: tuple[int, int] | None = None
         self._bloom_span: tuple[int, int] | None = None
+        self._unitigs_span: tuple[int, int] | None = None
         self._block_spans: list[tuple[int, int]] = []
         try:
             pos = 13
@@ -178,6 +186,8 @@ class Reader:
                     self._dict_span = (start, plen)
                 elif tag == TAG_BLOOM:
                     self._bloom_span = (start, plen)
+                elif tag == TAG_UNITIGS:
+                    self._unitigs_span = (start, plen)
                 elif tag == TAG_BLOCK:
                     self._block_spans.append((start, plen))
                 pos = start + plen + 4
@@ -210,6 +220,14 @@ class Reader:
         return self._checked(*self._bloom_span)
 
     @property
+    def unitigs_payload(self) -> bytes | None:
+        """UNITIGS section payload (framed), or None when the archive
+        stores the raw BLOOM bitset instead."""
+        if self._unitigs_span is None:
+            return None
+        return self._checked(*self._unitigs_span)
+
+    @property
     def n_blocks(self) -> int:
         return len(self._block_spans)
 
@@ -224,12 +242,14 @@ def read(path: str) -> Container:
     """Materialize the whole container (small archives / tests)."""
     r = Reader(path)
     try:
+        uni = r.unitigs_payload
         c = Container(
             meta=r.meta,
             dict_payload=r.dict_payload,
-            bloom_payload=r.bloom_payload,
+            bloom_payload=uni if uni is not None else r.bloom_payload,
             block_payloads=[r.block(i) for i in range(r.n_blocks)],
             block_n_reads=[],
+            unitigs=uni is not None,
         )
     finally:
         r.close()

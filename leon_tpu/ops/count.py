@@ -189,7 +189,7 @@ def _hist_of_sorted(boundary, counts):
 
 def _bucket_size(n: int, floor: int = 1 << 12) -> int:
     """1/8-octave size buckets: few compile shapes, <=12.5% waste."""
-    gran = max(floor, 1 << (max(1, (n - 1).bit_length()) - 3))
+    gran = max(floor, 1 << max(0, (n - 1).bit_length() - 3))
     return -(-n // gran) * gran
 
 
@@ -331,8 +331,13 @@ class DeviceCounter:
         self._runs_n += bucket
 
     def finalize(self, abundance, bits_per_kmer, H, seed: int,
-                 lossy_quals: bool = False):
+                 lossy_quals: bool = False, want_solid: bool = False):
         """Returns (bitset device array, n_words, cutoff, n_solid, hist, H).
+        With want_solid=True a 7th element is appended: the device solid
+        run (words (Mcap, W) LSW-first sorted ascending with 0xFFFFFFFF
+        pads, counts (Mcap,) i32 with 0 pads, exact distinct count) — the
+        input of the unitig section builder (ops/unitig.py) — or None when
+        the counter is empty.
 
         bits_per_kmer/H may be None: auto-chosen from the measured
         coverage histogram (bloom.auto_params — the frozen rule).
@@ -353,6 +358,8 @@ class DeviceCounter:
                 H = 4 if lossy_quals else 2
             n_words = bloom.choose_n_words(1, bits_per_kmer)
             bitset = jnp.zeros(bloom.alloc_words(n_words), jnp.uint32)
+            if want_solid:
+                return bitset, n_words, cutoff, 0, hist, H, None
             return bitset, n_words, cutoff, 0, hist, H
 
         if not self._runs:
@@ -393,6 +400,8 @@ class DeviceCounter:
         warn = bloom.saturation_warning(n_solid, n_words, bits_per_kmer)
         if warn:
             print(f"[leon-tpu] {warn}", file=_sys.stderr)
+        if want_solid:
+            return bitset, n_words, cutoff, n_solid, hist, H, (words, cnt_c, int(hist.sum()))
         return bitset, n_words, cutoff, n_solid, hist, H
 
 

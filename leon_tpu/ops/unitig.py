@@ -1,0 +1,529 @@
+"""Unitig (spectrum-preserving string set) coding of the solid k-mer set.
+
+The reference stores its de Bruijn graph membership structure by writing
+the Bloom bitset into the archive ([R] Leon.cpp executeCompression: the
+filter is serialized whole; SURVEY.md §3.2 step 3). At 12-30 bits per
+solid k-mer that section is the single largest component of a DNA-mode
+archive. This module replaces it: the solid set is stored as its maximal
+non-branching paths (unitigs) at ~2 bits per k-mer + (k-1) bases per
+path, and the DECODER rebuilds the bit-identical Bloom filter (same
+n_words / n_hashes / seed from META) by re-inserting every unitig k-mer.
+Walk semantics are untouched — both sides probe the same bits.
+
+TPU-native construction: the directed graph over canonical solid k-mers
+(2 oriented nodes per k-mer) is built with batched binary searches over
+the sorted distinct array, unitig chains are ranked with O(log n) rounds
+of pointer doubling (list ranking — the parallel analog of the
+sequential C pointer walk a CPU tool would use), and the base stream is
+emitted with vectorized scatters. One device launch, one small D2H.
+
+A numpy mirror (`build_np_payload`) serves the host-count fallback path;
+it MUST produce byte-identical payloads (tested) — both operate on the
+same sorted distinct array, so every id, tie-break and emission order
+coincides by construction.
+
+Cycles: components of the restricted graph are pure chains or pure
+cycles (any edge into a cycle node raises its in-degree past 1, which
+already severs the cycle edge there). Cycles are broken at their
+minimum-id node; chain/cycle twins (reverse complements) are deduplicated
+by the rule "keep the component whose minimum directed id is <= the
+minimum over its twin ids", which keeps self-reverse-complement
+components exactly once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from leon_tpu.utils import varint
+
+__all__ = [
+    "chains_cap", "build_np_payload", "dispatch_build", "drain_build",
+    "payload_from", "parse_payload", "rebuild_bitset_np",
+]
+
+
+def _bucket(n: int, floor: int = 1 << 12) -> int:
+    """1/8-octave size buckets (mirrors ops.count._bucket_size)."""
+    gran = max(floor, 1 << max(0, (n - 1).bit_length() - 3))
+    return -(-n // gran) * gran
+
+
+def chains_cap(nu: int) -> int:
+    """Static chain-count capacity for a distinct-set size nu. FROZEN: the
+    np and device paths must agree on the overflow rule so the section
+    choice (UNITIGS vs BLOOM) is identical on both."""
+    return max(4096, _bucket(max(1, nu)) >> 6)
+
+
+RETRY_FACTOR = 8  # one capacity retry at cap*RETRY_FACTOR, then BLOOM
+
+
+# ---------------------------------------------------------------------------
+# numpy reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _np_lex_less(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a < b over (..., W) u32 LSW-first vectors as big integers."""
+    W = a.shape[-1]
+    less = np.zeros(a.shape[:-1], bool)
+    eq = np.ones(a.shape[:-1], bool)
+    for j in range(W - 1, -1, -1):
+        less |= eq & (a[..., j] < b[..., j])
+        eq &= a[..., j] == b[..., j]
+    return less
+
+
+def _np_shl2(words: np.ndarray, base: int, k: int) -> np.ndarray:
+    """((kmer << 2) | base) & mask — np mirror of kmer.shl2."""
+    from leon_tpu.ops.kmer import top_mask
+
+    W = words.shape[-1]
+    out = np.empty_like(words)
+    out[..., 0] = (words[..., 0] << np.uint32(2)) | np.uint32(base)
+    for j in range(1, W):
+        out[..., j] = (words[..., j] << np.uint32(2)) | (words[..., j - 1] >> np.uint32(30))
+    out[..., W - 1] &= np.uint32(top_mask(k))
+    return out
+
+
+def _np_shr2_ins(words: np.ndarray, base: int, k: int) -> np.ndarray:
+    """(kmer >> 2) | (base << 2(k-1)) — np mirror of kmer.shr2_ins."""
+    W = words.shape[-1]
+    out = np.empty_like(words)
+    for j in range(W - 1):
+        out[..., j] = (words[..., j] >> np.uint32(2)) | (words[..., j + 1] << np.uint32(30))
+    out[..., W - 1] = words[..., W - 1] >> np.uint32(2)
+    t = 2 * (k - 1)
+    out[..., t // 32] |= np.uint32(base) << np.uint32(t % 32)
+    return out
+
+
+def _np_searchsorted_words(hay: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """hay (M, W) sorted ascending as big ints -> (N,) index or -1."""
+    W = hay.shape[1]
+    dt = np.dtype([(f"w{j}", ">u4") for j in range(W - 1, -1, -1)])
+
+    def rec(x):
+        r = np.empty(x.shape[0], dtype=dt)
+        for j in range(W):
+            r[f"w{j}"] = x[:, j]
+        return r
+
+    if hay.shape[0] == 0:
+        return np.full(needles.shape[0], -1, np.int64)
+    h, n = rec(np.ascontiguousarray(hay)), rec(np.ascontiguousarray(needles))
+    idx = np.searchsorted(h, n)
+    idxc = np.clip(idx, 0, hay.shape[0] - 1)
+    return np.where(h[idxc] == n, idxc, -1)
+
+
+def _np_chains(words: np.ndarray, counts: np.ndarray, cutoff: int, k: int):
+    """Core graph construction + list ranking. Returns per-directed-node
+    arrays (nxt-final, head, rank, kept, keep_head) plus fwd forms."""
+    from leon_tpu.ops.kmer import revcomp_words_batch_np
+
+    M = words.shape[0]
+    solid = counts.astype(np.int64) >= cutoff
+    rc = revcomp_words_batch_np(words, k) if M else words.copy()
+    # F[did] = spelled form of directed node did = 2*i + o
+    F = np.stack([words, rc], axis=1).reshape(2 * M, -1)
+    solid2 = np.repeat(solid, 2)
+
+    succ = np.full(2 * M, -1, np.int64)
+    outc = np.zeros(2 * M, np.int32)
+    for o in (0, 1):
+        ids = np.arange(M) * 2 + o
+        x = F[ids]
+        xr = F[ids ^ 1]
+        for b in range(4):
+            y = _np_shl2(x, b, k)
+            yr = _np_shr2_ins(xr, 3 - b, k)
+            take_rc = _np_lex_less(yr, y)
+            cy = np.where(take_rc[:, None], yr, y)
+            j = _np_searchsorted_words(words, cy)
+            hit = j >= 0
+            hit &= np.where(hit, counts[np.maximum(j, 0)].astype(np.int64) >= cutoff, False)
+            did = j * 2 + take_rc
+            outc[ids] += hit
+            first = hit & (outc[ids] == 1)
+            succ[ids] = np.where(first, did, succ[ids])
+    inc = outc.reshape(M, 2)[:, ::-1].reshape(-1)  # in(did) = out(twin)
+    s = np.maximum(succ, 0)
+    internal = solid2 & (outc == 1) & (succ >= 0) & (inc[s] == 1) & solid2[s]
+    nxt = np.where(internal, succ, -1)
+
+    ids2 = np.arange(2 * M)
+    prev = np.full(2 * M, -1, np.int64)
+    prev[nxt[nxt >= 0]] = ids2[nxt >= 0]
+
+    D = max(1, int(2 * M - 1).bit_length()) + 1
+    # cycle detection: does the forward orbit reach a terminal?
+    P = np.where(nxt >= 0, nxt, ids2)
+    reached = nxt < 0
+    for _ in range(D):
+        reached |= reached[P]
+        P = P[P]
+    cyc = ~reached
+    if cyc.any():
+        m = np.where(cyc, ids2, 2 * M)
+        P = np.where(nxt >= 0, nxt, ids2)
+        for _ in range(D):
+            m = np.minimum(m, m[P])
+            P = P[P]
+        hv = ids2[cyc & (m == ids2)]
+        pv = prev[hv]
+        nxt[pv] = -1
+        prev[hv] = -1
+
+    # head + rank by pointer doubling on prev
+    P = np.where(prev >= 0, prev, ids2)
+    R = (prev >= 0).astype(np.int64)
+    for _ in range(D):
+        R = R + R[P]
+        P = P[P]
+    head, rank = P, R
+
+    # component min id / min twin id (suffix mins evaluated at the head)
+    P = np.where(nxt >= 0, nxt, ids2)
+    m = np.where(solid2, ids2, 2 * M)
+    tm = np.where(solid2, ids2 ^ 1, 2 * M)
+    for _ in range(D):
+        m = np.minimum(m, m[P])
+        tm = np.minimum(tm, tm[P])
+        P = P[P]
+    keep_head = solid2 & (prev < 0) & (m <= tm)
+    kept = solid2 & keep_head[head]
+    return F, nxt, head, rank, kept, keep_head
+
+
+def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
+                     k: int, nu: int | None = None) -> bytes | None:
+    """Numpy unitig build. words: (M, W) u32 LSW-first distinct canonical
+    k-mers sorted ascending (pad rows, if any, must sort last with count
+    0). Returns the raw (unframed) payload, or None when the chain count
+    exceeds the frozen capacity rule (caller falls back to BLOOM)."""
+    from leon_tpu.ops.kmer import pack_2bit_np, words_to_codes_batch_np
+
+    M = words.shape[0]
+    if nu is None:
+        nu = M
+    if M == 0:
+        return None
+    F, nxt, head, rank, kept, keep_head = _np_chains(words, counts, cutoff, k)
+    ids2 = np.arange(2 * M)
+    heads = ids2[keep_head]
+    n_chains = heads.size
+    if n_chains == 0 or n_chains > chains_cap(nu) * RETRY_FACTOR:
+        return None
+    cid_of = np.full(2 * M, -1, np.int64)
+    cid_of[heads] = np.arange(n_chains)
+    cid = cid_of[head]
+
+    tails = kept & (nxt < 0)
+    len_nodes = np.zeros(n_chains, np.int64)
+    len_nodes[cid[tails]] = rank[tails] + 1
+    bases_per = len_nodes + (k - 1)
+    start = np.concatenate([[0], np.cumsum(bases_per)[:-1]])
+    total = int(bases_per.sum())
+    bases = np.zeros(total, np.uint8)
+
+    ku = ids2[kept]
+    bases[start[cid[ku]] + (k - 1) + rank[ku]] = F[ku, 0] & 3
+    codes = words_to_codes_batch_np(F[heads], k)  # (n_chains, k)
+    for j in range(k - 1):
+        bases[start + j] = codes[:, j]
+    return payload_from(n_chains, len_nodes, pack_2bit_np(bases), total, k)
+
+
+# ---------------------------------------------------------------------------
+# device implementation (one launch, one small D2H)
+# ---------------------------------------------------------------------------
+
+
+def _searchsorted_words_dev(hay, needles, iters: int):
+    """Device binary search: hay (M, W) sorted ascending (big-int order,
+    pads 0xFFFFFFFF sort last), needles (N, W) -> (N,) i32 index or -1."""
+    import jax.numpy as jnp
+
+    from leon_tpu.ops.kmer import lex_less
+
+    M = hay.shape[0]
+    N = needles.shape[0]
+    lo = jnp.zeros(N, jnp.int32)
+    hi = jnp.full(N, M, jnp.int32)
+    for _ in range(iters):
+        mid = (lo + hi) >> 1
+        less = lex_less(hay[mid], needles)  # hay[mid] < needle
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    loc = jnp.minimum(lo, M - 1)
+    found = jnp.all(hay[loc] == needles, axis=-1) & (lo < M)
+    return jnp.where(found, loc, -1)
+
+
+def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: int):
+    """Device unitig build over the padded sorted distinct run. Returns a
+    single u32 buffer: [n_chains, overflow, 0, 0 | len_nodes (cap_chains)
+    | packed bases (cap_bases/16)]. Semantics mirror the numpy reference
+    exactly (same ids, tie-breaks, emission order)."""
+    import jax.numpy as jnp
+
+    from leon_tpu.ops.kmer import lex_less, revcomp_words_batch_np, shl2, shr2_ins, top_mask
+
+    M, W = words.shape
+    iters = max(1, int(M).bit_length())
+    solid = counts.astype(jnp.int32) >= cutoff
+
+    # rc via per-word ops (device): unpack/pack would cost (M, k) u8; use
+    # the complement+bit-reverse identity instead: rc = reverse_2bit(~x)
+    comp = tuple(~words[:, j] for j in range(W))
+    # reverse the 2k-bit string of 2-bit groups: reverse groups within each
+    # u32 (mask-shuffle), reverse word order, then shift right by the pad
+    def rev2_u32(x):
+        x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+        x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+        x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+        return (x << 16) | (x >> 16)
+
+    revw = [rev2_u32(comp[W - 1 - j]) for j in range(W)]
+    pad_bits = 32 * W - 2 * k
+    if pad_bits:
+        shifted = []
+        for j in range(W):
+            lo_part = revw[j] >> pad_bits
+            hi_part = revw[j + 1] << (32 - pad_bits) if j + 1 < W else jnp.zeros_like(revw[j])
+            shifted.append(lo_part | hi_part)
+        revw = shifted
+    rc = jnp.stack(revw, axis=-1)
+    rc = rc.at[..., W - 1].set(rc[..., W - 1] & jnp.uint32(top_mask(k)))
+
+    F = jnp.stack([words, rc], axis=1).reshape(2 * M, W)
+    solid2 = jnp.repeat(solid, 2)
+    ids2 = jnp.arange(2 * M, dtype=jnp.int32)
+
+    succ = jnp.full(2 * M, -1, jnp.int32)
+    outc = jnp.zeros(2 * M, jnp.int32)
+    for o in (0, 1):
+        ids = jnp.arange(M, dtype=jnp.int32) * 2 + o
+        x = F[ids]
+        xr = F[ids ^ 1]
+        for b in range(4):
+            y = shl2(x, jnp.uint32(b), k)
+            yr = shr2_ins(xr, jnp.uint32(3 - b), k)
+            take_rc = lex_less(yr, y)
+            cy = jnp.where(take_rc[:, None], yr, y)
+            j = _searchsorted_words_dev(words, cy, iters)
+            hit = j >= 0
+            hit &= jnp.where(hit, counts[jnp.maximum(j, 0)].astype(jnp.int32) >= cutoff, False)
+            did = j * 2 + take_rc.astype(jnp.int32)
+            oc = outc[ids] + hit
+            outc = outc.at[ids].set(oc)
+            first = hit & (oc == 1)
+            succ = succ.at[ids].set(jnp.where(first, did, succ[ids]))
+    inc = outc.reshape(M, 2)[:, ::-1].reshape(-1)
+    s = jnp.maximum(succ, 0)
+    internal = solid2 & (outc == 1) & (succ >= 0) & (inc[s] == 1) & solid2[s]
+    nxt = jnp.where(internal, succ, -1)
+
+    prev = jnp.full(2 * M, -1, jnp.int32)
+    prev = prev.at[jnp.where(nxt >= 0, nxt, 2 * M)].set(ids2, mode="drop")
+
+    D = max(1, int(2 * M - 1).bit_length()) + 1
+    P = jnp.where(nxt >= 0, nxt, ids2)
+    reached = nxt < 0
+    for _ in range(D):
+        reached |= reached[P]
+        P = P[P]
+    cyc = ~reached
+    m = jnp.where(cyc, ids2, 2 * M)
+    P = jnp.where(nxt >= 0, nxt, ids2)
+    for _ in range(D):
+        m = jnp.minimum(m, m[P])
+        P = P[P]
+    ch = cyc & (m == ids2)  # cycle heads
+    pv = jnp.where(ch, prev, -1)
+    nxt = nxt.at[jnp.where(ch, jnp.maximum(pv, 0), 2 * M)].set(-1, mode="drop")
+    prev = prev.at[jnp.where(ch, ids2, 2 * M)].set(-1, mode="drop")
+
+    P = jnp.where(prev >= 0, prev, ids2)
+    R = (prev >= 0).astype(jnp.int32)
+    for _ in range(D):
+        R = R + R[P]
+        P = P[P]
+    head, rank = P, R
+
+    P = jnp.where(nxt >= 0, nxt, ids2)
+    m = jnp.where(solid2, ids2, 2 * M)
+    tm = jnp.where(solid2, ids2 ^ 1, 2 * M)
+    for _ in range(D):
+        m = jnp.minimum(m, m[P])
+        tm = jnp.minimum(tm, tm[P])
+        P = P[P]
+    keep_head = solid2 & (prev < 0) & (m <= tm)
+    kept = solid2 & keep_head[head]
+
+    n_chains = jnp.cumsum(keep_head.astype(jnp.int32))
+    cid_of = jnp.where(keep_head, n_chains - 1, -1)
+    total_chains = n_chains[-1] if M else jnp.int32(0)
+    overflow = (total_chains > cap_chains).astype(jnp.uint32)
+    cid = cid_of[head]
+
+    tails = kept & (nxt < 0)
+    len_nodes = jnp.zeros(cap_chains, jnp.int32)
+    len_nodes = len_nodes.at[jnp.where(tails, cid, cap_chains)].set(rank + 1, mode="drop")
+    bases_per = len_nodes + jnp.where(len_nodes > 0, k - 1, 0)
+    start = jnp.cumsum(bases_per) - bases_per
+
+    bases = jnp.zeros(cap_bases, jnp.uint8)
+    pos = jnp.where(kept, start[jnp.maximum(cid, 0)] + (k - 1) + rank, cap_bases)
+    bases = bases.at[pos].set((F[:, 0] & 3).astype(jnp.uint8), mode="drop")
+    hsel = keep_head
+    hstart = start[jnp.maximum(cid, 0)]
+    for j in range(k - 1):
+        t = 2 * (k - 1 - j)
+        bj = ((F[:, t // 32] >> jnp.uint32(t % 32)) & 3).astype(jnp.uint8)
+        bases = bases.at[jnp.where(hsel, hstart + j, cap_bases)].set(bj, mode="drop")
+
+    # pack 2-bit, 16 codes/u32, code t at bits 2t (pack_codes_np layout)
+    grp = bases.reshape(-1, 16).astype(jnp.uint32)
+    shifts = jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32)
+    packed = (grp << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+    hdr = jnp.stack([total_chains.astype(jnp.uint32), overflow,
+                     jnp.uint32(0), jnp.uint32(0)])
+    return jnp.concatenate([hdr, len_nodes.astype(jnp.uint32), packed])
+
+
+_BUILD_JIT = None
+
+
+def _build_dev(*args, **kw):
+    global _BUILD_JIT
+    if _BUILD_JIT is None:
+        import jax
+
+        _BUILD_JIT = jax.jit(
+            _build_dev_impl, static_argnames=("k", "cap_chains", "cap_bases")
+        )
+    return _BUILD_JIT(*args, **kw)
+
+
+@dataclass
+class _Inflight:
+    buf: object
+    words: object
+    counts: object
+    cutoff: int
+    k: int
+    nu: int
+    cap_chains: int
+    cap_bases: int
+
+
+def _caps(Mcap: int, nu: int, k: int, cap_chains: int) -> int:
+    cap_bases = Mcap + (k - 1) * cap_chains
+    return -(-cap_bases // 16) * 16
+
+
+def dispatch_build(words, counts, cutoff: int, k: int, nu: int) -> _Inflight:
+    """Dispatch the device unitig build (async D2H started). `words` is
+    the (Mcap, W) padded sorted distinct run, `counts` its i32 counts
+    (pads 0), `nu` the exact distinct count."""
+    Mcap = int(words.shape[0])
+    cap = chains_cap(nu)
+    buf = _build_dev(words, counts, np.int32(cutoff), k, cap, _caps(Mcap, nu, k, cap))
+    buf.copy_to_host_async()
+    return _Inflight(buf, words, counts, int(cutoff), k, nu, cap,
+                     _caps(Mcap, nu, k, cap))
+
+
+def drain_build(infl: _Inflight) -> bytes | None:
+    """Drain the dispatched build; one capacity retry at cap*RETRY_FACTOR;
+    returns the raw payload or None (caller writes BLOOM)."""
+    buf = np.asarray(infl.buf)
+    n_chains = int(buf[0])
+    if buf[1]:  # overflow: retry once with a larger cap
+        cap = infl.cap_chains * RETRY_FACTOR
+        Mcap = int(infl.words.shape[0])
+        cb = _caps(Mcap, infl.nu, infl.k, cap)
+        buf = np.asarray(_build_dev(infl.words, infl.counts,
+                                    np.int32(infl.cutoff), infl.k, cap, cb))
+        n_chains = int(buf[0])
+        if buf[1]:
+            return None
+        infl.cap_chains, infl.cap_bases = cap, cb
+    if n_chains == 0:
+        return None
+    len_nodes = buf[4 : 4 + infl.cap_chains][:n_chains].astype(np.int64)
+    total = int(len_nodes.sum()) + (infl.k - 1) * n_chains
+    packed = buf[4 + infl.cap_chains :].tobytes()
+    return payload_from(n_chains, len_nodes, packed, total, infl.k)
+
+
+# ---------------------------------------------------------------------------
+# payload codec + bitset rebuild
+# ---------------------------------------------------------------------------
+
+
+def payload_from(n_chains: int, len_nodes: np.ndarray, packed: bytes,
+                 total_bases: int, k: int) -> bytes:
+    """Raw UNITIGS payload: varint n_chains | varint len(lens_blob) |
+    lens_blob (varint base-length per chain) | 2-bit packed concatenated
+    bases (pack_2bit_np bit order)."""
+    out = bytearray()
+    varint.encode_one(n_chains, out)
+    lens_b = (np.asarray(len_nodes, np.int64) + (k - 1)).astype(np.uint64)
+    blob = varint.encode_array(lens_b)
+    varint.encode_one(len(blob), out)
+    out += blob
+    out += packed[: (total_bases + 3) // 4]
+    return bytes(out)
+
+
+def parse_payload(raw: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """-> (base lengths (n_chains,) i64, flat base codes (total,) u8)."""
+    from leon_tpu.ops.kmer import unpack_2bit_np
+
+    n_chains, pos = varint.decode_one(raw, 0)
+    blob_len, pos = varint.decode_one(raw, pos)
+    lens = varint.decode_array(raw[pos : pos + blob_len], n_chains).astype(np.int64)
+    pos += blob_len
+    total = int(lens.sum())
+    codes = unpack_2bit_np(raw[pos:], total)
+    return lens, codes
+
+
+def rebuild_bitset_np(raw: bytes, k: int, n_words: int, n_hashes: int,
+                      seed: int) -> np.ndarray:
+    """Rebuild the encoder's exact Bloom bitset from the unitig payload:
+    extract every k-mer of every unitig, canonicalize, scatter-OR with the
+    container's frozen hash family. Bit-identical to the encoder's filter
+    by construction (same kmer set, same n_words/H/seed)."""
+    from leon_tpu.ops import bloom
+    from leon_tpu.ops.kmer import pack_codes_batch_np
+
+    lens, codes = parse_payload(raw, k)
+    bitset = np.zeros(n_words, np.uint32)
+    if codes.size == 0:
+        return bitset
+    starts = np.cumsum(lens) - lens
+    nk = lens - k + 1
+    pos = np.repeat(starts, nk) + (
+        np.arange(int(nk.sum())) - np.repeat(np.cumsum(nk) - nk, nk)
+    )
+    # chunked so the (chunk, k) window matrix stays ~256 MB even at the
+    # 64M-kmer section cap
+    step = max(1, (256 << 20) // (4 * k))
+    off = np.arange(k)[None, :]
+    for s in range(0, pos.size, step):
+        win = codes[pos[s : s + step, None] + off]  # (chunk, k)
+        fwd = pack_codes_batch_np(win, k)
+        rcw = pack_codes_batch_np((3 - win)[:, ::-1], k)
+        take = _np_lex_less(rcw, fwd)
+        canon = np.where(take[:, None], rcw, fwd)
+        bitset |= bloom.build_np(canon, n_words, n_hashes, seed, k)
+    return bitset

@@ -212,10 +212,24 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     )
     for blob in _allgather_bytes(_pack_run(uniq, cnts)):
         merged.ingest_run(*_unpack_run(blob))
-    bitset_j, n_words, cutoff, n_solid, _hist, H = merged.finalize(
+    bitset_j, n_words, cutoff, n_solid, _hist, H, solidset = merged.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
-        lossy_quals=qual_mode == container.QUAL_LOSSY,
+        lossy_quals=qual_mode == container.QUAL_LOSSY, want_solid=True,
     )
+    # every process derives the same section decision from the identical
+    # merged solid set (shard invariance: archives match single-process)
+    unitig_payload = None
+    if (cfg.unitig_sections and solidset is not None and n_solid > 0
+            and solidset[2] <= cfg.unitig_max_kmers):
+        try:
+            from leon_tpu.ops import unitig as _unitig
+
+            infl = _unitig.dispatch_build(
+                solidset[0], solidset[1], cutoff, k, solidset[2]
+            )
+            unitig_payload = pipeline._resolve_unitigs(infl, n_words)
+        except Exception:
+            unitig_payload = None
     # device bitset is padded to the alloc grid; container stores the
     # exact n_words prefix
     bitset = np.asarray(bitset_j)[:n_words]
@@ -331,12 +345,19 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     if pid == 0:
         payloads = [gathered[i][0] for i in range(n_blocks)]
         n_per_block = [gathered[i][1] for i in range(n_blocks)]
+        if unitig_payload is not None:
+            from leon_tpu.codecs import frames as _frames
+
+            bloom_sect, is_uni = _frames.frame(unitig_payload), True
+        else:
+            bloom_sect, is_uni = pipeline.frame_bloom(bitset), False
         c = container.Container(
             meta=meta,
             dict_payload=adict.payload(),
-            bloom_payload=pipeline.frame_bloom(bitset),
+            bloom_payload=bloom_sect,
             block_payloads=payloads,
             block_n_reads=n_per_block,
+            unitigs=is_uni,
         )
         total = container.write(output_path, c)
         stats["output_bytes"] = total

@@ -122,7 +122,7 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
 # ---------------------------------------------------------------------------
 
 
-_CKPT_VERSION = 3  # counts Bloom layout + key fields; bump with FORMAT §4
+_CKPT_VERSION = 4  # counts Bloom layout + key fields; bump with FORMAT §4
 
 
 def _ckpt_key(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool) -> tuple:
@@ -135,7 +135,8 @@ def _ckpt_key(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool) -> tu
     # not leak a lean filter into a lossy-mode run
     return (_CKPT_VERSION, k, cfg.seed, cfg.bloom_hashes,
             cfg.bloom_bits_per_kmer, cfg.abundance, cfg.max_device_len,
-            lossy_quals, os.path.basename(input_path), size)
+            lossy_quals, cfg.unitig_sections,
+            os.path.basename(input_path), size)
 
 
 _CKPT_MAGIC = b"LEONCKPT"
@@ -163,15 +164,22 @@ def _load_count_checkpoint(cfg: LeonConfig, k: int, input_path: str,
             raw = f.read(int(d["bitset_bytes"]))
             if len(raw) != int(d["bitset_bytes"]):
                 return None
+            uni = None
+            ub = int(d.get("unitig_bytes", 0))
+            if ub:
+                uni = f.read(ub)
+                if len(uni) != ub:
+                    return None
         bitset = np.frombuffer(raw, dtype="<u4")
         return (bitset, int(d["n_words"]), int(d["cutoff"]), int(d["n_solid"]),
-                int(d["n_hashes"]))
+                int(d["n_hashes"]), uni)
     except Exception:
         return None
 
 
 def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool,
-                           bitset, n_words, cutoff, n_solid, n_hashes):
+                           bitset, n_words, cutoff, n_solid, n_hashes,
+                           unitig_payload: Optional[bytes] = None):
     import json
 
     raw = bitset.astype("<u4").tobytes()
@@ -181,6 +189,9 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str, lossy_quals
             "bitset_bytes": len(raw),
             "n_words": int(n_words), "cutoff": int(cutoff),
             "n_solid": int(n_solid), "n_hashes": int(n_hashes),
+            # the RESOLVED section decision rides along so a resumed run
+            # writes the byte-identical archive (0 = BLOOM section)
+            "unitig_bytes": len(unitig_payload) if unitig_payload else 0,
         }
     ).encode()
     tmp = cfg.checkpoint + ".tmp"
@@ -189,7 +200,27 @@ def _save_count_checkpoint(cfg: LeonConfig, k: int, input_path: str, lossy_quals
         f.write(len(hdr).to_bytes(4, "little"))
         f.write(hdr)
         f.write(raw)
+        if unitig_payload:
+            f.write(unitig_payload)
     os.replace(tmp, cfg.checkpoint)
+
+
+def _resolve_unitigs(unitig_inflight, n_words: int) -> Optional[bytes]:
+    """Drain the in-flight device unitig build and apply the FROZEN
+    section-choice rule: UNITIGS is written iff the raw payload is
+    smaller than the raw bitset (4*n_words bytes). Returns the raw
+    payload or None (= write BLOOM)."""
+    if unitig_inflight is None:
+        return None
+    from leon_tpu.ops import unitig as _unitig
+
+    try:
+        payload = _unitig.drain_build(unitig_inflight)
+    except Exception:
+        return None
+    if payload is not None and len(payload) < 4 * n_words:
+        return payload
+    return None
 
 
 def frame_bloom(bitset: np.ndarray) -> bytes:
@@ -280,11 +311,12 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
         if n_total:
             _progress(cfg, "count", ib + 1, n_total)
     tr("count.finalize.begin")
-    bitset, n_words, cutoff, n_solid, _hist, H_used = counter.finalize(
-        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed, lossy_quals
+    bitset, n_words, cutoff, n_solid, _hist, H_used, solidset = counter.finalize(
+        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed, lossy_quals,
+        want_solid=True,
     )
     tr("count.finalize.end")
-    return bitset, n_words, cutoff, n_solid, H_used
+    return bitset, n_words, cutoff, n_solid, H_used, solidset
 
 
 def _count_pass_host(preps, cfg: LeonConfig, k: int):
@@ -454,12 +486,14 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     dev_cache: Optional[dict] = {} if not stream_mode else None
     prep_iter = preps if not stream_mode else iter_preps()
     use_host_count = False
+    unitig_payload: Optional[bytes] = None  # decided raw payload (or None)
+    unitig_inflight = None
     if ck is not None:
-        bitset, n_words, cutoff, n_solid, H = ck
+        bitset, n_words, cutoff, n_solid, H, unitig_payload = ck
         bitset_j = _pad_bitset_dev(bitset, n_words)
     else:
         try:
-            bitset_j, n_words, cutoff, n_solid, H = _count_pass_device(
+            bitset_j, n_words, cutoff, n_solid, H, solidset = _count_pass_device(
                 prep_iter, cfg, k, H, seed, placer, dev_cache,
                 lossy_quals=qual_mode == container.QUAL_LOSSY,
             )
@@ -471,6 +505,17 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                   "falling back to host-merge counting", file=_sys.stderr)
             use_host_count = True
             prep_iter = preps if not stream_mode else iter_preps()
+        if (not use_host_count and cfg.unitig_sections and solidset is not None
+                and n_solid > 0 and solidset[2] <= cfg.unitig_max_kmers):
+            try:
+                from leon_tpu.ops import unitig as _unitig
+
+                unitig_inflight = _unitig.dispatch_build(
+                    solidset[0], solidset[1], cutoff, k, solidset[2]
+                )
+                tr("count.unitig.dispatched")
+            except Exception:
+                unitig_inflight = None  # BLOOM section fallback
     if ck is None and use_host_count:
         uniq, counts = _count_pass_host(prep_iter, cfg, k)
         hist = count.histogram(counts) if counts.size else np.zeros(256, np.int64)
@@ -491,12 +536,27 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             print(f"[leon-tpu] {warn}", file=sys.stderr)
         bitset = bloom.build_np(solid, n_words, H, seed, k)
         bitset_j = _pad_bitset_dev(bitset, n_words)
+        if (cfg.unitig_sections and n_solid > 0
+                and uniq.shape[0] <= cfg.unitig_max_kmers):
+            from leon_tpu.ops import unitig as _unitig
+
+            unitig_payload = _unitig.build_np_payload(
+                uniq, counts.astype(np.int32), cutoff, k, uniq.shape[0]
+            )
+            if unitig_payload is not None and len(unitig_payload) >= 4 * n_words:
+                unitig_payload = None
     if ck is None and cfg.checkpoint:
+        # the section decision is part of the checkpoint (a resumed run
+        # must write the byte-identical archive), so resolve it now
+        if unitig_inflight is not None:
+            unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
+            unitig_inflight = None
         if bitset is None:
             bitset = np.asarray(bitset_j)[:n_words]
         _save_count_checkpoint(cfg, k, input_path,
                                qual_mode == container.QUAL_LOSSY,
-                               bitset, n_words, cutoff, n_solid, H)
+                               bitset, n_words, cutoff, n_solid, H,
+                               unitig_payload)
     if n_reads is None:
         if ck is not None:
             # checkpoint skipped pass 1: count records with a parse-only pass
@@ -524,7 +584,14 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     tr("enc.bloom_d2h.begin")
     defer_bloom = False
     if bitset is None:
-        if placer.mesh is None:
+        if placer.mesh is None and (unitig_inflight is not None
+                                    or unitig_payload is not None):
+            # the UNITIGS section replaces the bitset (5-10x smaller D2H
+            # already in flight); the bitset only crosses the tunnel on
+            # the rare fallback, synchronously at section-write time.
+            # (mesh runs still materialize it below for replication)
+            pass
+        elif placer.mesh is None:
             # single device: start the (slow-tunnel) bitset D2H now but
             # write the BLOOM section AFTER the encode loop, so the
             # transfer rides under the walk dispatches (readers dispatch
@@ -609,9 +676,17 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t_encode = time.time() - t1
 
     tr("enc.bloom_late_d2h.begin")
-    if defer_bloom:
-        bitset = np.asarray(bitset_j)[:n_words]
-    writer.section(container.TAG_BLOOM, frame_bloom(bitset))
+    if unitig_inflight is not None and unitig_payload is None:
+        unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
+        unitig_inflight = None
+    if unitig_payload is not None:
+        from leon_tpu.codecs import frames as _frames
+
+        writer.section(container.TAG_UNITIGS, _frames.frame(unitig_payload))
+    else:
+        if bitset is None:
+            bitset = np.asarray(bitset_j)[:n_words]
+        writer.section(container.TAG_BLOOM, frame_bloom(bitset))
     tr("enc.bloom_late_d2h.end")
     writer.section(container.TAG_DICT, adict.payload())
     total = writer.close()
@@ -623,7 +698,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         "n_anchored": n_anchored,
         "n_solid_kmers": n_solid,
         "abundance": cutoff,
-        "bloom_bytes": bitset.nbytes,
+        "bloom_bytes": 4 * n_words,
+        "unitig_bytes": len(unitig_payload) if unitig_payload else 0,
         "dict_entries": len(adict),
         "input_bytes": in_bytes,
         "output_bytes": total,
@@ -793,8 +869,19 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     W = K.words_for_k(meta.k)
     adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
     dict_words = adict.words_array()
-    bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
-    bitset = np.frombuffer(bloom_bytes, dtype="<u4")
+    uni_framed = r.unitigs_payload
+    if uni_framed is not None:
+        # v4 UNITIGS section: rebuild the encoder's bit-identical Bloom
+        # filter from the stored solid-set unitigs (ops/unitig.py)
+        from leon_tpu.ops import unitig as _unitig
+
+        uni_raw, _ = _frames.unframe(uni_framed, 0)
+        bitset = _unitig.rebuild_bitset_np(
+            uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed
+        )
+    else:
+        bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
+        bitset = np.frombuffer(bloom_bytes, dtype="<u4")
     bitset_j = _pad_bitset_dev(bitset, bitset.size)
     tr("dec.setup.end")
 

@@ -1,0 +1,168 @@
+"""UNITIGS section tests (FORMAT.md §4a, format v4).
+
+The solid k-mer set is stored as unitigs and the decoder rebuilds the
+encoder's bit-identical Bloom filter — the TPU-side replacement for the
+reference's serialized filter ([R] Leon.cpp executeCompression writes
+the bitset whole; SURVEY.md §3.2 step 3/§3.3 step 1).
+"""
+
+import numpy as np
+import pytest
+
+from leon_tpu.ops import bloom, count, unitig
+from leon_tpu.ops import kmer as K
+
+
+def make_solid(rng, k, n_contigs=3, L=300, cov=3):
+    """Distinct canonical k-mer run (uniq sorted ascending, counts) from
+    a few random contigs at uniform coverage."""
+    contigs = [rng.integers(0, 4, L, dtype=np.uint8) for _ in range(n_contigs)]
+    codes = np.stack([c for c in contigs for _ in range(cov)])
+    lengths = np.full(codes.shape[0], L, np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    return uniq, counts.astype(np.int32)
+
+
+def unitig_kmer_set(payload, k):
+    """All canonical k-mers spelled by the payload's unitigs, sorted."""
+    lens, codes = unitig.parse_payload(payload, k)
+    out = []
+    pos = 0
+    for ln in lens:
+        seg = codes[pos : pos + ln]
+        pos += ln
+        win = np.stack([seg[i : i + k] for i in range(ln - k + 1)])
+        fwd = K.pack_codes_batch_np(win, k)
+        rcw = K.pack_codes_batch_np((3 - win)[:, ::-1], k)
+        take = unitig._np_lex_less(rcw, fwd)
+        out.append(np.where(take[:, None], rcw, fwd))
+    return np.concatenate(out)
+
+
+def sort_words(w):
+    W = w.shape[1]
+    return w[np.lexsort([w[:, j] for j in range(W)])]
+
+
+@pytest.mark.parametrize("k", [15, 31, 33])
+def test_np_payload_spells_exact_solid_set(rng, k):
+    uniq, counts = make_solid(rng, k)
+    cutoff = 2
+    payload = unitig.build_np_payload(uniq, counts, cutoff, k, uniq.shape[0])
+    assert payload is not None
+    solid = uniq[counts >= cutoff]
+    got = unitig_kmer_set(payload, k)
+    # every solid k-mer exactly once, none extra
+    assert got.shape[0] == solid.shape[0]
+    np.testing.assert_array_equal(sort_words(got), sort_words(solid))
+
+
+@pytest.mark.parametrize("k", [15, 31])
+def test_rebuild_bitset_identical(rng, k):
+    uniq, counts = make_solid(rng, k)
+    cutoff = 2
+    payload = unitig.build_np_payload(uniq, counts, cutoff, k, uniq.shape[0])
+    solid = uniq[counts >= cutoff]
+    n_words = bloom.choose_n_words(len(solid), 12.0)
+    H, seed = 4, 7
+    want = bloom.build_np(solid, n_words, H, seed, k)
+    got = unitig.rebuild_bitset_np(payload, k, n_words, H, seed)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cycle_is_emitted_once(rng):
+    """A circular contig's k-mer set forms a pure cycle in the chain
+    graph; it must be broken at one node and spelled exactly once."""
+    k = 15
+    contig = rng.integers(0, 4, 200, dtype=np.uint8)
+    circ = np.concatenate([contig, contig[: k - 1]])
+    codes = np.stack([circ] * 3)
+    lengths = np.full(3, circ.size, np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    cutoff = 2
+    payload = unitig.build_np_payload(uniq, counts.astype(np.int32), cutoff, k,
+                                      uniq.shape[0])
+    assert payload is not None
+    solid = uniq[counts >= cutoff]
+    got = unitig_kmer_set(payload, k)
+    assert got.shape[0] == solid.shape[0]
+    np.testing.assert_array_equal(sort_words(got), sort_words(solid))
+
+
+@pytest.mark.parametrize("k", [15, 31, 33])
+def test_device_payload_matches_np(rng, k):
+    import jax.numpy as jnp
+
+    uniq, counts = make_solid(rng, k, n_contigs=2, L=250)
+    cutoff = 2
+    nu = uniq.shape[0]
+    want = unitig.build_np_payload(uniq, counts, cutoff, k, nu)
+    # pad to a bucketed capacity the way DeviceCounter does (pads sort
+    # last: all-ones words, count 0)
+    Mcap = unitig._bucket(nu)
+    W = uniq.shape[1]
+    wpad = np.full((Mcap, W), 0xFFFFFFFF, np.uint32)
+    wpad[:nu] = uniq
+    cpad = np.zeros(Mcap, np.int32)
+    cpad[:nu] = counts
+    infl = unitig.dispatch_build(jnp.asarray(wpad), jnp.asarray(cpad),
+                                 cutoff, k, nu)
+    got = unitig.drain_build(infl)
+    assert got == want
+
+
+def test_empty_and_tiny_inputs():
+    k = 15
+    assert unitig.build_np_payload(np.zeros((0, 1), np.uint32),
+                                   np.zeros(0, np.int32), 2, k, 0) is None
+    # a single solid k-mer: one chain of length k (the k-mer is chosen
+    # not to be adjacent to its own revcomp, which would legitimately
+    # produce a 2-node self-twin chain spelling it twice)
+    codes = np.array([0, 0, 2, 1, 3, 0, 1, 1, 2, 0, 3, 3, 1, 0, 2], np.uint8)
+    w = K.pack_codes_batch_np(codes[None], k)
+    rc = K.pack_codes_batch_np((3 - codes)[None, ::-1], k)
+    canon = np.where(unitig._np_lex_less(rc, w)[:, None], rc, w)
+    payload = unitig.build_np_payload(canon, np.array([3], np.int32), 2, k, 1)
+    assert payload is not None
+    lens, flat = unitig.parse_payload(payload, k)
+    assert lens.tolist() == [k]
+    got = unitig_kmer_set(payload, k)
+    np.testing.assert_array_equal(got, canon)
+
+
+def test_container_section_choice(rng, tmp_path):
+    """Default cfg writes UNITIGS when smaller; unitig_sections=False
+    writes BLOOM; both round-trip byte-exact and decode identically."""
+    from leon_tpu import pipeline
+    from leon_tpu.config import LeonConfig
+    from leon_tpu.io import container
+
+    lines = []
+    contig = "".join("ACGT"[b] for b in rng.integers(0, 4, 600))
+    for i in range(120):
+        s = int(rng.integers(0, 500))
+        lines.append(f">r{i}\n{contig[s:s+100]}\n")
+    src = tmp_path / "in.fasta"
+    src.write_bytes("".join(lines).encode())
+
+    out_u = str(tmp_path / "u.leon")
+    pipeline.compress(str(src), out_u, LeonConfig())
+    r = container.Reader(out_u)
+    assert r.unitigs_payload is not None and not r.bloom_payload
+    r.close()
+
+    out_b = str(tmp_path / "b.leon")
+    pipeline.compress(str(src), out_b, LeonConfig(unitig_sections=False))
+    r = container.Reader(out_b)
+    assert r.unitigs_payload is None and r.bloom_payload
+    r.close()
+
+    dec_u = str(tmp_path / "u.fasta")
+    dec_b = str(tmp_path / "b.fasta")
+    pipeline.decompress(out_u, dec_u)
+    pipeline.decompress(out_b, dec_b)
+    want = src.read_bytes()
+    assert open(dec_u, "rb").read() == want
+    assert open(dec_b, "rb").read() == want
