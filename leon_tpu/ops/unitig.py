@@ -333,36 +333,54 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     prev = prev.at[jnp.where(nxt >= 0, nxt, 2 * M)].set(ids2, mode="drop")
 
     D = max(1, int(2 * M - 1).bit_length()) + 1
-    P = jnp.where(nxt >= 0, nxt, ids2)
-    reached = nxt < 0
-    for _ in range(D):
-        reached |= reached[P]
-        P = P[P]
+
+    def _double(P0, carry0, fold):
+        """Pointer doubling with device-side early exit (round cap D).
+        Equivalent to D fixed rounds: chains converge in log2(longest
+        chain) rounds — typically far under D — and rounds past the
+        pointer fixpoint are no-ops; cycles never reach a fixpoint, so
+        the cap preserves the full-coverage guarantee there."""
+        from jax import lax
+
+        def cond(st):
+            r, changed, _P, _c = st
+            return changed & (r < D)
+
+        def body(st):
+            r, _, P, c = st
+            c2 = fold(c, P)
+            P2 = P[P]
+            return (r + 1, jnp.any(P2 != P), P2, c2)
+
+        st = (jnp.int32(0), jnp.asarray(True), P0, carry0)
+        _, _, P, c = lax.while_loop(cond, body, st)
+        return P, c
+
+    # one fused pass: terminal reachability (cycle detection) + min id
+    # over the forward orbit (orbits are disjoint chains/cycles, so the
+    # plain-ids min equals the old cyc-gated min wherever it is consumed)
+    P0 = jnp.where(nxt >= 0, nxt, ids2)
+    _, (reached, m) = _double(
+        P0, (nxt < 0, ids2),
+        lambda c, P: (c[0] | c[0][P], jnp.minimum(c[1], c[1][P])),
+    )
     cyc = ~reached
-    m = jnp.where(cyc, ids2, 2 * M)
-    P = jnp.where(nxt >= 0, nxt, ids2)
-    for _ in range(D):
-        m = jnp.minimum(m, m[P])
-        P = P[P]
     ch = cyc & (m == ids2)  # cycle heads
     pv = jnp.where(ch, prev, -1)
     nxt = nxt.at[jnp.where(ch, jnp.maximum(pv, 0), 2 * M)].set(-1, mode="drop")
     prev = prev.at[jnp.where(ch, ids2, 2 * M)].set(-1, mode="drop")
 
-    P = jnp.where(prev >= 0, prev, ids2)
-    R = (prev >= 0).astype(jnp.int32)
-    for _ in range(D):
-        R = R + R[P]
-        P = P[P]
-    head, rank = P, R
+    head, rank = _double(
+        jnp.where(prev >= 0, prev, ids2),
+        (prev >= 0).astype(jnp.int32),
+        lambda R, P: R + R[P],
+    )
 
-    P = jnp.where(nxt >= 0, nxt, ids2)
-    m = jnp.where(solid2, ids2, 2 * M)
-    tm = jnp.where(solid2, ids2 ^ 1, 2 * M)
-    for _ in range(D):
-        m = jnp.minimum(m, m[P])
-        tm = jnp.minimum(tm, tm[P])
-        P = P[P]
+    _, (m, tm) = _double(
+        jnp.where(nxt >= 0, nxt, ids2),
+        (jnp.where(solid2, ids2, 2 * M), jnp.where(solid2, ids2 ^ 1, 2 * M)),
+        lambda c, P: (jnp.minimum(c[0], c[0][P]), jnp.minimum(c[1], c[1][P])),
+    )
     keep_head = solid2 & (prev < 0) & (m <= tm)
     kept = solid2 & keep_head[head]
 
@@ -412,6 +430,36 @@ def _build_dev(*args, **kw):
     return _BUILD_JIT(*args, **kw)
 
 
+def _compact_impl(words, counts, cutoff, cap: int):
+    """Stable device compaction of the distinct run to its solid rows
+    (pads: words 0xFFFFFFFF — sort-last — counts 0). Sorted order is
+    preserved, so every id comparison in the chain build is
+    order-isomorphic to the full-array build: the payload is byte-
+    identical, the graph just skips the (often 5-10x more numerous)
+    sub-cutoff rows."""
+    import jax.numpy as jnp
+
+    solid = counts.astype(jnp.int32) >= cutoff
+    pos = jnp.where(solid, jnp.cumsum(solid.astype(jnp.int32)) - 1, cap)
+    W = words.shape[1]
+    out_w = jnp.full((cap, W), jnp.uint32(0xFFFFFFFF))
+    out_w = out_w.at[pos].set(words, mode="drop")
+    out_c = jnp.zeros(cap, jnp.int32).at[pos].set(counts.astype(jnp.int32), mode="drop")
+    return out_w, out_c
+
+
+_COMPACT_JIT = None
+
+
+def _compact_dev(*args, **kw):
+    global _COMPACT_JIT
+    if _COMPACT_JIT is None:
+        import jax
+
+        _COMPACT_JIT = jax.jit(_compact_impl, static_argnames=("cap",))
+    return _COMPACT_JIT(*args, **kw)
+
+
 @dataclass
 class _Inflight:
     buf: object
@@ -425,14 +473,24 @@ class _Inflight:
 
 
 def _caps(Mcap: int, nu: int, k: int, cap_chains: int) -> int:
-    cap_bases = Mcap + (k - 1) * cap_chains
+    # kept directed nodes <= 2x the solid count (self-RC components spell
+    # both twins), and solid <= Mcap — 2*Mcap covers every case
+    cap_bases = 2 * Mcap + (k - 1) * cap_chains
     return -(-cap_bases // 16) * 16
 
 
-def dispatch_build(words, counts, cutoff: int, k: int, nu: int) -> _Inflight:
+def dispatch_build(words, counts, cutoff: int, k: int, nu: int,
+                   n_solid: int | None = None) -> _Inflight:
     """Dispatch the device unitig build (async D2H started). `words` is
     the (Mcap, W) padded sorted distinct run, `counts` its i32 counts
-    (pads 0), `nu` the exact distinct count."""
+    (pads 0), `nu` the exact distinct count. When the caller knows
+    `n_solid`, the run is first compacted to its solid rows — the graph
+    build's gather traffic scales with the array size, and the distinct
+    set is typically 5-10x larger than the solid set."""
+    if n_solid is not None and n_solid > 0:
+        cap_m = _bucket(max(1, int(n_solid)))
+        if cap_m < int(words.shape[0]):
+            words, counts = _compact_dev(words, counts, np.int32(cutoff), cap_m)
     Mcap = int(words.shape[0])
     cap = chains_cap(nu)
     buf = _build_dev(words, counts, np.int32(cutoff), k, cap, _caps(Mcap, nu, k, cap))

@@ -225,7 +225,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
             from leon_tpu.ops import unitig as _unitig
 
             infl = _unitig.dispatch_build(
-                solidset[0], solidset[1], cutoff, k, solidset[2]
+                solidset[0], solidset[1], cutoff, k, solidset[2],
+                n_solid=n_solid,
             )
             unitig_payload = pipeline._resolve_unitigs(infl, n_words)
         except Exception:

@@ -488,6 +488,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     use_host_count = False
     unitig_payload: Optional[bytes] = None  # decided raw payload (or None)
     unitig_inflight = None
+    unitig_planned = False  # defer the build dispatch to the encode loop
     if ck is not None:
         bitset, n_words, cutoff, n_solid, H, unitig_payload = ck
         bitset_j = _pad_bitset_dev(bitset, n_words)
@@ -505,17 +506,27 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                   "falling back to host-merge counting", file=_sys.stderr)
             use_host_count = True
             prep_iter = preps if not stream_mode else iter_preps()
-        if (not use_host_count and cfg.unitig_sections and solidset is not None
-                and n_solid > 0 and solidset[2] <= cfg.unitig_max_kmers):
+        unitig_planned = (
+            not use_host_count and cfg.unitig_sections and solidset is not None
+            and n_solid > 0 and solidset[2] <= cfg.unitig_max_kmers
+        )
+        if unitig_planned and cfg.checkpoint:
+            # checkpoint runs resolve the section choice up front (the
+            # decision is part of the checkpoint); everyone else defers
+            # the dispatch until the walk chunks are queued — the device
+            # executes in FIFO order, so an early unitig build would
+            # stall every walk behind its pointer-doubling passes
             try:
                 from leon_tpu.ops import unitig as _unitig
 
                 unitig_inflight = _unitig.dispatch_build(
-                    solidset[0], solidset[1], cutoff, k, solidset[2]
+                    solidset[0], solidset[1], cutoff, k, solidset[2],
+                    n_solid=n_solid,
                 )
                 tr("count.unitig.dispatched")
             except Exception:
                 unitig_inflight = None  # BLOOM section fallback
+            unitig_planned = False
     if ck is None and use_host_count:
         uniq, counts = _count_pass_host(prep_iter, cfg, k)
         hist = count.histogram(counts) if counts.size else np.zeros(256, np.int64)
@@ -582,10 +593,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     # the container streams and appends finished blocks to the writer.
     t1 = time.time()
     tr("enc.bloom_d2h.begin")
-    defer_bloom = False
     if bitset is None:
         if placer.mesh is None and (unitig_inflight is not None
-                                    or unitig_payload is not None):
+                                    or unitig_payload is not None
+                                    or unitig_planned):
             # the UNITIGS section replaces the bitset (5-10x smaller D2H
             # already in flight); the bitset only crosses the tunnel on
             # the rare fallback, synchronously at section-write time.
@@ -597,7 +608,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             # transfer rides under the walk dispatches (readers dispatch
             # on section tags, FORMAT.md §1 — order is free)
             bitset_j.copy_to_host_async()
-            defer_bloom = True
         else:
             # device bitset is padded to the alloc grid; the container
             # stores the exact n_words prefix (FORMAT.md §4 exact sizing)
@@ -671,6 +681,20 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         pending.append((be, None, None))
         if n_blocks:
             _progress(cfg, "encode", n_blocks_done + 1, n_blocks)
+    if unitig_planned and unitig_inflight is None and unitig_payload is None:
+        # dispatched here — after every walk chunk is in the device FIFO —
+        # so the unitig graph build overlaps the pending drains' host
+        # stream assembly instead of stalling the walks behind it
+        try:
+            from leon_tpu.ops import unitig as _unitig
+
+            unitig_inflight = _unitig.dispatch_build(
+                solidset[0], solidset[1], cutoff, k, solidset[2],
+                n_solid=n_solid,
+            )
+            tr("enc.unitig.dispatched")
+        except Exception:
+            unitig_inflight = None  # BLOOM section fallback
     while pending:
         process(pending.popleft())
     t_encode = time.time() - t1
