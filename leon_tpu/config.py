@@ -56,11 +56,16 @@ class LeonConfig:
     # 1 = force single-device. Archives are byte-identical at any value.
     mesh_devices: Optional[int] = None
     # compacted-event D2H capacities (per read, averaged over a chunk);
-    # chunks that overflow retry at 4x caps, then the dense transfer.
-    # Sized for ~2x the expected 1%-error event rate: the transfer is
-    # capacity-sized, so slack is paid on every chunk
-    event_cap_per_read: int = 4
-    bif_cap_per_read: int = 2
+    # chunks that overflow retry at 4x caps (and escalate the caps used
+    # for every later dispatch), then the dense transfer. Measured event
+    # rates on the 25x 1%-error bench corpus: ~3.6 err/read (error tails
+    # near read ends emit one event per remaining step) and ~4.2 bif/read
+    # (Bloom FPs on the 4 candidate probes) — r2's 4/2 defaults made
+    # EVERY chunk pay a synchronous retry round-trip, 90% of the encode
+    # stage. Slack is ~0.2 MB extra D2H per 16384-lane chunk: noise
+    # against the tunnel's latency floor
+    event_cap_per_read: int = 8
+    bif_cap_per_read: int = 8
     # device-side pipelining depth: chunks dispatched ahead of the host
     # consuming their results (keeps the device busy across the D2H
     # latency of the TPU tunnel)

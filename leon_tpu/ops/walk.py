@@ -43,8 +43,18 @@ def _tab(tab_np, m, kind):
 
 
 def _take4(tabc, idx):
-    """Lookup a (4,) u32 constant table at (B,)-int indices."""
-    return jnp.take(tabc, idx, axis=0)
+    """Lookup a (4,) u32 constant table at (...,)-int indices via one-hot
+    select — XLA lowers jnp.take to a gather, and gathers inside the walk
+    scan are the measured bottleneck (~94M gathered words/s on v5e); the
+    one-hot sum is pure VPU."""
+    oh = idx[..., None] == jnp.arange(4, dtype=idx.dtype)
+    return jnp.sum(jnp.where(oh, tabc, jnp.uint32(0)), axis=-1)
+
+
+def _sel4(arr, idx):
+    """arr[..., idx] over a width-4 trailing axis, one-hot (gather-free)."""
+    oh = idx[..., None] == jnp.arange(4, dtype=idx.dtype)
+    return jnp.sum(jnp.where(oh, arr, jnp.zeros((), arr.dtype)), axis=-1)
 
 
 def _anchor_scan(codes, k: int, seed: int):
@@ -98,7 +108,14 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
     """Scan one walk direction with rolling candidate hashes. state0 =
     (fwd words, f1, r1, f2, r2) at the anchor. Returns step-ordered planes
     (B, ME): is_bif, rank, is_err, errnt-rank (b among non-solid, v3),
-    is_conf."""
+    is_conf.
+
+    Gather discipline: the scan body's ONLY gathers are the 4 Bloom-word
+    probes (irreducible random HBM access). The read's next base per step
+    is pre-gathered as a (ME, B) plane outside the scan (one vectorized
+    take_along_axis instead of one gather per step), and every width-4
+    candidate selection is a one-hot VPU sum (_sel4/_take4) — measured
+    ~2.5x on the whole encode kernel vs the take_along_axis form."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
     T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
@@ -107,27 +124,28 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
     # bit offset of the base leaving the window when advancing
     t_out = 2 * (k - 1) if right else 0
 
-    def step(carry, s):
-        fwd, f1, r1, f2, r2 = carry
-        j = apos + k + s if right else apos - 1 - s
-        active = anchored & (j >= 0) & (j < lengths)
-        jc = jnp.clip(j, 0, L - 1)
-        b = jnp.take_along_axis(codes, jc[:, None], axis=1)[:, 0].astype(jnp.int32)
-        o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
+    # pre-gather the observed base and activity planes for all steps
+    s_all = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    j_all = apos[:, None] + k + s_all if right else apos[:, None] - 1 - s_all
+    active_all = anchored[:, None] & (j_all >= 0) & (j_all < lengths[:, None])
+    b_all = jnp.take_along_axis(codes, jnp.clip(j_all, 0, L - 1), axis=1).astype(jnp.int32)
 
-        x4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    def step(carry, xs):
+        fwd, f1, r1, f2, r2 = carry
+        b, active = xs
+        o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
 
         def cands(f, r, T, Tc, Trot, Tcrot):
             if right:
                 fbase = _rol1(f ^ _take4(Trot, o))
                 rbase = _ror1(r ^ _take4(Tc, o))
-                cf = fbase[:, None] ^ T[x4]
-                cr = rbase[:, None] ^ Tcrot[x4]
+                cf = fbase[:, None] ^ T[None, :]
+                cr = rbase[:, None] ^ Tcrot[None, :]
             else:
                 fbase = _ror1(f ^ _take4(T, o))
                 rbase = _rol1(r ^ _take4(Tcrot, o))
-                cf = fbase[:, None] ^ Trot[x4]
-                cr = rbase[:, None] ^ Tc[x4]
+                cf = fbase[:, None] ^ Trot[None, :]
+                cr = rbase[:, None] ^ Tc[None, :]
             return cf, cr
 
         cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
@@ -135,9 +153,9 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
         solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
-        solid_b = jnp.take_along_axis(si, b[:, None], axis=1)[:, 0].astype(bool)
+        solid_b = _sel4(si, b).astype(bool)
         cum = jnp.cumsum(si, axis=1)
-        rank = jnp.take_along_axis(cum, b[:, None], axis=1)[:, 0] - 1  # valid when solid_b
+        rank = _sel4(cum, b) - 1  # valid when solid_b
 
         is_conf = active & solid_b & (scount == 1)
         is_bif = active & solid_b & (scount >= 2)
@@ -147,18 +165,17 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
         # this is decodable and skews the stream to <=3 values (~1.58 bits
         # after entropy coding vs 2.0 for the raw base code)
         cns = jnp.cumsum(1 - si, axis=1)
-        ent = jnp.take_along_axis(cns, b[:, None], axis=1)[:, 0] - 1
+        ent = _sel4(cns, b) - 1
 
         # error correction (FORMAT.md §6): on an error, advance with the
         # smallest solid base so the walk rejoins the graph path — one
         # event per sequencing error instead of k
-        b_min_solid = jnp.argmax(si, axis=1)
+        b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
         b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        badv_c = b_adv[:, None]
-        f1n = jnp.take_along_axis(cf1, badv_c, axis=1)[:, 0]
-        r1n = jnp.take_along_axis(cr1, badv_c, axis=1)[:, 0]
-        f2n = jnp.take_along_axis(cf2, badv_c, axis=1)[:, 0]
-        r2n = jnp.take_along_axis(cr2, badv_c, axis=1)[:, 0]
+        f1n = _sel4(cf1, b_adv)
+        r1n = _sel4(cr1, b_adv)
+        f2n = _sel4(cf2, b_adv)
+        r2n = _sel4(cr2, b_adv)
         bu = b_adv.astype(U32)
         if right:
             fwd = shl2(fwd, bu, k)
@@ -167,22 +184,113 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
         ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8), is_conf)
         return (fwd, f1n, r1n, f2n, r2n), ys
 
-    _, ys = lax.scan(step, state0, jnp.arange(ME, dtype=jnp.int32))
+    _, ys = lax.scan(step, state0, (b_all.T, active_all.T))
     return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
 
 
-@partial(jax.jit, static_argnames=("k", "H", "seed"))
-def walk_planes(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
-    """Anchor search + both walk directions. Returns step-ordered planes.
+def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
+                seed, ME):
+    """Both walk directions in ONE scan of ME steps: lane i runs its
+    nr_i = len_i - k - apos_i right steps, then resets to the anchor state
+    and runs its nl_i = apos_i left steps — len_i - k total, bounded by ME,
+    where the two side scans of _walk_side cost 2*ME steps. The 4 Bloom
+    probes are the irreducible per-step cost, so the fused schedule halves
+    the kernel time. Per-step event semantics are IDENTICAL to _walk_side
+    (the walk policy is frozen, FORMAT.md §6); only the execution schedule
+    changes — verified bit-exact against the two-scan form.
 
-    codes: (B, L) uint8 base codes (exceptions pre-substituted),
-    lengths: (B,) int32, bitset: (>= n_words,) uint32 device array
-    (padded to bloom.alloc_words; n_words itself is traced data).
-    """
+    Returns (B, ME) planes in fused step order (each lane's right events
+    then its left events — exactly the container's per-segment stream
+    order): is_bif, rank, is_err, ent, gap, is_conf, plus in_right and
+    j_all (position per step) for the caller's masks/scatters."""
     B, L = codes.shape
-    ME = max(1, L - k)
-    lengths = lengths.astype(jnp.int32)
+    tab = bloom.tables(seed, k)
+    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    t_hi = 2 * (k - 1)
 
+    lengths = lengths.astype(jnp.int32)
+    nr = jnp.clip(lengths - k - apos, 0, None)
+    total = jnp.clip(lengths - k, 0, None)
+    s_all = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    in_right_all = s_all < nr[:, None]
+    ls_all = s_all - nr[:, None]  # left-side local index when !in_right
+    j_all = jnp.where(in_right_all, apos[:, None] + k + s_all,
+                      apos[:, None] - 1 - ls_all)
+    active_all = anchored[:, None] & (s_all < total[:, None])
+    b_all = jnp.take_along_axis(codes, jnp.clip(j_all, 0, L - 1), axis=1).astype(jnp.int32)
+    lidx_all = jnp.where(in_right_all, s_all, ls_all)  # side-local step idx
+    switch_all = s_all == nr[:, None]
+
+    afwd, a1, a2, a3, a4 = state0
+
+    def step(carry, xs):
+        fwd, f1, r1, f2, r2, last = carry
+        b, active, in_r, sw, lidx = xs
+        # side switch: restart from the anchor state, fresh gap chain
+        fwd = jnp.where(sw[:, None], afwd, fwd)
+        f1 = jnp.where(sw, a1, f1)
+        r1 = jnp.where(sw, a2, r1)
+        f2 = jnp.where(sw, a3, f2)
+        r2 = jnp.where(sw, a4, r2)
+        last = jnp.where(sw, -1, last)
+
+        o = jnp.where(
+            in_r, (fwd[:, t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[:, 0] & U32(3)
+        ).astype(jnp.int32)
+
+        def cands(f, r, T, Tc, Trot, Tcrot):
+            fb_r = _rol1(f ^ _take4(Trot, o))
+            rb_r = _ror1(r ^ _take4(Tc, o))
+            fb_l = _ror1(f ^ _take4(T, o))
+            rb_l = _rol1(r ^ _take4(Tcrot, o))
+            inr = in_r[:, None]
+            cf = jnp.where(inr, fb_r[:, None] ^ T[None, :], fb_l[:, None] ^ Trot[None, :])
+            cr = jnp.where(inr, rb_r[:, None] ^ Tcrot[None, :], rb_l[:, None] ^ Tc[None, :])
+            return cf, cr
+
+        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
+        si = solid.astype(jnp.int32)
+        scount = si.sum(axis=1)
+        solid_b = _sel4(si, b).astype(bool)
+        cum = jnp.cumsum(si, axis=1)
+        rank = _sel4(cum, b) - 1
+
+        is_conf = active & solid_b & (scount == 1)
+        is_bif = active & solid_b & (scount >= 2)
+        is_err = active & ~solid_b
+        cns = jnp.cumsum(1 - si, axis=1)
+        ent = _sel4(cns, b) - 1
+
+        gap = lidx - last - 1  # valid where is_err (side-local semantics)
+        last = jnp.where(is_err, lidx, last)
+
+        b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
+        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
+        f1n = _sel4(cf1, b_adv)
+        r1n = _sel4(cr1, b_adv)
+        f2n = _sel4(cf2, b_adv)
+        r2n = _sel4(cr2, b_adv)
+        bu = b_adv.astype(U32)
+        fwd = jnp.where(in_r[:, None], shl2(fwd, bu, k), shr2_ins(fwd, bu, k))
+        ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8),
+              jnp.maximum(gap, 0).astype(jnp.uint16), is_conf)
+        return (fwd, f1n, r1n, f2n, r2n, last), ys
+
+    carry0 = (afwd, a1, a2, a3, a4, jnp.full(B, -1, jnp.int32))
+    _, ys = lax.scan(step, carry0,
+                     (b_all.T, active_all.T, in_right_all.T, switch_all.T,
+                      lidx_all.T))
+    planes = tuple(jnp.moveaxis(y, 0, 1) for y in ys)
+    return planes + (in_right_all, j_all)
+
+
+def _anchor_state(codes, lengths, bitset, k: int, H: int, n_words, seed: int):
+    """Anchor search: (anchored (B,), apos (B,) i32, state0) where state0 =
+    (afwd (B, W), f1, r1, f2, r2) is the walk state at the anchor."""
+    lengths = lengths.astype(jnp.int32)
     fwds, (h1f, h1r, h2f, h2r) = _anchor_scan(codes, k, seed)
     P = fwds.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -202,8 +310,21 @@ def walk_planes(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int)
     sel = apos[:, None]
     afwd = jnp.take_along_axis(fwds, sel[..., None], axis=1)[:, 0, :]
     a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (h1f, h1r, h2f, h2r))
-    state0 = (afwd, *a_h)
+    return anchored, apos, (afwd, *a_h)
 
+
+@partial(jax.jit, static_argnames=("k", "H", "seed"))
+def walk_planes(codes, lengths, bitset, k: int, H: int, n_words: int, seed: int):
+    """Anchor search + both walk directions. Returns step-ordered planes.
+
+    codes: (B, L) uint8 base codes (exceptions pre-substituted),
+    lengths: (B,) int32, bitset: (>= n_words,) uint32 device array
+    (padded to bloom.alloc_words; n_words itself is traced data).
+    """
+    B, L = codes.shape
+    ME = max(1, L - k)
+    lengths = lengths.astype(jnp.int32)
+    anchored, apos, state0 = _anchor_state(codes, lengths, bitset, k, H, n_words, seed)
     r = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, "right", ME)
     l = _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, "left", ME)
     return dict(
@@ -262,32 +383,32 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, s
         raise ValueError("event capacities must be multiples of 8")
     B, L = codes.shape
     ME = max(1, L - k)
-    e = walk_planes(codes, lengths, bitset, k, H, n_words, seed)
+    lengths = lengths.astype(jnp.int32)
+    anchored, apos, state0 = _anchor_state(codes, lengths, bitset, k, H, n_words, seed)
+    (is_bif, rank, is_err, ent, gap, is_conf, in_right, j_all) = _walk_fused(
+        codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, ME
+    )
 
-    nerr_r = e["err_r"].sum(axis=1, dtype=jnp.int32)
-    nerr_l = e["err_l"].sum(axis=1, dtype=jnp.int32)
-    nbif_r = e["bif_r"].sum(axis=1, dtype=jnp.int32)
-    nbif_l = e["bif_l"].sum(axis=1, dtype=jnp.int32)
+    nerr_r = (is_err & in_right).sum(axis=1, dtype=jnp.int32)
+    nerr_l = (is_err & ~in_right).sum(axis=1, dtype=jnp.int32)
+    nbif_r = (is_bif & in_right).sum(axis=1, dtype=jnp.int32)
+    nbif_l = (is_bif & ~in_right).sum(axis=1, dtype=jnp.int32)
 
-    def compact(plane_r, vals_r, plane_l, vals_l, n_r, n_l, cap):
-        """Scatter step-plane values into the read-major right-then-left
-        flat stream. Returns ((cap,) u32 values, total)."""
-        n_tot = n_r + n_l
+    def compact(plane, vals, cap):
+        """Scatter fused-plane values into the read-major flat stream
+        (the fused step order IS right-then-left per read). Returns
+        ((cap,) u32 values, total)."""
+        n_tot = plane.sum(axis=1, dtype=jnp.int32)
         base = jnp.cumsum(n_tot) - n_tot  # exclusive prefix over reads
-        slot_r = jnp.cumsum(plane_r, axis=1, dtype=jnp.int32) - 1
-        slot_l = jnp.cumsum(plane_l, axis=1, dtype=jnp.int32) - 1
-        off_r = jnp.where(plane_r, base[:, None] + slot_r, cap)
-        off_l = jnp.where(plane_l, base[:, None] + n_r[:, None] + slot_l, cap)
+        slot = jnp.cumsum(plane, axis=1, dtype=jnp.int32) - 1
+        off = jnp.where(plane, base[:, None] + slot, cap)
         out = jnp.zeros(cap + 1, jnp.uint32)
-        out = out.at[off_r.reshape(-1)].set(vals_r.reshape(-1).astype(jnp.uint32), mode="drop")
-        out = out.at[off_l.reshape(-1)].set(vals_l.reshape(-1).astype(jnp.uint32), mode="drop")
+        out = out.at[off.reshape(-1)].set(vals.reshape(-1).astype(jnp.uint32), mode="drop")
         return out[:cap], base[-1] + n_tot[-1]
 
-    gap_r = _gap_plane(e["err_r"], ME)
-    gap_l = _gap_plane(e["err_l"], ME)
-    errgap, total_err = compact(e["err_r"], gap_r, e["err_l"], gap_l, nerr_r, nerr_l, cap_err)
-    errnt, _ = compact(e["err_r"], e["bnt_r"], e["err_l"], e["bnt_l"], nerr_r, nerr_l, cap_err)
-    bifv, total_bif = compact(e["bif_r"], e["rank_r"], e["bif_l"], e["rank_l"], nbif_r, nbif_l, cap_bif)
+    errgap, total_err = compact(is_err, gap, cap_err)
+    errnt, _ = compact(is_err, ent, cap_err)
+    bifv, total_bif = compact(is_bif, rank, cap_bif)
 
     def pack2_16(v):  # 2-bit values -> u16 words of 8 symbols
         v = v.reshape(-1, 8)
@@ -298,7 +419,7 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, s
     if ME <= 255:
         scal = jnp.stack(
             [
-                u16(e["apos"]) | (e["anchored"].astype(jnp.uint16) << 15),
+                u16(apos) | (anchored.astype(jnp.uint16) << 15),
                 u16(nerr_r) | (u16(nbif_r) << 8),
                 u16(nerr_l) | (u16(nbif_l) << 8),
             ],
@@ -307,8 +428,8 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, s
     else:
         scal = jnp.concatenate(
             [
-                e["anchored"].astype(jnp.uint16)[:, None],
-                u16(e["apos"])[:, None],
+                anchored.astype(jnp.uint16)[:, None],
+                u16(apos)[:, None],
                 u16(nbif_r)[:, None], u16(nerr_r)[:, None],
                 u16(nbif_l)[:, None], u16(nerr_l)[:, None],
             ],
@@ -316,7 +437,12 @@ def _encode_compact_impl(codes, lengths, bitset, k: int, H: int, n_words: int, s
         )
 
     if with_conf:  # only the lossy quality transform reads this
-        conf = _conf_mask(e["conf_r"], e["conf_l"], e["apos"], k, L)
+        # confirmed-position mask: one scatter over the fused j plane
+        ar = jnp.arange(B)[:, None]
+        conf = jnp.zeros((B, L + 1), bool)
+        conf = conf.at[ar, jnp.where(is_conf, jnp.clip(j_all, 0, L), L)].set(
+            True, mode="drop"
+        )[:, :L]
         pad = (-L) % 16
         if pad:
             conf = jnp.concatenate([conf, jnp.zeros((B, pad), bool)], axis=1)
@@ -503,39 +629,60 @@ def _unpack_kmer(words, k: int):
     return jnp.stack(cols, axis=1)
 
 
-def _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                      err_plane, nbif, bif, k, H, n_words, seed, side, ME, L):
-    """Re-walk one direction with rolling hashes. err_plane: (B, L) uint8,
-    0 = no error at that position, else 4 + true base code. Returns the
-    decoded base per step (B, ME)."""
+def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
+                       err_plane, qbif, k, H, n_words, seed, ME, L):
+    """Fused-direction decode re-walk (the mirror of _walk_fused): each
+    lane re-walks its nr right steps, resets to the anchor state, then its
+    nl left steps — one scan of ME steps instead of two. err_plane:
+    (B, L) uint8, 0 = no error at that position, else 4 + stored errnt
+    rank. qbif: (B, MEv) per-lane bifurcation ranks in consumption order
+    (right events then left — the container's stream order, so the flat
+    stream slice IS the queue). Returns (bases (B, ME), j_all, active)."""
     B = lengths.shape[0]
     ar = jnp.arange(B)
-    MEv = max(1, bif.shape[1])
+    MEv = max(1, qbif.shape[1])
     tab = bloom.tables(seed, k)
     T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
     T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
-    right = side == "right"
-    t_out = 2 * (k - 1) if right else 0
+    t_hi = 2 * (k - 1)
 
-    def step(carry, s):
+    lengths = lengths.astype(jnp.int32)
+    nr = jnp.clip(lengths - k - apos, 0, None)
+    total = jnp.clip(lengths - k, 0, None)
+    s_all = jnp.arange(ME, dtype=jnp.int32)[None, :]
+    in_right_all = s_all < nr[:, None]
+    ls_all = s_all - nr[:, None]
+    j_all = jnp.where(in_right_all, apos[:, None] + k + s_all,
+                      apos[:, None] - 1 - ls_all)
+    active_all = anchored[:, None] & (s_all < total[:, None])
+    ev_all = jnp.take_along_axis(err_plane, jnp.clip(j_all, 0, L - 1), axis=1)
+    switch_all = s_all == nr[:, None]
+
+    afwd, a1, a2, a3, a4 = state0
+
+    def step(carry, xs):
         fwd, f1, r1, f2, r2, pbif = carry
-        j = apos + k + s if right else apos - 1 - s
-        active = anchored & (j >= 0) & (j < lengths)
-        jc = jnp.clip(j, 0, L - 1)
-        ev = jnp.take_along_axis(err_plane, jc[:, None], axis=1)[:, 0]
-        is_err = active & (ev >= 4)
-        rank_ns = (ev & 3).astype(jnp.int32)  # rank among non-solid (v3)
-        o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
+        ev, active, in_r, sw = xs
+        fwd = jnp.where(sw[:, None], afwd, fwd)
+        f1 = jnp.where(sw, a1, f1)
+        r1 = jnp.where(sw, a2, r1)
+        f2 = jnp.where(sw, a3, f2)
+        r2 = jnp.where(sw, a4, r2)
 
-        x4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+        is_err = active & (ev >= 4)
+        rank_ns = (ev & 3).astype(jnp.int32)
+        o = jnp.where(
+            in_r, (fwd[:, t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[:, 0] & U32(3)
+        ).astype(jnp.int32)
 
         def cands(f, r, T, Tc, Trot, Tcrot):
-            if right:
-                cf = _rol1(f ^ _take4(Trot, o))[:, None] ^ T[x4]
-                cr = _ror1(r ^ _take4(Tc, o))[:, None] ^ Tcrot[x4]
-            else:
-                cf = _ror1(f ^ _take4(T, o))[:, None] ^ Trot[x4]
-                cr = _rol1(r ^ _take4(Tcrot, o))[:, None] ^ Tc[x4]
+            fb_r = _rol1(f ^ _take4(Trot, o))
+            rb_r = _ror1(r ^ _take4(Tc, o))
+            fb_l = _ror1(f ^ _take4(T, o))
+            rb_l = _rol1(r ^ _take4(Tcrot, o))
+            inr = in_r[:, None]
+            cf = jnp.where(inr, fb_r[:, None] ^ T[None, :], fb_l[:, None] ^ Trot[None, :])
+            cr = jnp.where(inr, rb_r[:, None] ^ Tcrot[None, :], rb_l[:, None] ^ Tc[None, :])
             return cf, cr
 
         cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
@@ -546,13 +693,11 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
         is_bif = active & ~is_err & (scount >= 2)
 
         pb = jnp.clip(pbif, 0, MEv - 1)
-        rank = bif[ar, pb].astype(jnp.int32)
+        rank = qbif[ar, pb].astype(jnp.int32)
         excl = jnp.cumsum(si, axis=1) - si
         match = solid & (excl == rank[:, None])
         b_bif = jnp.argmax(match, axis=1).astype(jnp.int32)
         b_uniq = jnp.argmax(si, axis=1).astype(jnp.int32)
-        # mirror the encoder's errnt coding (FORMAT.md §6 v3): the stored
-        # value is b's rank among the step's NON-solid candidates
         exns = jnp.cumsum(1 - si, axis=1) - (1 - si)
         match_ns = (~solid) & (exns == rank_ns[:, None])
         b_err = jnp.argmax(match_ns, axis=1).astype(jnp.int32)
@@ -560,24 +705,20 @@ def _walk_decode_side(lengths, apos, anchored, state0, bitset,
         b = jnp.where(is_err, b_err, jnp.where(is_bif, b_bif, b_uniq))
         pbif = pbif + is_bif.astype(jnp.int32)
 
-        # mirror the encoder's error correction (FORMAT.md §6)
-        b_min_solid = jnp.argmax(si, axis=1)
+        b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
         b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        badv_c = b_adv[:, None]
-        f1n = jnp.take_along_axis(cf1, badv_c, axis=1)[:, 0]
-        r1n = jnp.take_along_axis(cr1, badv_c, axis=1)[:, 0]
-        f2n = jnp.take_along_axis(cf2, badv_c, axis=1)[:, 0]
-        r2n = jnp.take_along_axis(cr2, badv_c, axis=1)[:, 0]
+        f1n = _sel4(cf1, b_adv)
+        r1n = _sel4(cr1, b_adv)
+        f2n = _sel4(cf2, b_adv)
+        r2n = _sel4(cr2, b_adv)
         bu = b_adv.astype(U32)
-        if right:
-            fwd = shl2(fwd, bu, k)
-        else:
-            fwd = shr2_ins(fwd, bu, k)
+        fwd = jnp.where(in_r[:, None], shl2(fwd, bu, k), shr2_ins(fwd, bu, k))
         return (fwd, f1n, r1n, f2n, r2n, pbif), b.astype(jnp.uint8)
 
-    carry = (*state0, jnp.zeros(B, jnp.int32))
-    carry, bs = lax.scan(step, carry, jnp.arange(ME, dtype=jnp.int32))
-    return jnp.moveaxis(bs, 0, 1)  # (B, ME)
+    carry = (afwd, a1, a2, a3, a4, jnp.zeros(B, jnp.int32))
+    _, bs = lax.scan(step, carry,
+                     (ev_all.T, active_all.T, in_right_all.T, switch_all.T))
+    return jnp.moveaxis(bs, 0, 1), j_all, active_all
 
 
 def pack_codes_u32(codes):
@@ -678,22 +819,22 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     f1, r1, f2, r2 = bloom.hash_words(afwd, k, seed, jnp)
     state0 = (afwd, f1, r1, f2, r2)
 
-    bs_r = _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                             err_plane, nbif_r, bif_r, k, H, n_words, seed, "right", ME, L)
-    bs_l = _walk_decode_side(lengths, apos, anchored, state0, bitset,
-                             err_plane, nbif_l, bif_l, k, H, n_words, seed, "left", ME, L)
+    # fused bif queue per lane: right ranks then left ranks, the fused
+    # walk's consumption order (and the container's stream order)
+    qs = jnp.arange(2 * MEv, dtype=jnp.int32)[None, :]
+    from_r = qs < nbif_r[:, None]
+    qr = jnp.take_along_axis(bif_r, jnp.clip(qs, 0, MEv - 1), axis=1)
+    ql = jnp.take_along_axis(bif_l, jnp.clip(qs - nbif_r[:, None], 0, MEv - 1), axis=1)
+    qbif = jnp.where(from_r, qr, ql)
 
-    # place the decoded bases with two post-scan scatters
-    s = jnp.arange(ME, dtype=jnp.int32)[None, :]
-    jr = apos[:, None] + k + s
-    jl = apos[:, None] - 1 - s
-    ok_r = anchored[:, None] & (jr < lengths[:, None])
-    ok_l = anchored[:, None] & (jl >= 0)
-    out = jnp.concatenate([codes0, jnp.zeros((B, 1), jnp.uint8)], axis=1)
-    out = out.at[ar, jnp.where(ok_r, jnp.clip(jr, 0, L - 1), L)].set(
-        jnp.where(ok_r, bs_r, 0), mode="drop"
+    bs, j_all, active = _walk_decode_fused(
+        lengths, apos, anchored, state0, bitset, err_plane, qbif,
+        k, H, n_words, seed, ME, L,
     )
-    out = out.at[ar, jnp.where(ok_l, jnp.clip(jl, 0, L - 1), L)].set(
-        jnp.where(ok_l, bs_l, 0), mode="drop"
+
+    # place the decoded bases with one post-scan scatter
+    out = jnp.concatenate([codes0, jnp.zeros((B, 1), jnp.uint8)], axis=1)
+    out = out.at[ar, jnp.where(active, jnp.clip(j_all, 0, L - 1), L)].set(
+        jnp.where(active, bs, 0), mode="drop"
     )
     return out[:, :L]

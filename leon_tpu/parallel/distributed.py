@@ -249,6 +249,9 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     with_conf = meta.qual_mode == container.QUAL_LOSSY
     encoders: dict[int, blockcodec.BlockEncoder] = {}
     pending: deque = deque()
+    # caps shape only the D2H buffer, never the archive bytes, so
+    # per-process escalation cannot break shard invariance
+    walk_caps = pipeline.WalkCaps(cfg)
 
     def process(item):
         be, ch, inflight = item
@@ -261,7 +264,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
                 be.block.seqs = [b""] * len(be.block.seqs)
             return
         enc = pipeline.drain_walk_chunk(
-            ch, inflight, bitset_j, k, H, n_words, seed, with_conf
+            ch, inflight, bitset_j, k, H, n_words, seed, with_conf,
+            caps=walk_caps,
         )
         be.add_subbatch(
             blockcodec.SubbatchData(
@@ -284,7 +288,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
                 dlen_d = ch.dev_len
                 inflight = pipeline.dispatch_walk_chunk(
                     ch, packed_d, dlen_d, bitset_j, k, H, n_words, seed, cfg,
-                    with_conf,
+                    with_conf, caps=walk_caps,
                 )
             pending.append((be, ch, inflight))
             while len(pending) > cfg.max_inflight_chunks:
