@@ -4,7 +4,8 @@ Mirrors the reference CLI contract (/root/reference/README.md:38-59):
 mandatory -file plus -c/-d; optional -nb-cores, -kmer-size (default 31),
 -abundance (default auto), -lossless, -seq-only, -noheader, -noqual.
 Unlike the reference (compile-time KSIZE_LIST, CMakeLists.txt:42), k is a
-runtime parameter here: k <= 64 needs no recompilation.
+runtime parameter here: any k <= 255 needs no recompilation (255 because
+META stores k as u8; tested to k=95).
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Multiword 2-bit k-mer machinery (runtime k up to 64, no recompilation).
+"""Multiword 2-bit k-mer machinery (runtime k up to 255, no recompilation).
 
 TPU-first design notes: k-mers are W = ceil(k/16) little-endian uint32 word
 vectors (FORMAT.md §3) — no 64-bit integers anywhere, so every op lowers to

@@ -338,8 +338,11 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
         """Pointer doubling with device-side early exit (round cap D).
         Equivalent to D fixed rounds: chains converge in log2(longest
         chain) rounds — typically far under D — and rounds past the
-        pointer fixpoint are no-ops; cycles never reach a fixpoint, so
-        the cap preserves the full-coverage guarantee there."""
+        pointer fixpoint are no-ops. Cycles whose length has an odd
+        factor never converge and rely on the D-round cap; a cycle of
+        length dividing 2^t converges to the identity at round t, but
+        only after the carry already covers the whole cycle, so the
+        early exit is safe in every case."""
         from jax import lax
 
         def cond(st):
@@ -440,12 +443,18 @@ def _compact_impl(words, counts, cutoff, cap: int):
     import jax.numpy as jnp
 
     solid = counts.astype(jnp.int32) >= cutoff
-    pos = jnp.where(solid, jnp.cumsum(solid.astype(jnp.int32)) - 1, cap)
+    csum = jnp.cumsum(solid.astype(jnp.int32))
+    pos = jnp.where(solid, csum - 1, cap)
     W = words.shape[1]
     out_w = jnp.full((cap, W), jnp.uint32(0xFFFFFFFF))
     out_w = out_w.at[pos].set(words, mode="drop")
     out_c = jnp.zeros(cap, jnp.int32).at[pos].set(counts.astype(jnp.int32), mode="drop")
-    return out_w, out_c
+    # defensive guard (see dispatch_build): if the true solid count
+    # exceeds cap the scatter dropped rows — zero the counts so the
+    # build yields 0 chains and the caller falls back to BLOOM instead
+    # of writing a corrupt payload
+    ok = csum[-1] <= cap
+    return out_w, jnp.where(ok, out_c, 0)
 
 
 _COMPACT_JIT = None
@@ -486,7 +495,17 @@ def dispatch_build(words, counts, cutoff: int, k: int, nu: int,
     (pads 0), `nu` the exact distinct count. When the caller knows
     `n_solid`, the run is first compacted to its solid rows — the graph
     build's gather traffic scales with the array size, and the distinct
-    set is typically 5-10x larger than the solid set."""
+    set is typically 5-10x larger than the solid set.
+
+    INVARIANT: `n_solid` must be >= the true number of rows with
+    count >= cutoff (today's callers pass the exact count: the clamped
+    count histogram is exact for cutoff <= 255 and overcounts above,
+    which is safe). An undercount would make the compaction scatter's
+    mode="drop" silently discard solid k-mers — a payload that no longer
+    spells the Bloom's k-mer set, i.e. corruption on decompress.
+    _compact_impl guards this on device: on overflow it zeroes the
+    counts, the build then emits 0 chains and drain_build returns None,
+    so the pipeline falls back to the (always-correct) BLOOM section."""
     if n_solid is not None and n_solid > 0:
         cap_m = _bucket(max(1, int(n_solid)))
         if cap_m < int(words.shape[0]):

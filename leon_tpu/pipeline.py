@@ -741,6 +741,11 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             tr("enc.unitig.dispatched")
         except Exception:
             unitig_inflight = None  # BLOOM section fallback
+            if bitset is None and placer.mesh is None:
+                # start the bitset D2H now so the fallback transfer
+                # overlaps the pending drains instead of stalling the
+                # BLOOM section-write synchronously
+                bitset_j.copy_to_host_async()
     while pending:
         process(pending.popleft())
     t_encode = time.time() - t1

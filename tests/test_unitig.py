@@ -91,26 +91,124 @@ def test_cycle_is_emitted_once(rng):
     np.testing.assert_array_equal(sort_words(got), sort_words(solid))
 
 
-@pytest.mark.parametrize("k", [15, 31, 33])
-def test_device_payload_matches_np(rng, k):
-    import jax.numpy as jnp
-
-    uniq, counts = make_solid(rng, k, n_contigs=2, L=250)
-    cutoff = 2
+def _pad_run(uniq, counts):
+    """Pad to a bucketed capacity the way DeviceCounter does (pads sort
+    last: all-ones words, count 0)."""
     nu = uniq.shape[0]
-    want = unitig.build_np_payload(uniq, counts, cutoff, k, nu)
-    # pad to a bucketed capacity the way DeviceCounter does (pads sort
-    # last: all-ones words, count 0)
     Mcap = unitig._bucket(nu)
     W = uniq.shape[1]
     wpad = np.full((Mcap, W), 0xFFFFFFFF, np.uint32)
     wpad[:nu] = uniq
     cpad = np.zeros(Mcap, np.int32)
     cpad[:nu] = counts
+    return wpad, cpad
+
+
+@pytest.mark.parametrize("k", [15, 31, 33])
+@pytest.mark.parametrize("with_n_solid", [False, True])
+def test_device_payload_matches_np(rng, k, with_n_solid):
+    import jax.numpy as jnp
+
+    uniq, counts = make_solid(rng, k, n_contigs=2, L=250)
+    cutoff = 2
+    nu = uniq.shape[0]
+    want = unitig.build_np_payload(uniq, counts, cutoff, k, nu)
+    wpad, cpad = _pad_run(uniq, counts)
+    n_solid = int((counts >= cutoff).sum()) if with_n_solid else None
+    infl = unitig.dispatch_build(jnp.asarray(wpad), jnp.asarray(cpad),
+                                 cutoff, k, nu, n_solid=n_solid)
+    got = unitig.drain_build(infl)
+    assert got == want
+
+
+def _sparse_solid_run(rng, k):
+    """Distinct run whose solid fraction puts _bucket(n_solid) well below
+    Mcap, so dispatch_build's compaction path actually triggers."""
+    covered = rng.integers(0, 4, 700, dtype=np.uint8)
+    rows = [covered, covered]  # cov 2 -> solid
+    for _ in range(24):  # singletons -> sub-cutoff
+        rows.append(rng.integers(0, 4, 1400, dtype=np.uint8))
+    L = max(r.size for r in rows)
+    codes = np.stack([np.pad(r, (0, L - r.size)) for r in rows])
+    lengths = np.array([r.size for r in rows], np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    return uniq, counts.astype(np.int32)
+
+
+def test_device_compaction_matches_np(rng):
+    """The n_solid compaction path (device scatter to a smaller bucket)
+    must be byte-identical to the uncompacted and np builds — the frozen
+    section-choice / shard-invariance contract (FORMAT.md §4a)."""
+    import jax.numpy as jnp
+
+    k = 15
+    uniq, counts = _sparse_solid_run(rng, k)
+    cutoff = 2
+    nu = uniq.shape[0]
+    n_solid = int((counts >= cutoff).sum())
+    assert unitig._bucket(n_solid) < unitig._bucket(nu), "fixture too dense"
+    want = unitig.build_np_payload(uniq, counts, cutoff, k, nu)
+    assert want is not None
+    wpad, cpad = _pad_run(uniq, counts)
+    infl = unitig.dispatch_build(jnp.asarray(wpad), jnp.asarray(cpad),
+                                 cutoff, k, nu, n_solid=n_solid)
+    assert int(infl.words.shape[0]) == unitig._bucket(n_solid)  # compacted
+    assert unitig.drain_build(infl) == want
+
+
+def test_device_compaction_undercount_falls_back(rng):
+    """An n_solid undercount must NEVER produce a corrupt payload: the
+    device guard zeroes the counts on overflow so drain_build returns
+    None (BLOOM fallback) instead of a payload missing solid k-mers."""
+    import jax.numpy as jnp
+
+    k = 15
+    contig = rng.integers(0, 4, 6000, dtype=np.uint8)
+    codes = np.stack([contig, contig])
+    lengths = np.full(2, contig.size, np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    counts = counts.astype(np.int32)
+    cutoff = 2
+    nu = uniq.shape[0]
+    true_solid = int((counts >= cutoff).sum())
+    assert true_solid > 4096  # must overflow the floor bucket
+    wpad, cpad = _pad_run(uniq, counts)
+    infl = unitig.dispatch_build(jnp.asarray(wpad), jnp.asarray(cpad),
+                                 cutoff, k, nu, n_solid=10)
+    assert int(infl.words.shape[0]) == 4096  # compaction did trigger
+    assert unitig.drain_build(infl) is None
+
+
+@pytest.mark.parametrize("extra", [0, 1])
+def test_device_cycle_matches_np(rng, extra):
+    """Circular contigs (pure cycles, odd and power-of-2-prone lengths)
+    through the DEVICE build match the np payload bit-exactly."""
+    import jax.numpy as jnp
+
+    k = 15
+    n = 200 + extra  # vary cycle length parity/shape
+    contig = rng.integers(0, 4, n, dtype=np.uint8)
+    circ = np.concatenate([contig, contig[: k - 1]])
+    codes = np.stack([circ] * 3)
+    lengths = np.full(3, circ.size, np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    counts = counts.astype(np.int32)
+    cutoff = 2
+    nu = uniq.shape[0]
+    want = unitig.build_np_payload(uniq, counts, cutoff, k, nu)
+    assert want is not None
+    wpad, cpad = _pad_run(uniq, counts)
     infl = unitig.dispatch_build(jnp.asarray(wpad), jnp.asarray(cpad),
                                  cutoff, k, nu)
     got = unitig.drain_build(infl)
     assert got == want
+    solid = uniq[counts >= cutoff]
+    spelled = unitig_kmer_set(got, k)
+    assert spelled.shape[0] == solid.shape[0]
+    np.testing.assert_array_equal(sort_words(spelled), sort_words(solid))
 
 
 def test_empty_and_tiny_inputs():
