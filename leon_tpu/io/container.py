@@ -24,9 +24,12 @@ from leon_tpu.utils import varint
 MAGIC = b"LEONTPU1"
 # v3: errnt carries rank among non-solid candidates (FORMAT.md §6)
 # v4: the solid set may be stored as a UNITIGS section instead of BLOOM
-#     (FORMAT.md §4a); readers accept both versions
-VERSION = 4
-_READ_VERSIONS = (3, 4)
+#     (FORMAT.md §4a)
+# v5: the DICT payload carries a leading u8 format tag; tag 1 stores each
+#     anchor as an index into the solid set spelled by the UNITIGS
+#     section (FORMAT.md §5). Readers accept v3-v5.
+VERSION = 5
+_READ_VERSIONS = (3, 4, 5)
 
 TAG_META = 1
 TAG_DICT = 2

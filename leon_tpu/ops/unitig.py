@@ -42,6 +42,7 @@ from leon_tpu.utils import varint
 __all__ = [
     "chains_cap", "build_np_payload", "dispatch_build", "drain_build",
     "payload_from", "parse_payload", "rebuild_bitset_np",
+    "solid_kmers_sorted",
 ]
 
 
@@ -604,3 +605,36 @@ def rebuild_bitset_np(raw: bytes, k: int, n_words: int, n_hashes: int,
         canon = np.where(take[:, None], rcw, fwd)
         bitset |= bloom.build_np(canon, n_words, n_hashes, seed, k)
     return bitset
+
+
+def solid_kmers_sorted(raw: bytes, k: int) -> np.ndarray:
+    """(n_solid, W) u32 canonical solid k-mers, ascending big-int order,
+    spelled from the unitig payload. This is the DICT-v2 enumeration
+    (FORMAT.md §5): encoder and decoder both derive it from the SAME
+    payload bytes with this same function, so anchor indices into it are
+    deterministic by construction — no separately-shipped set to drift."""
+    from leon_tpu.ops.kmer import pack_codes_batch_np
+
+    lens, codes = parse_payload(raw, k)
+    if codes.size == 0:
+        return np.zeros((0, max(1, (k + 15) // 16)), np.uint32)
+    starts = np.cumsum(lens) - lens
+    nk = lens - k + 1
+    pos = np.repeat(starts, nk) + (
+        np.arange(int(nk.sum())) - np.repeat(np.cumsum(nk) - nk, nk)
+    )
+    step = max(1, (256 << 20) // (4 * k))
+    off = np.arange(k)[None, :]
+    chunks = []
+    for s in range(0, pos.size, step):
+        win = codes[pos[s : s + step, None] + off]
+        fwd = pack_codes_batch_np(win, k)
+        rcw = pack_codes_batch_np((3 - win)[:, ::-1], k)
+        take = _np_lex_less(rcw, fwd)
+        chunks.append(np.where(take[:, None], rcw, fwd))
+    allc = np.ascontiguousarray(np.concatenate(chunks).astype("<u4"))
+    # MSW-first structured view sorts rows in numeric big-int order
+    key = np.ascontiguousarray(allc[:, ::-1]).view(
+        [("", "<u4")] * allc.shape[1]
+    ).reshape(-1)
+    return allc[np.argsort(key, kind="stable")]

@@ -350,15 +350,19 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     if pid == 0:
         payloads = [gathered[i][0] for i in range(n_blocks)]
         n_per_block = [gathered[i][1] for i in range(n_blocks)]
+        solid_sorted = None
         if unitig_payload is not None:
             from leon_tpu.codecs import frames as _frames
+            from leon_tpu.ops import unitig as _unitig
 
             bloom_sect, is_uni = _frames.frame(unitig_payload), True
+            if len(adict):
+                solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
         else:
             bloom_sect, is_uni = pipeline.frame_bloom(bitset), False
         c = container.Container(
             meta=meta,
-            dict_payload=adict.payload(),
+            dict_payload=adict.payload(solid_sorted),
             bloom_payload=bloom_sect,
             block_payloads=payloads,
             block_n_reads=n_per_block,

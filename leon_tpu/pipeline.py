@@ -767,7 +767,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             writer.section(container.TAG_BLOOM, frame_bloom(bitset))
     tr("enc.bloom_late_d2h.end")
     with span("tail.dict"):
-        writer.section(container.TAG_DICT, adict.payload())
+        solid_sorted = None
+        if unitig_payload is not None and len(adict):
+            from leon_tpu.ops import unitig as _unitig
+
+            solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
+        writer.section(container.TAG_DICT, adict.payload(solid_sorted))
     total = writer.close()
     in_bytes = os.path.getsize(input_path)
     stats = {
@@ -950,15 +955,25 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     from leon_tpu.codecs import frames as _frames
 
     W = K.words_for_k(meta.k)
-    adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
-    dict_words = adict.words_array()
     uni_framed = r.unitigs_payload
+    uni_raw = None
     if uni_framed is not None:
-        # v4 UNITIGS section: rebuild the encoder's bit-identical Bloom
+        uni_raw, _ = _frames.unframe(uni_framed, 0)
+    if r.version >= 5:
+        from leon_tpu.ops import unitig as _unitig
+
+        adict = blockcodec.AnchorDict.from_payload_v5(
+            r.dict_payload, W,
+            solid_provider=lambda: _unitig.solid_kmers_sorted(uni_raw, meta.k),
+        )
+    else:
+        adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
+    dict_words = adict.words_array()
+    if uni_raw is not None:
+        # v4+ UNITIGS section: rebuild the encoder's bit-identical Bloom
         # filter from the stored solid-set unitigs (ops/unitig.py)
         from leon_tpu.ops import unitig as _unitig
 
-        uni_raw, _ = _frames.unframe(uni_framed, 0)
         bitset = _unitig.rebuild_bitset_np(
             uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed
         )

@@ -264,3 +264,118 @@ def test_container_section_choice(rng, tmp_path):
     want = src.read_bytes()
     assert open(dec_u, "rb").read() == want
     assert open(dec_b, "rb").read() == want
+
+
+class TestDictV2:
+    """Solid-indexed DICT payload (FORMAT.md §5, container v5)."""
+
+    def _dict_and_solid(self, rng, k=15, n_anchor=400, with_miss=True):
+        from leon_tpu.codecs import blocks as blockcodec
+
+        uniq, counts = make_solid(rng, k, n_contigs=4, L=400)
+        cutoff = 2
+        solid = uniq[counts >= cutoff]
+        W = solid.shape[1]
+        d = blockcodec.AnchorDict(W)
+        pick = rng.integers(0, solid.shape[0], n_anchor)
+        for i in pick:
+            d.index(solid[i])
+        if with_miss:
+            # a key outside the solid set (Bloom-FP anchor analog)
+            fake = solid[0].copy()
+            fake[0] ^= np.uint32(0x5A5A5A5A)
+            d.index(fake)
+        # sorted ascending big-int (MSW-significant) order
+        key = np.ascontiguousarray(solid.astype("<u4")[:, ::-1]).view(
+            [("", "<u4")] * W).reshape(-1)
+        return d, solid[np.argsort(key, kind="stable")]
+
+    def test_payload_roundtrip_and_smaller(self, rng):
+        from leon_tpu.codecs import blocks as blockcodec
+
+        d, solid_sorted = self._dict_and_solid(rng)
+        W = d.W
+        raw = d.payload(None)
+        idxed = d.payload(solid_sorted)
+        assert idxed[0] == 1 and raw[0] == 0
+        assert len(idxed) < len(raw)
+        got = blockcodec.AnchorDict.from_payload_v5(
+            idxed, W, solid_provider=lambda: solid_sorted)
+        assert got._words == d._words
+        got_raw = blockcodec.AnchorDict.from_payload_v5(
+            raw, W, solid_provider=lambda: solid_sorted)
+        assert got_raw._words == d._words
+
+    def test_solid_size_mismatch_rejected(self, rng):
+        from leon_tpu.codecs import blocks as blockcodec
+
+        d, solid_sorted = self._dict_and_solid(rng)
+        idxed = d.payload(solid_sorted)
+        with pytest.raises(ValueError, match="mismatch"):
+            blockcodec.AnchorDict.from_payload_v5(
+                idxed, d.W, solid_provider=lambda: solid_sorted[:-1])
+
+    def test_solid_kmers_sorted_matches_solid_set(self, rng):
+        k = 15
+        uniq, counts = make_solid(rng, k)
+        cutoff = 2
+        payload = unitig.build_np_payload(uniq, counts, cutoff, k,
+                                          uniq.shape[0])
+        got = unitig.solid_kmers_sorted(payload, k)
+        want = sort_words(uniq[counts >= cutoff])
+        np.testing.assert_array_equal(got, want)
+        # already ascending (stable argsort is the identity) and distinct
+        key = np.ascontiguousarray(got.astype("<u4")[:, ::-1]).view(
+            [("", "<u4")] * got.shape[1]).reshape(-1)
+        assert (np.argsort(key, kind="stable") == np.arange(key.size)).all()
+        assert np.unique(key).size == key.size
+
+    def test_v4_archive_still_reads(self, rng, tmp_path):
+        """A v4 archive (untagged raw DICT) must keep decoding. Built by
+        byte surgery on a v5 BLOOM-mode archive: strip the DICT tag byte
+        and restamp the version. DICT follows the BLOCK sections, so the
+        INDEX offsets stay valid."""
+        import struct
+        import zlib as _zlib
+
+        from leon_tpu import pipeline
+        from leon_tpu.config import LeonConfig
+        from leon_tpu.io import container
+        from leon_tpu.utils import varint as _varint
+
+        lines = []
+        contig = "".join("ACGT"[b] for b in rng.integers(0, 4, 600))
+        for i in range(100):
+            s = int(rng.integers(0, 500))
+            lines.append(f">v{i}\n{contig[s:s+100]}\n")
+        src = tmp_path / "in.fasta"
+        src.write_bytes("".join(lines).encode())
+        out = str(tmp_path / "x.leon")
+        # BLOOM mode => raw (tag 0) dict; v4 is that payload minus the tag
+        pipeline.compress(str(src), out, LeonConfig(unitig_sections=False))
+        data = bytes(open(out, "rb").read())
+        assert data[8] == container.VERSION
+        out4 = bytearray(data[:8] + bytes([4]) + data[9:13])
+        pos = 13
+        (nsect,) = struct.unpack_from("<I", data, 9)
+        for _ in range(nsect):
+            tag = data[pos]
+            plen, end = _varint.decode_one(data, pos + 1)
+            payload = data[end : end + plen]
+            if tag == container.TAG_DICT:
+                assert payload[0] == 0
+                payload = payload[1:]
+            sec = bytearray([tag])
+            _varint.encode_one(len(payload), sec)
+            sec += payload
+            sec += struct.pack("<I", _zlib.crc32(payload) & 0xFFFFFFFF)
+            out4 += sec
+            pos = end + plen + 4
+        p4 = str(tmp_path / "v4.leon")
+        open(p4, "wb").write(bytes(out4))
+        r = container.Reader(p4)
+        assert r.version == 4
+        r.close()
+        dec = str(tmp_path / "v4.fasta")
+        pipeline.decompress(p4, dec)
+        assert open(dec, "rb").read() == src.read_bytes()
