@@ -245,22 +245,74 @@ def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
 # ---------------------------------------------------------------------------
 
 
-def _searchsorted_words_dev(hay, needles, iters: int):
-    """Device binary search: hay (M, W) sorted ascending (big-int order,
-    pads 0xFFFFFFFF sort last), needles (N, W) -> (N,) i32 index or -1."""
+_TBITS = 16  # prefix-table width: 2^16 buckets
+
+
+def _topbits(rows, k: int):
+    """Top min(_TBITS, 2k) bits of each row's 2k-bit big-int value. Pads
+    (0xFFFFFFFF everywhere) map to the max bucket — consistent with their
+    sort-last position."""
     import jax.numpy as jnp
+
+    W = rows.shape[1]
+    T = min(_TBITS, 2 * k)
+    shift = 2 * k - T
+    wi, off = shift // 32, shift % 32
+    tb = rows[:, wi] >> jnp.uint32(off)
+    if off and wi + 1 < W:
+        tb = tb | (rows[:, wi + 1] << jnp.uint32(32 - off))
+    return (tb & jnp.uint32((1 << T) - 1)).astype(jnp.int32)
+
+
+def _bucket_starts(hay, k: int):
+    """(2^T + 1,) i32 exclusive bucket offsets into the sorted hay."""
+    import jax.numpy as jnp
+
+    T = min(_TBITS, 2 * k)
+    hist = jnp.zeros((1 << T) + 1, jnp.int32)
+    hist = hist.at[_topbits(hay, k) + 1].add(1)
+    return jnp.cumsum(hist)
+
+
+def _searchsorted_words_dev(hay, needles, iters: int, starts=None, k: int = 0):
+    """Device binary search: hay (M, W) sorted ascending (big-int order,
+    pads 0xFFFFFFFF sort last), needles (N, W) -> (N,) i32 index or -1.
+
+    With `starts` (prefix-bucket table from _bucket_starts) the search
+    range narrows to one bucket first, and the remaining rounds run in a
+    while_loop that exits when every lane converges — log2(max bucket)
+    rounds (~6-8) instead of log2(M) (~22). Identical results by
+    construction: an exact match always lies inside its own bucket, and
+    the round cap `iters` still bounds degenerate (single-bucket) data."""
+    import jax.numpy as jnp
+    from jax import lax
 
     from leon_tpu.ops.kmer import lex_less
 
     M = hay.shape[0]
     N = needles.shape[0]
-    lo = jnp.zeros(N, jnp.int32)
-    hi = jnp.full(N, M, jnp.int32)
-    for _ in range(iters):
+    if starts is None:
+        lo = jnp.zeros(N, jnp.int32)
+        hi = jnp.full(N, M, jnp.int32)
+    else:
+        p = _topbits(needles, k)
+        lo = starts[p]
+        hi = starts[p + 1]
+
+    def cond(st):
+        r, lo, hi = st
+        return jnp.any(lo < hi) & (r < iters)
+
+    def body(st):
+        r, lo, hi = st
+        act = lo < hi
         mid = (lo + hi) >> 1
-        less = lex_less(hay[mid], needles)  # hay[mid] < needle
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        less = lex_less(hay[jnp.minimum(mid, M - 1)], needles)
+        lo = jnp.where(act & less, mid + 1, lo)
+        hi = jnp.where(act & ~less, mid, hi)
+        return (r + 1, lo, hi)
+
+    _, lo, _ = lax.while_loop(cond, body, (jnp.int32(0), lo, hi))
     loc = jnp.minimum(lo, M - 1)
     found = jnp.all(hay[loc] == needles, axis=-1) & (lo < M)
     return jnp.where(found, loc, -1)
@@ -306,6 +358,7 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     solid2 = jnp.repeat(solid, 2)
     ids2 = jnp.arange(2 * M, dtype=jnp.int32)
 
+    starts = _bucket_starts(words, k)
     succ = jnp.full(2 * M, -1, jnp.int32)
     outc = jnp.zeros(2 * M, jnp.int32)
     for o in (0, 1):
@@ -317,7 +370,7 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
             yr = shr2_ins(xr, jnp.uint32(3 - b), k)
             take_rc = lex_less(yr, y)
             cy = jnp.where(take_rc[:, None], yr, y)
-            j = _searchsorted_words_dev(words, cy, iters)
+            j = _searchsorted_words_dev(words, cy, iters, starts=starts, k=k)
             hit = j >= 0
             hit &= jnp.where(hit, counts[jnp.maximum(j, 0)].astype(jnp.int32) >= cutoff, False)
             did = j * 2 + take_rc.astype(jnp.int32)
@@ -335,7 +388,7 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
 
     D = max(1, int(2 * M - 1).bit_length()) + 1
 
-    def _double(P0, carry0, fold):
+    def _double(P0, carry_cols, fold):
         """Pointer doubling with device-side early exit (round cap D).
         Equivalent to D fixed rounds: chains converge in log2(longest
         chain) rounds — typically far under D — and rounds past the
@@ -343,47 +396,61 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
         factor never converge and rely on the D-round cap; a cycle of
         length dividing 2^t converges to the identity at round t, but
         only after the carry already covers the whole cycle, so the
-        early exit is safe in every case."""
+        early exit is safe in every case.
+
+        The pointer and every carry ride as COLUMNS of one (2M, 1+C) i32
+        matrix, so each round costs a single row-gather — row-gathers
+        amortize ~3x better than per-column gathers on TPU (measured
+        ~2.7 vs 7.5 ns/elem on v5e), and this loop was 50% of the build.
+        fold(cols, gcols) gets the current carries and their orbit
+        gathers (gcols[i] = cols[i][P]) and returns the new carries."""
         from jax import lax
 
+        C = len(carry_cols)
+        Cm0 = jnp.stack([P0, *[c.astype(jnp.int32) for c in carry_cols]], axis=1)
+
         def cond(st):
-            r, changed, _P, _c = st
+            r, changed, _C = st
             return changed & (r < D)
 
         def body(st):
-            r, _, P, c = st
-            c2 = fold(c, P)
-            P2 = P[P]
-            return (r + 1, jnp.any(P2 != P), P2, c2)
+            r, _, Cm = st
+            P = Cm[:, 0]
+            G = Cm[P]  # one row-gather: P[P] and every carry[P]
+            new = fold([Cm[:, j + 1] for j in range(C)],
+                       [G[:, j + 1] for j in range(C)])
+            P2 = G[:, 0]
+            return (r + 1, jnp.any(P2 != P), jnp.stack([P2, *new], axis=1))
 
-        st = (jnp.int32(0), jnp.asarray(True), P0, carry0)
-        _, _, P, c = lax.while_loop(cond, body, st)
-        return P, c
+        st = (jnp.int32(0), jnp.asarray(True), Cm0)
+        _, _, Cm = lax.while_loop(cond, body, st)
+        return Cm[:, 0], tuple(Cm[:, j + 1] for j in range(C))
 
     # one fused pass: terminal reachability (cycle detection) + min id
     # over the forward orbit (orbits are disjoint chains/cycles, so the
     # plain-ids min equals the old cyc-gated min wherever it is consumed)
     P0 = jnp.where(nxt >= 0, nxt, ids2)
-    _, (reached, m) = _double(
-        P0, (nxt < 0, ids2),
-        lambda c, P: (c[0] | c[0][P], jnp.minimum(c[1], c[1][P])),
+    _, (reached_i, m) = _double(
+        P0, ((nxt < 0).astype(jnp.int32), ids2),
+        lambda c, g: (c[0] | g[0], jnp.minimum(c[1], g[1])),
     )
+    reached = reached_i.astype(bool)
     cyc = ~reached
     ch = cyc & (m == ids2)  # cycle heads
     pv = jnp.where(ch, prev, -1)
     nxt = nxt.at[jnp.where(ch, jnp.maximum(pv, 0), 2 * M)].set(-1, mode="drop")
     prev = prev.at[jnp.where(ch, ids2, 2 * M)].set(-1, mode="drop")
 
-    head, rank = _double(
+    head, (rank,) = _double(
         jnp.where(prev >= 0, prev, ids2),
-        (prev >= 0).astype(jnp.int32),
-        lambda R, P: R + R[P],
+        ((prev >= 0).astype(jnp.int32),),
+        lambda c, g: (c[0] + g[0],),
     )
 
     _, (m, tm) = _double(
         jnp.where(nxt >= 0, nxt, ids2),
         (jnp.where(solid2, ids2, 2 * M), jnp.where(solid2, ids2 ^ 1, 2 * M)),
-        lambda c, P: (jnp.minimum(c[0], c[0][P]), jnp.minimum(c[1], c[1][P])),
+        lambda c, g: (jnp.minimum(c[0], g[0]), jnp.minimum(c[1], g[1])),
     )
     keep_head = solid2 & (prev < 0) & (m <= tm)
     kept = solid2 & keep_head[head]
@@ -403,12 +470,18 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     bases = jnp.zeros(cap_bases, jnp.uint8)
     pos = jnp.where(kept, start[jnp.maximum(cid, 0)] + (k - 1) + rank, cap_bases)
     bases = bases.at[pos].set((F[:, 0] & 3).astype(jnp.uint8), mode="drop")
-    hsel = keep_head
-    hstart = start[jnp.maximum(cid, 0)]
+    # the (k-1)-base head prefixes: compact the kept heads into
+    # cap_chains lanes FIRST, so the k-1 scatter rounds run over the
+    # chain count, not 2M directed nodes (was ~20% of the build)
+    hids = jnp.full(cap_chains, 2 * M, jnp.int32)
+    hids = hids.at[jnp.where(keep_head, cid, cap_chains)].set(ids2, mode="drop")
+    live = hids < 2 * M
+    Fh = F[jnp.minimum(hids, 2 * M - 1)]  # (cap_chains, W)
+    hstart_c = jnp.where(live, start[jnp.arange(cap_chains)], cap_bases)
     for j in range(k - 1):
         t = 2 * (k - 1 - j)
-        bj = ((F[:, t // 32] >> jnp.uint32(t % 32)) & 3).astype(jnp.uint8)
-        bases = bases.at[jnp.where(hsel, hstart + j, cap_bases)].set(bj, mode="drop")
+        bj = ((Fh[:, t // 32] >> jnp.uint32(t % 32)) & 3).astype(jnp.uint8)
+        bases = bases.at[jnp.where(live, hstart_c + j, cap_bases)].set(bj, mode="drop")
 
     # pack 2-bit, 16 codes/u32, code t at bits 2t (pack_codes_np layout)
     grp = bases.reshape(-1, 16).astype(jnp.uint32)

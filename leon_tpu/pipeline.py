@@ -248,6 +248,7 @@ class _Placer:
 
         n = len(jax.devices()) if cfg.mesh_devices is None else cfg.mesh_devices
         self.mesh = None
+        self.n = max(1, n)
         if n > 1 and cfg.batch_reads % n == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -833,10 +834,17 @@ def _ragged_dst(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.ndarray,
-                           bitset_j, cfg: LeonConfig) -> list:
+                           bitset_j, cfg: LeonConfig,
+                           placer: Optional[_Placer] = None) -> list:
     """Dispatch every sub-batch's device re-walk (async D2H); returns the
     in-flight handles for _assemble_block_seqs. Splitting dispatch from
-    drain lets block i+1's walks overlap block i's host assembly."""
+    drain lets block i+1's walks overlap block i's host assembly.
+
+    With a multi-device placer the per-lane arrays are sharded over the
+    mesh (flat event streams + bitset replicated) — the decode mirror of
+    compress's lane sharding (reference analog: parallel block decode, [R]
+    SURVEY.md §3.3 step 2). Output is byte-identical at any device count:
+    the re-walk is a pure function of its lane."""
     from leon_tpu.ops import walk
 
     k, H, seed = meta.k, meta.n_hashes, meta.seed
@@ -854,6 +862,7 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
         afwd_all[anch_idx] = np.where(ori[:, None], rcw, words)
 
     B = cfg.batch_reads
+    mesh_n = placer.n if placer is not None and placer.mesh is not None else 1
     dispatched = []
     for s in range(0, n_segs, B):
         e = min(n_segs, s + B)
@@ -861,9 +870,28 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
         anch = db.anchored[s:e]
         if not anch.any():
             continue
+        if mesh_n > 1 and (e - s) % mesh_n:
+            # pad lanes to the mesh width (inactive lanes decode to
+            # nothing; the assembled output only reads the real rows)
+            pad = mesh_n - (e - s) % mesh_n
+            sl = np.concatenate([sl, np.zeros(pad, sl.dtype)])
+            anch = np.concatenate([anch, np.zeros(pad, bool)])
+        nlanes = sl.shape[0]
         Lb = _bucket_len(int(sl[anch].max()), k)
         ME = max(1, Lb - k)
-        apos = db.apos[s:e].astype(np.int64)
+
+        def lane(arr, dtype=None, cols=None):
+            """Slice a per-lane array, pad to nlanes, place on the mesh."""
+            a = arr[s:e]
+            if dtype is not None:
+                a = a.astype(dtype)
+            if a.shape[0] < nlanes:
+                pad_shape = (nlanes - a.shape[0],) + a.shape[1:]
+                a = np.concatenate([a, np.zeros(pad_shape, a.dtype)])
+            if placer is None:
+                return a
+            return placer.batch2(a) if a.ndim == 2 else placer.batch1(a)
+
         dlen = np.where(anch, sl, 0).astype(np.int32)
 
         # ship the FLAT event streams (padded to a static capacity bucket);
@@ -879,14 +907,16 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
             cap = 1 << max(10, (max(1, ln + ME) - 1).bit_length())
             out = np.zeros(cap, flat.dtype)
             out[:ln] = flat[lo:hi]
-            return out
+            return placer.replicated(out) if placer is not None and placer.mesh else out
 
+        anch_d = placer.batch1(anch) if placer is not None and placer.mesh else anch
+        dlen_d = placer.batch1(dlen) if placer is not None and placer.mesh else dlen
         dec = walk.decode_batch_flat(
-            apos.astype(np.int32), anch, dlen, afwd_all[s:e], bitset_j,
-            db.nerr_r[s:e].astype(np.int32), db.nerr_l[s:e].astype(np.int32),
-            db.nbif_r[s:e].astype(np.int32), db.nbif_l[s:e].astype(np.int32),
-            (db.err_base[s:e] - e0).astype(np.int32),
-            (db.bif_base[s:e] - b0).astype(np.int32),
+            lane(db.apos, np.int32), anch_d, dlen_d, lane(afwd_all), bitset_j,
+            lane(db.nerr_r, np.int32), lane(db.nerr_l, np.int32),
+            lane(db.nbif_r, np.int32), lane(db.nbif_l, np.int32),
+            lane(db.err_base - e0, np.int32),
+            lane(db.bif_base - b0, np.int32),
             padded(db.errgaps.astype(np.uint16), e0, e1),
             padded(db.errnts, e0, e1),
             padded(db.bifs, b0, b1),
@@ -980,7 +1010,13 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     else:
         bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
         bitset = np.frombuffer(bloom_bytes, dtype="<u4")
-    bitset_j = _pad_bitset_dev(bitset, bitset.size)
+    placer = _Placer(cfg)
+    if placer.mesh is not None:
+        bitset_j = placer.replicated(
+            np.pad(bitset, (0, bloom.alloc_words(bitset.size) - bitset.size))
+        )
+    else:
+        bitset_j = _pad_bitset_dev(bitset, bitset.size)
     tr("dec.setup.end")
 
     read_index = 0
@@ -1012,7 +1048,8 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
         for bi in range(r.n_blocks):
             db = blockcodec.parse_block(r.block(bi), meta)
             tr(f"dec.block{bi}.parsed")
-            dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j, cfg)
+            dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j,
+                                                cfg, placer=placer)
             tr(f"dec.block{bi}.dispatched")
             pending.append((db, dispatched, read_index))
             read_index += db.n_reads
