@@ -649,16 +649,23 @@ def parse_payload(raw: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def rebuild_bitset_np(raw: bytes, k: int, n_words: int, n_hashes: int,
-                      seed: int) -> np.ndarray:
+                      seed: int, canon: np.ndarray | None = None) -> np.ndarray:
     """Rebuild the encoder's exact Bloom bitset from the unitig payload:
     extract every k-mer of every unitig, canonicalize, scatter-OR with the
     container's frozen hash family. Bit-identical to the encoder's filter
-    by construction (same kmer set, same n_words/H/seed)."""
+    by construction (same kmer set, same n_words/H/seed). `canon`
+    short-circuits the spelling when the caller already ran spell_canon
+    (the v5 decoder shares it with the DICT enumeration)."""
     from leon_tpu.ops import bloom
     from leon_tpu.ops.kmer import pack_codes_batch_np
 
-    lens, codes = parse_payload(raw, k)
     bitset = np.zeros(n_words, np.uint32)
+    if canon is not None:
+        step = max(1, (256 << 20) // (4 * max(1, canon.shape[1])))
+        for s in range(0, canon.shape[0], step):
+            bitset |= bloom.build_np(canon[s : s + step], n_words, n_hashes, seed, k)
+        return bitset
+    lens, codes = parse_payload(raw, k)
     if codes.size == 0:
         return bitset
     starts = np.cumsum(lens) - lens
@@ -675,17 +682,14 @@ def rebuild_bitset_np(raw: bytes, k: int, n_words: int, n_hashes: int,
         fwd = pack_codes_batch_np(win, k)
         rcw = pack_codes_batch_np((3 - win)[:, ::-1], k)
         take = _np_lex_less(rcw, fwd)
-        canon = np.where(take[:, None], rcw, fwd)
-        bitset |= bloom.build_np(canon, n_words, n_hashes, seed, k)
+        canon_c = np.where(take[:, None], rcw, fwd)
+        bitset |= bloom.build_np(canon_c, n_words, n_hashes, seed, k)
     return bitset
 
 
-def solid_kmers_sorted(raw: bytes, k: int) -> np.ndarray:
-    """(n_solid, W) u32 canonical solid k-mers, ascending big-int order,
-    spelled from the unitig payload. This is the DICT-v2 enumeration
-    (FORMAT.md §5): encoder and decoder both derive it from the SAME
-    payload bytes with this same function, so anchor indices into it are
-    deterministic by construction — no separately-shipped set to drift."""
+def spell_canon(raw: bytes, k: int) -> np.ndarray:
+    """(n_solid, W) u32: every canonical k-mer spelled by the unitig
+    payload, in payload traversal order (chunked window packing)."""
     from leon_tpu.ops.kmer import pack_codes_batch_np
 
     lens, codes = parse_payload(raw, k)
@@ -705,9 +709,44 @@ def solid_kmers_sorted(raw: bytes, k: int) -> np.ndarray:
         rcw = pack_codes_batch_np((3 - win)[:, ::-1], k)
         take = _np_lex_less(rcw, fwd)
         chunks.append(np.where(take[:, None], rcw, fwd))
-    allc = np.ascontiguousarray(np.concatenate(chunks).astype("<u4"))
-    # MSW-first structured view sorts rows in numeric big-int order
+    return np.ascontiguousarray(np.concatenate(chunks).astype("<u4"))
+
+
+def sort_rows_bigint(allc: np.ndarray) -> np.ndarray:
+    """Sort (n, W) u32 LSW-first rows ascending as big-ints. W<=2 packs
+    into u64 keys (np's u64 argsort is ~8x faster than the structured
+    comparator); wider rows use the MSW-first structured view."""
+    W = allc.shape[1]
+    if W == 1:
+        return allc[np.argsort(allc[:, 0], kind="stable")]
+    if W == 2:
+        v = allc[:, 0].astype(np.uint64) | (allc[:, 1].astype(np.uint64) << 32)
+        return allc[np.argsort(v, kind="stable")]
     key = np.ascontiguousarray(allc[:, ::-1]).view(
-        [("", "<u4")] * allc.shape[1]
+        [("", "<u4")] * W
     ).reshape(-1)
     return allc[np.argsort(key, kind="stable")]
+
+
+def solid_kmers_sorted(raw: bytes, k: int, canon: np.ndarray | None = None) -> np.ndarray:
+    """(n_solid, W) u32 canonical solid k-mers, ascending big-int order,
+    spelled from the unitig payload. This is the DICT-v2 enumeration
+    (FORMAT.md §5): encoder and decoder both derive it from the SAME
+    payload bytes with this same function, so anchor indices into it are
+    deterministic by construction — no separately-shipped set to drift.
+    `canon` short-circuits the spelling when the caller already has
+    spell_canon's output (the decoder shares it with the bitset rebuild)."""
+    if canon is None:
+        canon = spell_canon(raw, k)
+    return sort_rows_bigint(canon)
+
+
+def solid_run_host(infl: "_Inflight") -> np.ndarray:
+    """Encoder-side DICT-v2 enumeration without re-spelling: the in-flight
+    build's (compacted) sorted distinct run filtered to its solid rows IS
+    the ascending solid set — identical to solid_kmers_sorted(payload, k)
+    because the payload spells exactly that set (the frozen §4a contract,
+    and the decoder's from_payload_v5 cross-checks the size)."""
+    words = np.asarray(infl.words)
+    counts = np.asarray(infl.counts)
+    return np.ascontiguousarray(words[counts >= infl.cutoff])

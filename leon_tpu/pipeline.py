@@ -531,6 +531,9 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     unitig_payload: Optional[bytes] = None  # decided raw payload (or None)
     unitig_inflight = None
     unitig_planned = False  # defer the build dispatch to the encode loop
+    # DICT v2 enumeration source (cheapest available, see tail.dict):
+    # ("infl", _Inflight) device run | ("host", solid rows) | None -> spell
+    unitig_solid_src = None
     if ck is not None:
         bitset, n_words, cutoff, n_solid, H, unitig_payload = ck
         bitset_j = _pad_bitset_dev(bitset, n_words)
@@ -598,11 +601,15 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             )
             if unitig_payload is not None and len(unitig_payload) >= 4 * n_words:
                 unitig_payload = None
+            if unitig_payload is not None:
+                unitig_solid_src = ("host", np.ascontiguousarray(solid))
     if ck is None and cfg.checkpoint:
         # the section decision is part of the checkpoint (a resumed run
         # must write the byte-identical archive), so resolve it now
         if unitig_inflight is not None:
             unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
+            if unitig_payload is not None:
+                unitig_solid_src = ("infl", unitig_inflight)
             unitig_inflight = None
         if bitset is None:
             bitset = np.asarray(bitset_j)[:n_words]
@@ -755,6 +762,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     if unitig_inflight is not None and unitig_payload is None:
         with span("tail.unitig_drain"):
             unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
+        if unitig_payload is not None:
+            unitig_solid_src = ("infl", unitig_inflight)
         unitig_inflight = None
     if unitig_payload is not None:
         from leon_tpu.codecs import frames as _frames
@@ -772,7 +781,15 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         if unitig_payload is not None and len(adict):
             from leon_tpu.ops import unitig as _unitig
 
-            solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
+            # the build's (compacted) sorted run IS the enumeration —
+            # identical to re-spelling the payload (frozen §4a contract)
+            # but without the host spell+sort that dominated tail.dict
+            if unitig_solid_src is not None and unitig_solid_src[0] == "infl":
+                solid_sorted = _unitig.solid_run_host(unitig_solid_src[1])
+            elif unitig_solid_src is not None:
+                solid_sorted = unitig_solid_src[1]
+            else:  # checkpoint resume: only the payload bytes exist
+                solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
         writer.section(container.TAG_DICT, adict.payload(solid_sorted))
     total = writer.close()
     in_bytes = os.path.getsize(input_path)
@@ -987,6 +1004,15 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     W = K.words_for_k(meta.k)
     uni_framed = r.unitigs_payload
     uni_raw = None
+    canon_cache: list = []  # spelled unitig k-mers, shared by dict + rebuild
+
+    def _get_canon():
+        from leon_tpu.ops import unitig as _unitig
+
+        if not canon_cache:
+            canon_cache.append(_unitig.spell_canon(uni_raw, meta.k))
+        return canon_cache[0]
+
     if uni_framed is not None:
         uni_raw, _ = _frames.unframe(uni_framed, 0)
     if r.version >= 5:
@@ -994,19 +1020,24 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
 
         adict = blockcodec.AnchorDict.from_payload_v5(
             r.dict_payload, W,
-            solid_provider=lambda: _unitig.solid_kmers_sorted(uni_raw, meta.k),
+            solid_provider=lambda: _unitig.solid_kmers_sorted(
+                uni_raw, meta.k, canon=_get_canon()
+            ),
         )
     else:
         adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
     dict_words = adict.words_array()
     if uni_raw is not None:
         # v4+ UNITIGS section: rebuild the encoder's bit-identical Bloom
-        # filter from the stored solid-set unitigs (ops/unitig.py)
+        # filter from the stored solid-set unitigs (ops/unitig.py); the
+        # spelled set is shared with the DICT enumeration above
         from leon_tpu.ops import unitig as _unitig
 
         bitset = _unitig.rebuild_bitset_np(
-            uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed
+            uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed,
+            canon=canon_cache[0] if canon_cache else None,
         )
+        canon_cache.clear()
     else:
         bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
         bitset = np.frombuffer(bloom_bytes, dtype="<u4")
