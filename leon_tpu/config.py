@@ -74,10 +74,16 @@ class LeonConfig:
     # store the solid k-mer set as unitigs (ops/unitig.py) instead of the
     # raw Bloom bitset whenever the unitig payload is smaller — typically
     # 5-10x — and let the decoder rebuild the bit-identical filter. The
-    # distinct-set gate bounds the builder's HBM working set (~100 B per
-    # distinct k-mer); past it the BLOOM section is written as before.
+    # gate bounds the builder's HBM working set and applies to the SOLID
+    # count (the build compacts the distinct run to its solid rows first;
+    # error singletons never enter it, so chr-scale runs whose distinct
+    # set is error-dominated still qualify). Working set ≈ 56 B per solid
+    # k-mer at k<=31 (words+rc 16, succ/outc/nxt/prev 2x16, doubling
+    # carries 24 with one gather transient) -> 128M solid ≈ 7 GB of the
+    # 16 GB v5e HBM alongside the Bloom filter and the distinct run.
+    # Past the gate the BLOOM section is written as before.
     unitig_sections: bool = True
-    unitig_max_kmers: int = 64 << 20
+    unitig_max_kmers: int = 128 << 20
     # when set, wrap compress/decompress in a jax.profiler trace written
     # here (the TPU-native analog of GATB TimeInfo/Progress tracing,
     # SURVEY.md §5.1)

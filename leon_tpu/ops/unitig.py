@@ -354,7 +354,11 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     rc = jnp.stack(revw, axis=-1)
     rc = rc.at[..., W - 1].set(rc[..., W - 1] & jnp.uint32(top_mask(k)))
 
-    F = jnp.stack([words, rc], axis=1).reshape(2 * M, W)
+    # the interleaved (2M, W) directed-node matrix F is NEVER materialized
+    # (it would be the build's largest buffer and its row gathers its
+    # hottest): even directed rows are `words`, odd are `rc`, addressed
+    # directly below — HBM working set drops ~40%, enabling the 128M
+    # solid-count gate (config.unitig_max_kmers)
     solid2 = jnp.repeat(solid, 2)
     ids2 = jnp.arange(2 * M, dtype=jnp.int32)
 
@@ -363,8 +367,8 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     outc = jnp.zeros(2 * M, jnp.int32)
     for o in (0, 1):
         ids = jnp.arange(M, dtype=jnp.int32) * 2 + o
-        x = F[ids]
-        xr = F[ids ^ 1]
+        x = words if o == 0 else rc
+        xr = rc if o == 0 else words
         for b in range(4):
             y = shl2(x, jnp.uint32(b), k)
             yr = shr2_ins(xr, jnp.uint32(3 - b), k)
@@ -469,14 +473,20 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
 
     bases = jnp.zeros(cap_bases, jnp.uint8)
     pos = jnp.where(kept, start[jnp.maximum(cid, 0)] + (k - 1) + rank, cap_bases)
-    bases = bases.at[pos].set((F[:, 0] & 3).astype(jnp.uint8), mode="drop")
+    # last-base scatter, split by directed-node parity (F is virtual:
+    # even rows = words, odd rows = rc)
+    bases = bases.at[pos[0::2]].set((words[:, 0] & 3).astype(jnp.uint8), mode="drop")
+    bases = bases.at[pos[1::2]].set((rc[:, 0] & 3).astype(jnp.uint8), mode="drop")
     # the (k-1)-base head prefixes: compact the kept heads into
     # cap_chains lanes FIRST, so the k-1 scatter rounds run over the
     # chain count, not 2M directed nodes (was ~20% of the build)
     hids = jnp.full(cap_chains, 2 * M, jnp.int32)
     hids = hids.at[jnp.where(keep_head, cid, cap_chains)].set(ids2, mode="drop")
     live = hids < 2 * M
-    Fh = F[jnp.minimum(hids, 2 * M - 1)]  # (cap_chains, W)
+    hrow = jnp.minimum(hids >> 1, M - 1)
+    Fh_w = words[hrow]
+    Fh_r = rc[hrow]
+    Fh = jnp.where((hids & 1)[:, None].astype(bool), Fh_r, Fh_w)  # (cap_chains, W)
     hstart_c = jnp.where(live, start[jnp.arange(cap_chains)], cap_bases)
     for j in range(k - 1):
         t = 2 * (k - 1 - j)

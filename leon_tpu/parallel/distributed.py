@@ -293,7 +293,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     # merged solid set (shard invariance: archives match single-process)
     unitig_payload = None
     if (cfg.unitig_sections and solidset is not None and n_solid > 0
-            and solidset[2] <= cfg.unitig_max_kmers):
+            and n_solid <= cfg.unitig_max_kmers):  # solid-count gate (see config)
         try:
             from leon_tpu.ops import unitig as _unitig
 

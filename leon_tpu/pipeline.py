@@ -551,9 +551,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                   "falling back to host-merge counting", file=_sys.stderr)
             use_host_count = True
             prep_iter = preps if not stream_mode else iter_preps()
+        # gate on the SOLID count: dispatch_build compacts the run to its
+        # solid rows before the graph build, so error-singleton-dominated
+        # distinct sets (the chr-scale norm) do not disqualify the section
         unitig_planned = (
             not use_host_count and cfg.unitig_sections and solidset is not None
-            and n_solid > 0 and solidset[2] <= cfg.unitig_max_kmers
+            and n_solid > 0 and n_solid <= cfg.unitig_max_kmers
         )
         if unitig_planned and cfg.checkpoint:
             # checkpoint runs resolve the section choice up front (the
@@ -593,7 +596,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         bitset = bloom.build_np(solid, n_words, H, seed, k)
         bitset_j = _pad_bitset_dev(bitset, n_words)
         if (cfg.unitig_sections and n_solid > 0
-                and uniq.shape[0] <= cfg.unitig_max_kmers):
+                and n_solid <= cfg.unitig_max_kmers):  # same gate as device path
             from leon_tpu.ops import unitig as _unitig
 
             unitig_payload = _unitig.build_np_payload(
