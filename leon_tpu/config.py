@@ -48,6 +48,12 @@ class LeonConfig:
     # distinct-run merge trigger: merge accumulated runs when they exceed
     # (last merged size + merge_factor * slab) entries
     count_merge_factor: int = 4
+    # device runs larger than this many rows spill to host RAM (the DSK
+    # temp-disk analog): HBM stays bounded at ~spill + merge_factor*slab
+    # rows of sort transient no matter how large the distinct set grows
+    # (chr-/genome-scale inputs). Spilled and unspilled runs produce
+    # byte-identical archives (tested)
+    count_spill_rows: int = 48 << 20
     # inputs larger than this stream through both passes (re-parsed per
     # pass, constant memory — the TPU analog of the reference's
     # disk-streaming design, README.md:13); smaller inputs are held in RAM

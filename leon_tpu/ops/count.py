@@ -200,7 +200,8 @@ class DeviceCounter:
     the reference's DSK disk partitions and round 1's one-shot whole-
     multiset sort (which capped device counting at ~48M k-mers)."""
 
-    def __init__(self, k: int, slab_kmers: int = 1 << 25, merge_factor: int = 4):
+    def __init__(self, k: int, slab_kmers: int = 1 << 25, merge_factor: int = 4,
+                 spill_rows: int = 48 << 20):
         from leon_tpu.ops.kmer import words_for_k
 
         self.k = k
@@ -214,6 +215,14 @@ class DeviceCounter:
         self._runs_n = 0          # sum of run bucket sizes
         self._next_merge = self.merge_factor * self.slab
         self.n_total = 0
+        # HBM is bounded: once a merged device run exceeds spill_rows it
+        # moves to host RAM (the DSK temp-disk analog) and device merging
+        # restarts empty — the device-side sort transient stays O(spill +
+        # merge_factor*slab) rows no matter how large the input is.
+        # 48M rows = ~0.6 GB of keys+counts at k<=31; the merge-sort
+        # transient peaks ~6 GB of the 16 GB v5e HBM.
+        self.spill_rows = int(spill_rows)
+        self._host_runs: list = []  # (uniq LSW-first np, counts np i64)
 
     def add(self, canon, valid) -> None:
         """canon (B, P, W) device array, valid (B, P) device bool. Chunks
@@ -275,14 +284,31 @@ class DeviceCounter:
 
     def _merge_runs(self) -> None:
         if len(self._runs) <= 1:
+            if self._runs and self._runs[0][2] >= self.spill_rows:
+                self._spill_run(*self._runs[0])
             return
         skeys, boundary, summed = self._concat_and_merge()
         nu = int(jnp.sum(boundary, dtype=jnp.int32))
         out_size = _bucket_size(max(1, nu))
         keys_c, cnt_c = _compact_run(skeys, boundary, summed, out_size)
-        self._runs = [(keys_c, cnt_c, out_size)]
-        self._runs_n = out_size
-        self._next_merge = out_size + self.merge_factor * self.slab
+        if out_size >= self.spill_rows:
+            self._spill_run(keys_c, cnt_c, out_size)
+        else:
+            self._runs = [(keys_c, cnt_c, out_size)]
+            self._runs_n = out_size
+            self._next_merge = out_size + self.merge_factor * self.slab
+
+    def _spill_run(self, keys_c, cnt_c, out_size: int) -> None:
+        """Move a compacted device run to host RAM (trimmed to real rows)
+        and reset the device merge hierarchy."""
+        W = self.W
+        cnt = np.asarray(cnt_c)
+        m = cnt > 0
+        uniq = np.stack([np.asarray(keys_c[W - 1 - j]) for j in range(W)], axis=1)
+        self._host_runs.append((np.ascontiguousarray(uniq[m]),
+                                cnt[m].astype(np.int64)))
+        self._runs, self._runs_n = [], 0
+        self._next_merge = self.merge_factor * self.slab
 
     def _merged_run(self):
         """Collapse all pending slabs/runs to ONE compacted run on device;
@@ -294,22 +320,37 @@ class DeviceCounter:
             self._merge_runs()
         return self._runs[0]
 
+    def _host_merged(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Collapse device runs + host-spilled runs to ONE host run
+        (uniq LSW-first, counts i64), or None when empty."""
+        r = self._merged_run() if (self._pend or self._runs) else None
+        parts = list(self._host_runs)
+        self._host_runs = []
+        if r is not None:
+            keys_c, cnt_c, _b = r
+            self._runs, self._runs_n = [], 0
+            cnt = np.asarray(cnt_c)
+            W = self.W
+            uniq = np.stack([np.asarray(keys_c[W - 1 - j]) for j in range(W)], axis=1)
+            m = cnt > 0
+            parts.append((np.ascontiguousarray(uniq[m]), cnt[m].astype(np.int64)))
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return merge_counts(parts)
+
     def distinct_run(self) -> tuple[np.ndarray, np.ndarray]:
         """Finalize accumulation to the compacted distinct multiset on the
         HOST: (uniq (M, W) uint32 LSW-first, counts (M,) int32), pad
         entries trimmed. This is the exchange unit for multi-host counting
         (parallel/distributed.py): 5-30x smaller than the raw multiset at
         sequencing coverage."""
-        r = self._merged_run()
-        if r is None:
+        hm = self._host_merged()
+        if hm is None:
             return np.zeros((0, self.W), np.uint32), np.zeros(0, np.int32)
-        keys_c, cnt_c, _b = r
-        self._runs, self._runs_n = [], 0
-        cnt = np.asarray(cnt_c)
-        W = self.W
-        uniq = np.stack([np.asarray(keys_c[W - 1 - j]) for j in range(W)], axis=1)
-        m = cnt > 0
-        return np.ascontiguousarray(uniq[m]), cnt[m].astype(np.int32)
+        uniq, counts = hm
+        return uniq, np.minimum(counts, np.iinfo(np.int32).max).astype(np.int32)
 
     def ingest_run(self, uniq: np.ndarray, counts: np.ndarray) -> None:
         """Feed a sorted distinct run (as produced by distinct_run, possibly
@@ -362,6 +403,14 @@ class DeviceCounter:
                 return bitset, n_words, cutoff, 0, hist, H, None
             return bitset, n_words, cutoff, 0, hist, H
 
+        if self._host_runs:
+            # host-spilled path (inputs whose distinct set exceeds
+            # spill_rows): k-way merge on host, histogram/cutoff on host,
+            # Bloom built host-side (bit-identical to the device build —
+            # same (word, bit) set) and uploaded once; the solid run is
+            # uploaded only when the unitig section needs it
+            return self._finalize_host(abundance, bits_per_kmer, H, seed,
+                                       lossy_quals, want_solid)
         if not self._runs:
             skeys, boundary, counts = self._sorted_pending()
             tr("count.fin.sort_dispatched")
@@ -403,6 +452,52 @@ class DeviceCounter:
         if want_solid:
             return bitset, n_words, cutoff, n_solid, hist, H, (words, cnt_c, int(hist.sum()))
         return bitset, n_words, cutoff, n_solid, hist, H
+
+    def _finalize_host(self, abundance, bits_per_kmer, H, seed: int,
+                       lossy_quals: bool, want_solid: bool):
+        """finalize() for inputs that spilled runs to host RAM. Bounded
+        HBM: the device never holds more than the solid run (uploaded for
+        the Bloom/unitig builds) regardless of distinct-set size."""
+        from leon_tpu.ops import bloom
+
+        uniq, counts = self._host_merged()
+        hist = histogram(np.minimum(counts, np.iinfo(np.int64).max))
+        cutoff = abundance if abundance is not None else auto_cutoff(hist)
+        auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
+        if bits_per_kmer is None:
+            bits_per_kmer = auto_bpk
+        if H is None:
+            H = auto_h
+        solid_m = counts >= cutoff
+        n_solid = int(solid_m.sum())
+        n_words = bloom.choose_n_words(max(1, n_solid), bits_per_kmer)
+        solid = np.ascontiguousarray(uniq[solid_m])
+        bitset_np = np.zeros(n_words, np.uint32)
+        step = 16 << 20
+        for s in range(0, n_solid, step):
+            bitset_np |= bloom.build_np(solid[s : s + step], n_words, H, seed, self.k)
+        bitset = jnp.asarray(
+            np.pad(bitset_np, (0, bloom.alloc_words(n_words) - n_words))
+        )
+        import sys as _sys
+
+        warn = bloom.saturation_warning(n_solid, n_words, bits_per_kmer)
+        if warn:
+            print(f"[leon-tpu] {warn}", file=_sys.stderr)
+        if not want_solid:
+            return bitset, n_words, cutoff, n_solid, hist, H
+        nu_total = int(hist.sum())
+        solidset = None
+        if n_solid:
+            Mcap = _bucket_size(n_solid)
+            wpad = np.full((Mcap, self.W), 0xFFFFFFFF, np.uint32)
+            wpad[:n_solid] = solid
+            cpad = np.zeros(Mcap, np.int32)
+            cpad[:n_solid] = np.minimum(
+                counts[solid_m], np.iinfo(np.int32).max
+            ).astype(np.int32)
+            solidset = (jnp.asarray(wpad), jnp.asarray(cpad), nu_total)
+        return bitset, n_words, cutoff, n_solid, hist, H, solidset
 
 
 def auto_cutoff(hist: np.ndarray) -> int:

@@ -57,30 +57,84 @@ def _sel4(arr, idx):
     return jnp.sum(jnp.where(oh, arr, jnp.zeros((), arr.dtype)), axis=-1)
 
 
+# --- SCALARIZED forms ---------------------------------------------------
+# TPU lays the minor-most axis onto the 128-lane vector unit, so any
+# (B, 4) intermediate runs the VPU at 4/128 occupancy and forces a
+# relayout against the (B,) scan carries. Measured on v5e: the identical
+# probe scan is ~500x faster with four separate (B,) candidate arrays
+# than with one (B, 4) array. The hot scans below therefore never build
+# a trailing-4 axis: tables index as PYTHON scalars and width-4 selects
+# are where-chains.
+
+
+def _tabn(tab_np, m, kind):
+    """(4,) python-int table row (embeds as scalar constants)."""
+    return [int(x) for x in tab_np[m, kind]]
+
+
+def _take4c(trow, idx):
+    """trow[idx] for a python-int (4,) table and (B,) int idx, as a
+    where-chain of scalar constants (no (B, 4) intermediate)."""
+    return jnp.where(idx == 0, U32(trow[0]),
+           jnp.where(idx == 1, U32(trow[1]),
+           jnp.where(idx == 2, U32(trow[2]), U32(trow[3]))))
+
+
+def _sel4w(vals, idx):
+    """vals[idx] over a python list of four (B,) arrays (where-chain)."""
+    return jnp.where(idx == 0, vals[0],
+           jnp.where(idx == 1, vals[1],
+           jnp.where(idx == 2, vals[2], vals[3])))
+
+
+def _shl2_t(ws, base, k: int):
+    """shl2 over a TUPLE of W (B,) words (no (B, W) stack in the scan)."""
+    from leon_tpu.ops.kmer import top_mask
+
+    W = len(ws)
+    out = [(ws[0] << U32(2)) | base]
+    for j in range(1, W):
+        out.append((ws[j] << U32(2)) | (ws[j - 1] >> U32(30)))
+    out[W - 1] = out[W - 1] & U32(top_mask(k))
+    return tuple(out)
+
+
+def _shr2_ins_t(ws, base, k: int):
+    """shr2_ins over a tuple of W (B,) words."""
+    W = len(ws)
+    out = [(ws[j] >> U32(2)) | (ws[j + 1] << U32(30)) for j in range(W - 1)]
+    out.append(ws[W - 1] >> U32(2))
+    t = 2 * (k - 1)
+    wi, bit = t // 32, t % 32
+    out[wi] = out[wi] | (base << U32(bit))
+    return tuple(out)
+
+
 def _anchor_scan(codes, k: int, seed: int):
     """One pass over base columns: at every k-mer position, the forward
     words (for walk-state init) and the four rolling strand hashes
     (FORMAT.md §4 v2). Returns (fwds (B,P,W), hs 4x(B,P))."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
     cols = codes.T.astype(jnp.int32)  # (L, B)
     # leaving-base columns: base at j-k (garbage for j<k, masked by is_slide)
     leave = jnp.concatenate([jnp.zeros((k, B), jnp.int32), cols[:-k] if L > k else cols[:0]], axis=0)
 
     def step(carry, xs):
-        fwd, f1, r1, f2, r2 = carry
+        fwd, f1, r1, f2, r2 = carry  # fwd: tuple of W (B,) words
         x, o, j = xs
         is_slide = j >= k
         jm = jnp.minimum(j, k - 1) & 31  # scalar rotate amount (traced)
-        fwd = shl2(fwd, x.astype(U32), k)
+        fwd = _shl2_t(fwd, x.astype(U32), k)
 
         def upd(f, r, T, Tc, Trot, Tcrot):
-            f = _rol1(f ^ jnp.where(is_slide, _take4(Trot, o), U32(0))) ^ _take4(T, x)
-            radd = _take4(Tc, x)
+            # scalarized table lookups (_take4c): no (B, 4) intermediates
+            f = _rol1(f ^ jnp.where(is_slide, _take4c(Trot, o), U32(0))) ^ _take4c(T, x)
+            radd = _take4c(Tc, x)
             radd = (radd << jm.astype(U32)) | (radd >> ((U32(32) - jm.astype(U32)) & U32(31)))
-            r_slide = _ror1(r ^ _take4(Tc, o)) ^ _take4(Tcrot, x)
+            r_slide = _ror1(r ^ _take4c(Tc, o)) ^ _take4c(Tcrot, x)
             r_build = r ^ radd
             return f, jnp.where(is_slide, r_slide, r_build)
 
@@ -89,10 +143,11 @@ def _anchor_scan(codes, k: int, seed: int):
         return (fwd, f1, r1, f2, r2), (fwd, f1, r1, f2, r2)
 
     z = jnp.zeros(B, jnp.uint32)
-    init = (jnp.zeros((B, words_for_k(k)), U32), z, z, z, z)
+    init = (tuple(z for _ in range(words_for_k(k))), z, z, z, z)
     js = jnp.arange(L, dtype=jnp.int32)
     _, ys = lax.scan(step, init, (cols, leave, js))
-    fwds = jnp.moveaxis(ys[0][k - 1 :], 0, 1)  # (B, P, W)
+    # re-stack the per-word planes OUTSIDE the scan (bulk relayout once)
+    fwds = jnp.stack([jnp.moveaxis(w[k - 1 :], 0, 1) for w in ys[0]], axis=-1)
     hs = tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys[1:])  # 4 x (B, P)
     return fwds, hs
 
@@ -202,11 +257,15 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
     Returns (B, ME) planes in fused step order (each lane's right events
     then its left events — exactly the container's per-segment stream
     order): is_bif, rank, is_err, ent, gap, is_conf, plus in_right and
-    j_all (position per step) for the caller's masks/scatters."""
+    j_all (position per step) for the caller's masks/scatters.
+
+    SCALARIZED: the step body keeps every per-candidate value as four
+    separate (B,) arrays (see _take4c/_sel4w) — the (B, 4) form ran the
+    VPU at 4/128 lane occupancy and measured ~500x slower on v5e."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
     t_hi = 2 * (k - 1)
 
     lengths = lengths.astype(jnp.int32)
@@ -223,12 +282,16 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
     switch_all = s_all == nr[:, None]
 
     afwd, a1, a2, a3, a4 = state0
+    # the k-mer window rides as a TUPLE of W (B,) words — a (B, W) carry
+    # would re-tile against the (B,) carries every step (see the
+    # scalarization note above)
+    afwd_t = tuple(afwd[:, j] for j in range(afwd.shape[1]))
 
     def step(carry, xs):
         fwd, f1, r1, f2, r2, last = carry
         b, active, in_r, sw, lidx = xs
         # side switch: restart from the anchor state, fresh gap chain
-        fwd = jnp.where(sw[:, None], afwd, fwd)
+        fwd = tuple(jnp.where(sw, a, w) for a, w in zip(afwd_t, fwd))
         f1 = jnp.where(sw, a1, f1)
         r1 = jnp.where(sw, a2, r1)
         f2 = jnp.where(sw, a3, f2)
@@ -236,50 +299,65 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
         last = jnp.where(sw, -1, last)
 
         o = jnp.where(
-            in_r, (fwd[:, t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[:, 0] & U32(3)
+            in_r, (fwd[t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[0] & U32(3)
         ).astype(jnp.int32)
 
-        def cands(f, r, T, Tc, Trot, Tcrot):
-            fb_r = _rol1(f ^ _take4(Trot, o))
-            rb_r = _ror1(r ^ _take4(Tc, o))
-            fb_l = _ror1(f ^ _take4(T, o))
-            rb_l = _rol1(r ^ _take4(Tcrot, o))
-            inr = in_r[:, None]
-            cf = jnp.where(inr, fb_r[:, None] ^ T[None, :], fb_l[:, None] ^ Trot[None, :])
-            cr = jnp.where(inr, rb_r[:, None] ^ Tcrot[None, :], rb_l[:, None] ^ Tc[None, :])
-            return cf, cr
+        def bases(f, r, T, Tc, Trot, Tcrot):
+            fb_r = _rol1(f ^ _take4c(Trot, o))
+            rb_r = _ror1(r ^ _take4c(Tc, o))
+            fb_l = _ror1(f ^ _take4c(T, o))
+            rb_l = _rol1(r ^ _take4c(Tcrot, o))
+            return fb_r, rb_r, fb_l, rb_l
 
-        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
-        si = solid.astype(jnp.int32)
-        scount = si.sum(axis=1)
-        solid_b = _sel4(si, b).astype(bool)
-        cum = jnp.cumsum(si, axis=1)
-        rank = _sel4(cum, b) - 1
+        fb1r, rb1r, fb1l, rb1l = bases(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        fb2r, rb2r, fb2l, rb2l = bases(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        cf1s, cr1s, cf2s, cr2s, sis = [], [], [], [], []
+        for cb in range(4):
+            cf1 = jnp.where(in_r, fb1r ^ U32(T1[cb]), fb1l ^ U32(Trot1[cb]))
+            cr1 = jnp.where(in_r, rb1r ^ U32(Tcrot1[cb]), rb1l ^ U32(Tc1[cb]))
+            cf2 = jnp.where(in_r, fb2r ^ U32(T2[cb]), fb2l ^ U32(Trot2[cb]))
+            cr2 = jnp.where(in_r, rb2r ^ U32(Tcrot2[cb]), rb2l ^ U32(Tc2[cb]))
+            wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
+            sis.append(bloom.probe_wordmask(bitset, wi, mask, jnp).astype(jnp.int32))
+            cf1s.append(cf1); cr1s.append(cr1); cf2s.append(cf2); cr2s.append(cr2)
+        si0, si1, si2, si3 = sis
+        scount = si0 + si1 + si2 + si3
+        cums = [si0, si0 + si1, si0 + si1 + si2, scount]
+        solid_b = _sel4w(sis, b).astype(bool)
+        rank = _sel4w(cums, b) - 1
 
         is_conf = active & solid_b & (scount == 1)
         is_bif = active & solid_b & (scount >= 2)
         is_err = active & ~solid_b
-        cns = jnp.cumsum(1 - si, axis=1)
-        ent = _sel4(cns, b) - 1
+        # rank among NON-solid candidates (errnt v3)
+        ns = [1 - s for s in sis]
+        cns = [ns[0], ns[0] + ns[1], ns[0] + ns[1] + ns[2],
+               ns[0] + ns[1] + ns[2] + ns[3]]
+        ent = _sel4w(cns, b) - 1
 
         gap = lidx - last - 1  # valid where is_err (side-local semantics)
         last = jnp.where(is_err, lidx, last)
 
-        b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
+        # first solid candidate (== argmax over the si row; 0 when none,
+        # but that case is masked by scount >= 1 below)
+        b_min_solid = jnp.where(si0 > 0, 0,
+                      jnp.where(si1 > 0, 1,
+                      jnp.where(si2 > 0, 2,
+                      jnp.where(si3 > 0, 3, 0)))).astype(jnp.int32)
         b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        f1n = _sel4(cf1, b_adv)
-        r1n = _sel4(cr1, b_adv)
-        f2n = _sel4(cf2, b_adv)
-        r2n = _sel4(cr2, b_adv)
+        f1n = _sel4w(cf1s, b_adv)
+        r1n = _sel4w(cr1s, b_adv)
+        f2n = _sel4w(cf2s, b_adv)
+        r2n = _sel4w(cr2s, b_adv)
         bu = b_adv.astype(U32)
-        fwd = jnp.where(in_r[:, None], shl2(fwd, bu, k), shr2_ins(fwd, bu, k))
+        fl = _shl2_t(fwd, bu, k)
+        fr = _shr2_ins_t(fwd, bu, k)
+        fwd = tuple(jnp.where(in_r, a, c) for a, c in zip(fl, fr))
         ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8),
               jnp.maximum(gap, 0).astype(jnp.uint16), is_conf)
         return (fwd, f1n, r1n, f2n, r2n, last), ys
 
-    carry0 = (afwd, a1, a2, a3, a4, jnp.full(B, -1, jnp.int32))
+    carry0 = (afwd_t, a1, a2, a3, a4, jnp.full(B, -1, jnp.int32))
     _, ys = lax.scan(step, carry0,
                      (b_all.T, active_all.T, in_right_all.T, switch_all.T,
                       lidx_all.T))
@@ -642,8 +720,8 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
     ar = jnp.arange(B)
     MEv = max(1, qbif.shape[1])
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
+    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
     t_hi = 2 * (k - 1)
 
     lengths = lengths.astype(jnp.int32)
@@ -659,11 +737,12 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
     switch_all = s_all == nr[:, None]
 
     afwd, a1, a2, a3, a4 = state0
+    afwd_t = tuple(afwd[:, j] for j in range(afwd.shape[1]))
 
     def step(carry, xs):
         fwd, f1, r1, f2, r2, pbif = carry
         ev, active, in_r, sw = xs
-        fwd = jnp.where(sw[:, None], afwd, fwd)
+        fwd = tuple(jnp.where(sw, a, w) for a, w in zip(afwd_t, fwd))
         f1 = jnp.where(sw, a1, f1)
         r1 = jnp.where(sw, a2, r1)
         f2 = jnp.where(sw, a3, f2)
@@ -672,50 +751,66 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
         is_err = active & (ev >= 4)
         rank_ns = (ev & 3).astype(jnp.int32)
         o = jnp.where(
-            in_r, (fwd[:, t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[:, 0] & U32(3)
+            in_r, (fwd[t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[0] & U32(3)
         ).astype(jnp.int32)
 
-        def cands(f, r, T, Tc, Trot, Tcrot):
-            fb_r = _rol1(f ^ _take4(Trot, o))
-            rb_r = _ror1(r ^ _take4(Tc, o))
-            fb_l = _ror1(f ^ _take4(T, o))
-            rb_l = _rol1(r ^ _take4(Tcrot, o))
-            inr = in_r[:, None]
-            cf = jnp.where(inr, fb_r[:, None] ^ T[None, :], fb_l[:, None] ^ Trot[None, :])
-            cr = jnp.where(inr, rb_r[:, None] ^ Tcrot[None, :], rb_l[:, None] ^ Tc[None, :])
-            return cf, cr
+        # scalarized per-candidate arrays (see _walk_fused): no (B, 4)
+        # intermediates inside the scan
+        def bases(f, r, T, Tc, Trot, Tcrot):
+            fb_r = _rol1(f ^ _take4c(Trot, o))
+            rb_r = _ror1(r ^ _take4c(Tc, o))
+            fb_l = _ror1(f ^ _take4c(T, o))
+            rb_l = _rol1(r ^ _take4c(Tcrot, o))
+            return fb_r, rb_r, fb_l, rb_l
 
-        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
-        si = solid.astype(jnp.int32)
-        scount = si.sum(axis=1)
+        fb1r, rb1r, fb1l, rb1l = bases(f1, r1, T1, Tc1, Trot1, Tcrot1)
+        fb2r, rb2r, fb2l, rb2l = bases(f2, r2, T2, Tc2, Trot2, Tcrot2)
+        cf1s, cr1s, cf2s, cr2s, sis = [], [], [], [], []
+        for cb in range(4):
+            cf1 = jnp.where(in_r, fb1r ^ U32(T1[cb]), fb1l ^ U32(Trot1[cb]))
+            cr1 = jnp.where(in_r, rb1r ^ U32(Tcrot1[cb]), rb1l ^ U32(Tc1[cb]))
+            cf2 = jnp.where(in_r, fb2r ^ U32(T2[cb]), fb2l ^ U32(Trot2[cb]))
+            cr2 = jnp.where(in_r, rb2r ^ U32(Tcrot2[cb]), rb2l ^ U32(Tc2[cb]))
+            wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
+            sis.append(bloom.probe_wordmask(bitset, wi, mask, jnp).astype(jnp.int32))
+            cf1s.append(cf1); cr1s.append(cr1); cf2s.append(cf2); cr2s.append(cr2)
+        si0, si1, si2, si3 = sis
+        scount = si0 + si1 + si2 + si3
         is_bif = active & ~is_err & (scount >= 2)
 
         pb = jnp.clip(pbif, 0, MEv - 1)
         rank = qbif[ar, pb].astype(jnp.int32)
-        excl = jnp.cumsum(si, axis=1) - si
-        match = solid & (excl == rank[:, None])
-        b_bif = jnp.argmax(match, axis=1).astype(jnp.int32)
-        b_uniq = jnp.argmax(si, axis=1).astype(jnp.int32)
-        exns = jnp.cumsum(1 - si, axis=1) - (1 - si)
-        match_ns = (~solid) & (exns == rank_ns[:, None])
-        b_err = jnp.argmax(match_ns, axis=1).astype(jnp.int32)
+        # exclusive prefix over solid / non-solid flags, per candidate
+        excl = [jnp.zeros_like(si0), si0, si0 + si1, si0 + si1 + si2]
+        ns = [1 - s for s in sis]
+        exns = [jnp.zeros_like(si0), ns[0], ns[0] + ns[1], ns[0] + ns[1] + ns[2]]
+
+        def first_match(flags):
+            # argmax semantics: first True, else 0
+            return jnp.where(flags[0], 0,
+                   jnp.where(flags[1], 1,
+                   jnp.where(flags[2], 2,
+                   jnp.where(flags[3], 3, 0)))).astype(jnp.int32)
+
+        b_bif = first_match([(sis[c] > 0) & (excl[c] == rank) for c in range(4)])
+        b_uniq = first_match([sis[c] > 0 for c in range(4)])
+        b_err = first_match([(ns[c] > 0) & (exns[c] == rank_ns) for c in range(4)])
 
         b = jnp.where(is_err, b_err, jnp.where(is_bif, b_bif, b_uniq))
         pbif = pbif + is_bif.astype(jnp.int32)
 
-        b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
-        b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        f1n = _sel4(cf1, b_adv)
-        r1n = _sel4(cr1, b_adv)
-        f2n = _sel4(cf2, b_adv)
-        r2n = _sel4(cr2, b_adv)
+        b_adv = jnp.where(is_err & (scount >= 1), b_uniq, b)
+        f1n = _sel4w(cf1s, b_adv)
+        r1n = _sel4w(cr1s, b_adv)
+        f2n = _sel4w(cf2s, b_adv)
+        r2n = _sel4w(cr2s, b_adv)
         bu = b_adv.astype(U32)
-        fwd = jnp.where(in_r[:, None], shl2(fwd, bu, k), shr2_ins(fwd, bu, k))
+        fl = _shl2_t(fwd, bu, k)
+        fr = _shr2_ins_t(fwd, bu, k)
+        fwd = tuple(jnp.where(in_r, a, c) for a, c in zip(fl, fr))
         return (fwd, f1n, r1n, f2n, r2n, pbif), b.astype(jnp.uint8)
 
-    carry = (afwd, a1, a2, a3, a4, jnp.zeros(B, jnp.int32))
+    carry = (afwd_t, a1, a2, a3, a4, jnp.zeros(B, jnp.int32))
     _, bs = lax.scan(step, carry,
                      (ev_all.T, active_all.T, in_right_all.T, switch_all.T))
     return jnp.moveaxis(bs, 0, 1), j_all, active_all

@@ -262,7 +262,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     # --- pass 1: device-count my shard, exchange distinct runs, merge ---
     H, seed = cfg.bloom_hashes, cfg.seed
     counter = count.DeviceCounter(
-        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor,
+        spill_rows=cfg.count_spill_rows,
     )
     n_reads = 0
     n_blocks = 0
@@ -281,7 +282,8 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
 
     uniq, cnts = counter.distinct_run()
     merged = count.DeviceCounter(
-        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor,
+        spill_rows=cfg.count_spill_rows,
     )
     for blob in _allgather_bytes(_pack_run(uniq, cnts)):
         merged.ingest_run(*_unpack_run(blob))

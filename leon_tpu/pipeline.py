@@ -288,7 +288,8 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
     import jax.numpy as jnp
 
     counter = count.DeviceCounter(
-        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor
+        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor,
+        spill_rows=cfg.count_spill_rows,
     )
     n_total = len(preps) if hasattr(preps, "__len__") else 0
     ci = 0

@@ -73,3 +73,28 @@ def test_slab_counter_empty():
     bitset, n_words, cutoff, n_solid, hist, _H = ctr.finalize(None, 12.0, 4, 7)
     assert n_solid == 0 and cutoff == 2
     assert not np.asarray(bitset).any()
+
+
+def test_host_spill_byte_identical(tmp_path, rng):
+    """A counter forced to spill runs to host RAM must produce the
+    byte-identical archive to the unspilled run (the chr-scale
+    bounded-HBM path, config.count_spill_rows)."""
+    from leon_tpu import pipeline
+    from leon_tpu.config import LeonConfig
+
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    contig = rng.integers(0, 4, 3000, dtype=np.uint8)
+    src = tmp_path / "s.fasta"
+    with open(src, "wb") as f:
+        for i in range(400):
+            st = int(rng.integers(0, 2900))
+            f.write(b">r%d\n%s\n" % (i, BASES[contig[st : st + 100]].tobytes()))
+    common = dict(batch_reads=64, reads_per_block=128, count_slab_kmers=4096)
+    a = str(tmp_path / "spill.leon")
+    b = str(tmp_path / "nospill.leon")
+    # spill threshold below one slab: every merged run spills to host
+    pipeline.compress(str(src), a, cfg=LeonConfig(count_spill_rows=1024, **common))
+    pipeline.compress(str(src), b, cfg=LeonConfig(**common))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    d = pipeline.decompress(a, cfg=LeonConfig(**common))
+    assert open(d["output"], "rb").read() == src.read_bytes()
