@@ -187,12 +187,21 @@ class AnchorDict:
         pos = np.searchsorted(skeys, keys)
         posc = np.minimum(pos, ns - 1)
         hit = skeys[posc] == keys
+        return self.payload_indexed(hit, posc, ns)
+
+    def payload_indexed(self, hit: np.ndarray, idx: np.ndarray, ns: int) -> bytes:
+        """tag-1 payload from a precomputed enumeration lookup (hit mask +
+        solid ranks, e.g. unitig.solid_indices_dev) — the device-side
+        lookup avoids pulling the whole solid run to host."""
+        n = len(self._words)
+        if n == 0 or ns == 0:
+            return b"\x00" + self._raw_body()
         width = max(1, (ns - 1).bit_length())
         out = bytearray(b"\x01")
         varint.encode_one(n, out)
         varint.encode_one(ns, out)
         out += frames.frame(np.packbits(hit).tobytes())
-        out += frames.frame(_bitpack(posc[hit].astype(np.uint64), width))
+        out += frames.frame(_bitpack(idx[hit].astype(np.uint64), width))
         out += frames.frame(b"".join(self._words[i] for i in np.nonzero(~hit)[0]))
         return bytes(out)
 

@@ -751,6 +751,34 @@ def solid_kmers_sorted(raw: bytes, k: int, canon: np.ndarray | None = None) -> n
     return sort_rows_bigint(canon)
 
 
+def solid_indices_dev(infl: "_Inflight", keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """DICT-v2 enumeration lookup ON DEVICE: for (Q, W) u32 query keys,
+    returns (hit bool (Q,), solid-rank i64 (Q,), n_solid). Searches the
+    in-flight build's run directly — uploads Q keys (~1 MB) instead of
+    pulling the whole solid run to host (~25 MB D2H on the latency-bound
+    tunnel). Ranks count only rows with count >= cutoff, so they equal
+    indices into solid_kmers_sorted(payload) exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    words, counts = infl.words, infl.counts
+    M = int(words.shape[0])
+    iters = max(1, M.bit_length())
+
+    @jax.jit
+    def _lookup(words, counts, q):
+        solid = counts.astype(jnp.int32) >= jnp.int32(infl.cutoff)
+        starts = _bucket_starts(words, infl.k)
+        j = _searchsorted_words_dev(words, q, iters, starts=starts, k=infl.k)
+        jc = jnp.maximum(j, 0)
+        hit = (j >= 0) & solid[jc]
+        rank = jnp.cumsum(solid.astype(jnp.int32))[jc] - 1
+        return hit, jnp.where(hit, rank, 0), jnp.sum(solid, dtype=jnp.int32)
+
+    hit, rank, ns = _lookup(words, counts, jnp.asarray(keys.astype("<u4")))
+    return np.asarray(hit), np.asarray(rank).astype(np.int64), int(ns)
+
+
 def solid_run_host(infl: "_Inflight") -> np.ndarray:
     """Encoder-side DICT-v2 enumeration without re-spelling: the in-flight
     build's (compacted) sorted distinct run filtered to its solid rows IS

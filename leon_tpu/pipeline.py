@@ -781,7 +781,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             writer.section(container.TAG_BLOOM, frame_bloom(bitset))
     tr("enc.bloom_late_d2h.end")
     with span("tail.dict"):
-        solid_sorted = None
+        dict_payload = None
         if unitig_payload is not None and len(adict):
             from leon_tpu.ops import unitig as _unitig
 
@@ -789,12 +789,21 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             # identical to re-spelling the payload (frozen §4a contract)
             # but without the host spell+sort that dominated tail.dict
             if unitig_solid_src is not None and unitig_solid_src[0] == "infl":
-                solid_sorted = _unitig.solid_run_host(unitig_solid_src[1])
+                # lookup ON DEVICE: ship the ~100k dict keys up instead
+                # of the whole solid run down
+                hit, idx, ns = _unitig.solid_indices_dev(
+                    unitig_solid_src[1], adict.words_array()
+                )
+                dict_payload = adict.payload_indexed(hit, idx, ns)
             elif unitig_solid_src is not None:
-                solid_sorted = unitig_solid_src[1]
+                dict_payload = adict.payload(unitig_solid_src[1])
             else:  # checkpoint resume: only the payload bytes exist
-                solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
-        writer.section(container.TAG_DICT, adict.payload(solid_sorted))
+                dict_payload = adict.payload(
+                    _unitig.solid_kmers_sorted(unitig_payload, k)
+                )
+        if dict_payload is None:
+            dict_payload = adict.payload(None)
+        writer.section(container.TAG_DICT, dict_payload)
     total = writer.close()
     in_bytes = os.path.getsize(input_path)
     stats = {
