@@ -90,7 +90,9 @@ def _colmajor_order(counts: np.ndarray) -> np.ndarray:
     return np.lexsort((rows, cols))
 
 
-def encode(headers: list[bytes]) -> bytes:
+def _encode_py(headers: list[bytes]):
+    """Python reference loop -> (modes bytes, lit mask unused, lit_lens,
+    lit blob, row counts, row-major code values)."""
     modes = bytearray()
     lit_lens: list[int] = []
     lit_parts: list[bytes] = []
@@ -112,11 +114,62 @@ def encode(headers: list[bytes]) -> bytes:
     row_vals = np.concatenate(
         [np.asarray(r, dtype=np.uint64) for r in code_rows]
     ) if code_rows else np.zeros(0, np.uint64)
+    return (bytes(modes), np.asarray(lit_lens, dtype=np.uint64),
+            b"".join(lit_parts), counts, row_vals)
+
+
+def _encode_native(headers: list[bytes]):
+    """Native per-header loop (leon_native.leon_hdr_encode); None when the
+    toolchain is unavailable. Byte-identical to _encode_py (tested)."""
+    import ctypes
+
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "leon_hdr_encode"):
+        return None
+    n = len(headers)
+    flat = b"".join(headers)
+    lens = np.fromiter((len(h) for h in headers), dtype=np.int64, count=n)
+    modes = np.zeros(n, np.uint8)
+    row_counts = np.zeros(n, np.int32)
+    # worst case: every token numeric, <= len/1 codes; headers average
+    # far fewer — start at total/2 and retry once at the true bound
+    for cap in (max(16, flat and len(flat) // 2 or 16), max(16, len(flat) + 16)):
+        codes = np.zeros(cap, np.uint64)
+        ncodes = lib.leon_hdr_encode(
+            flat, lens.ctypes.data, n, modes.ctypes.data,
+            row_counts.ctypes.data, codes.ctypes.data, cap,
+        )
+        if ncodes >= 0:
+            break
+    else:
+        return None
+    if ncodes < 0:
+        return None
+    lit = modes == 0
+    lit_lens = lens[lit].astype(np.uint64)
+    if lit.all():
+        lit_blob = flat
+    else:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        lit_blob = b"".join(
+            flat[s : s + ln] for s, ln in zip(starts[lit], lens[lit])
+        )
+    counts = row_counts[~lit].astype(np.int64)
+    return modes.tobytes(), lit_lens, lit_blob, counts, codes[:ncodes]
+
+
+def encode(headers: list[bytes]) -> bytes:
+    r = _encode_native(headers)
+    if r is None:
+        r = _encode_py(headers)
+    modes, lit_lens, lit_blob, counts, row_vals = r
     col_vals = row_vals[_colmajor_order(counts)]
     out = bytearray()
     out += frames.frame(bytes(modes))
-    out += frames.frame(varint.encode_array(np.asarray(lit_lens, dtype=np.uint64)))
-    out += frames.frame(b"".join(lit_parts))
+    out += frames.frame(varint.encode_array(lit_lens))
+    out += frames.frame(lit_blob)
     out += frames.frame(varint.encode_array(col_vals), try_o1=True)
     return bytes(out)
 
@@ -154,6 +207,14 @@ def decode(payload: bytes, n_reads: int) -> list[bytes]:
     if codes.size:
         codes[_colmajor_order(carr)] = col_vals[: codes.size]
 
+    native_out = _decode_native(modes, lit_bytes, lit_lens, codes)
+    if native_out is not None:
+        if len(native_out) != n_reads:
+            raise ValueError(
+                f"header count mismatch: {len(native_out)} != {n_reads}"
+            )
+        return native_out
+
     out: list[bytes] = []
     prev_tokens: list[bytes] = []
     lit_off = 0
@@ -188,6 +249,36 @@ def decode(payload: bytes, n_reads: int) -> list[bytes]:
     if len(out) != n_reads:
         raise ValueError(f"header count mismatch: {len(out)} != {n_reads}")
     return out
+
+
+def _decode_native(modes: bytes, lit_bytes: bytes, lit_lens: np.ndarray,
+                   codes: np.ndarray) -> list[bytes] | None:
+    """Native decode loop; None when unavailable (Python loop runs)."""
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "leon_hdr_decode"):
+        return None
+    n = len(modes)
+    ll = np.ascontiguousarray(lit_lens.astype(np.int64))
+    cd = np.ascontiguousarray(codes.astype(np.uint64))
+    out_lens = np.zeros(n, np.int64)
+    cap = max(64, len(lit_bytes) * 2 + n * 64)
+    for _ in range(3):
+        out_flat = np.zeros(cap, np.uint8)
+        total = lib.leon_hdr_decode(
+            modes, n, lit_bytes, ll.ctypes.data, ll.size,
+            cd.ctypes.data, cd.size,
+            out_flat.ctypes.data, cap, out_lens.ctypes.data,
+        )
+        if total == -1:
+            return None  # malformed: let the Python loop raise precisely
+        if total >= 0:
+            blob = out_flat[:total].tobytes()
+            starts = np.concatenate(([0], np.cumsum(out_lens)[:-1]))
+            return [blob[s : s + l] for s, l in zip(starts, out_lens)]
+        cap = -int(total)
+    return None
 
 
 def synth(start_index: int, n_reads: int) -> list[bytes]:

@@ -77,6 +77,18 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_uint8,
     ]
+    lib.leon_hdr_encode.restype = ctypes.c_int64
+    lib.leon_hdr_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.leon_hdr_decode.restype = ctypes.c_int64
+    lib.leon_hdr_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
     return lib
 
 

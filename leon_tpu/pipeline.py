@@ -216,7 +216,12 @@ def _resolve_unitigs(unitig_inflight, n_words: int) -> Optional[bytes]:
 
     try:
         payload = _unitig.drain_build(unitig_inflight)
-    except Exception:
+    except Exception as e:
+        import sys as _sys
+
+        print(f"[leon-tpu] unitig build drain failed "
+              f"({type(e).__name__}: {str(e)[:200]}); writing the BLOOM "
+              "section instead", file=_sys.stderr)
         return None
     if payload is not None and len(payload) < 4 * n_words:
         return payload
@@ -573,7 +578,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                     n_solid=n_solid,
                 )
                 tr("count.unitig.dispatched")
-            except Exception:
+            except Exception as e:
+                print(f"[leon-tpu] unitig build dispatch failed "
+                      f"({type(e).__name__}: {str(e)[:200]}); writing the "
+                      "BLOOM section instead", file=sys.stderr)
                 unitig_inflight = None  # BLOOM section fallback
             unitig_planned = False
     if ck is None and use_host_count:
@@ -751,7 +759,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                     n_solid=n_solid,
                 )
             tr("enc.unitig.dispatched")
-        except Exception:
+        except Exception as e:
+            print(f"[leon-tpu] unitig build dispatch failed "
+                  f"({type(e).__name__}: {str(e)[:200]}); writing the "
+                  "BLOOM section instead", file=sys.stderr)
             unitig_inflight = None  # BLOOM section fallback
             if bitset is None and placer.mesh is None:
                 # start the bitset D2H now so the fallback transfer
@@ -1003,6 +1014,7 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     import jax.numpy as jnp
 
     cfg = cfg or LeonConfig()
+    span_reset()
     t0 = time.time()
     r = container.Reader(input_path)
     meta = r.meta
@@ -1028,28 +1040,30 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
 
     if uni_framed is not None:
         uni_raw, _ = _frames.unframe(uni_framed, 0)
-    if r.version >= 5:
-        from leon_tpu.ops import unitig as _unitig
+    with span("dec.dict"):
+        if r.version >= 5:
+            from leon_tpu.ops import unitig as _unitig
 
-        adict = blockcodec.AnchorDict.from_payload_v5(
-            r.dict_payload, W,
-            solid_provider=lambda: _unitig.solid_kmers_sorted(
-                uni_raw, meta.k, canon=_get_canon()
-            ),
-        )
-    else:
-        adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
-    dict_words = adict.words_array()
+            adict = blockcodec.AnchorDict.from_payload_v5(
+                r.dict_payload, W,
+                solid_provider=lambda: _unitig.solid_kmers_sorted(
+                    uni_raw, meta.k, canon=_get_canon()
+                ),
+            )
+        else:
+            adict = blockcodec.AnchorDict.from_payload(r.dict_payload, W)
+        dict_words = adict.words_array()
     if uni_raw is not None:
         # v4+ UNITIGS section: rebuild the encoder's bit-identical Bloom
         # filter from the stored solid-set unitigs (ops/unitig.py); the
         # spelled set is shared with the DICT enumeration above
         from leon_tpu.ops import unitig as _unitig
 
-        bitset = _unitig.rebuild_bitset_np(
-            uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed,
-            canon=canon_cache[0] if canon_cache else None,
-        )
+        with span("dec.rebuild_bitset"):
+            bitset = _unitig.rebuild_bitset_np(
+                uni_raw, meta.k, meta.n_words, meta.n_hashes, meta.seed,
+                canon=canon_cache[0] if canon_cache else None,
+            )
         canon_cache.clear()
     else:
         bloom_bytes, _ = _frames.unframe(r.bloom_payload, 0)
@@ -1066,34 +1080,39 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
     read_index = 0
     with open(output_path, "wb") as out:
         def emit(db, dispatched, start_index):
-            seq_flat, _read_start, lengths = _assemble_block_seqs(db, dispatched)
+            with span("dec.assemble"):
+                seq_flat, _read_start, lengths = _assemble_block_seqs(db, dispatched)
             tr("dec.emit.assembled")
-            if meta.header_mode:
-                headers = hcodec.decode(db.headers_payload or b"", db.n_reads)
-            else:
-                headers = hcodec.synth(start_index, db.n_reads)
-            hcat = b"".join(headers)
+            with span("dec.headers"):
+                if meta.header_mode:
+                    headers = hcodec.decode(db.headers_payload or b"", db.n_reads)
+                else:
+                    headers = hcodec.synth(start_index, db.n_reads)
+                hcat = b"".join(headers)
             hlens = np.fromiter((len(h) for h in headers), dtype=np.int64, count=len(headers))
             tr("dec.emit.headers")
             qcat = None
             if meta.fmt == bank.FASTQ and meta.qual_mode != container.QUAL_NONE:
                 qcat = db.quals_concat or b""
-            bank.write_records_arrays(
-                out, meta.fmt, hcat, hlens, seq_flat, lengths,
-                qcat=qcat, plus_lens=db.plus_lens, plus_cat=db.plus_cat,
-                fasta_nlines=db.fasta_nlines, fasta_linelens=db.fasta_linelens,
-                qual_nlines=db.qual_nlines, qual_linelens=db.qual_linelens,
-            )
+            with span("dec.write"):
+                bank.write_records_arrays(
+                    out, meta.fmt, hcat, hlens, seq_flat, lengths,
+                    qcat=qcat, plus_lens=db.plus_lens, plus_cat=db.plus_cat,
+                    fasta_nlines=db.fasta_nlines, fasta_linelens=db.fasta_linelens,
+                    qual_nlines=db.qual_nlines, qual_linelens=db.qual_linelens,
+                )
 
         # depth-2 pipeline: block i+1's device re-walks dispatch before
         # block i's host assembly drains (reference decodes blocks in
         # parallel threads [R]; here the overlap axis is device vs host)
         pending: list = []
         for bi in range(r.n_blocks):
-            db = blockcodec.parse_block(r.block(bi), meta)
+            with span("dec.parse_block"):
+                db = blockcodec.parse_block(r.block(bi), meta)
             tr(f"dec.block{bi}.parsed")
-            dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j,
-                                                cfg, placer=placer)
+            with span("dec.dispatch"):
+                dispatched = _dispatch_block_decode(db, meta, dict_words, bitset_j,
+                                                    cfg, placer=placer)
             tr(f"dec.block{bi}.dispatched")
             pending.append((db, dispatched, read_index))
             read_index += db.n_reads
@@ -1111,4 +1130,5 @@ def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional
         "n_reads": read_index,
         "output_bytes": os.path.getsize(output_path),
         "time_total_s": round(time.time() - t0, 3),
+        "span_s": span_totals(),
     }

@@ -81,3 +81,55 @@ def test_single_and_empty():
 
 def test_synth_names():
     assert H.synth(5, 3) == [b"read_5", b"read_6", b"read_7"]
+
+
+def test_native_matches_python(rng):
+    """The native header codec (leon_native.leon_hdr_encode/decode) must
+    be byte-identical to the Python reference loop on adversarial
+    structures: leading zeros, width changes, >18-digit numbers, token
+    structure changes, equal strings, empty headers, binary bytes."""
+    from leon_tpu import native
+    from leon_tpu.codecs import headers as H
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    cases = [
+        b"SIM:1:FC:1:1101:1000:2000 1:N:0:ACGT",
+        b"SIM:1:FC:1:1101:1007:2100 2:N:0:ACGT",
+        b"SIM:1:FC:1:1102:0999:2100 1:N:0:ACGT",   # leading zero
+        b"SIM:1:FC:1:1102:09990:2100 1:N:0:ACGT",  # width change w/ zeros
+        b"SIM:1:FC:1:1102:10000:2 1:N:0:ACGT",
+        b"x" * 40,                                  # no numerics
+        b"x" * 40,                                  # identical repeat
+        b"12345678901234567890123:a",               # > 18 digits
+        b"12345678901234567890124:a",
+        b"",                                        # empty header
+        b"7",
+        b"8",
+        b"0",                                       # bare zero
+        b"00",                                      # zeros w/ padding
+        b"01",
+        b"1",                                       # width drop
+        bytes(rng.integers(33, 127, 25, dtype=np.int64).astype(np.uint8)),
+        b"a:1:b:2",
+        b"a:2:b:3:c",                               # structure change
+    ]
+    # plus a bulk random section
+    for i in range(500):
+        t = int(rng.integers(1101, 1120))
+        cases.append(b"I:9:FL:2:%d:%d:%d 1:N:0:AC" % (t, i * 7, i * i % 99991))
+
+    enc_n = H._encode_native(cases)
+    enc_p = H._encode_py(cases)
+    assert enc_n is not None
+    assert enc_n[0] == enc_p[0]                        # modes
+    np.testing.assert_array_equal(enc_n[1], enc_p[1])  # lit lens
+    assert enc_n[2] == enc_p[2]                        # lit blob
+    np.testing.assert_array_equal(enc_n[3], enc_p[3])  # row counts
+    np.testing.assert_array_equal(enc_n[4], enc_p[4])  # code values
+
+    payload = H.encode(cases)
+    assert H.decode(payload, len(cases)) == cases
