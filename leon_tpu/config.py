@@ -90,6 +90,14 @@ class LeonConfig:
     # Past the gate the BLOOM section is written as before.
     unitig_sections: bool = True
     unitig_max_kmers: int = 128 << 20
+    # largest solid set the DEVICE builder takes: the remote XLA compile
+    # service on this environment crashes compiling the build program
+    # past ~8M rows (measured cliff; 8M compiles and runs, 16M dies with
+    # HTTP 500 from tpu_compile_helper). Above this the byte-identical
+    # host (numpy) builder runs instead, in a thread overlapped with the
+    # encode stage (chr-scale solid sets arrive on host anyway via the
+    # count spill path).
+    unitig_device_max_kmers: int = 8 << 20
     # when set, wrap compress/decompress in a jax.profiler trace written
     # here (the TPU-native analog of GATB TimeInfo/Progress tracing,
     # SURVEY.md §5.1)

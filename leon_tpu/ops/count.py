@@ -372,7 +372,8 @@ class DeviceCounter:
         self._runs_n += bucket
 
     def finalize(self, abundance, bits_per_kmer, H, seed: int,
-                 lossy_quals: bool = False, want_solid: bool = False):
+                 lossy_quals: bool = False, want_solid: bool = False,
+                 device_max: int = 1 << 62):
         """Returns (bitset device array, n_words, cutoff, n_solid, hist, H).
         With want_solid=True a 7th element is appended: the device solid
         run (words (Mcap, W) LSW-first sorted ascending with 0xFFFFFFFF
@@ -410,7 +411,7 @@ class DeviceCounter:
             # same (word, bit) set) and uploaded once; the solid run is
             # uploaded only when the unitig section needs it
             return self._finalize_host(abundance, bits_per_kmer, H, seed,
-                                       lossy_quals, want_solid)
+                                       lossy_quals, want_solid, device_max)
         if not self._runs:
             skeys, boundary, counts = self._sorted_pending()
             tr("count.fin.sort_dispatched")
@@ -450,11 +451,13 @@ class DeviceCounter:
         if warn:
             print(f"[leon-tpu] {warn}", file=_sys.stderr)
         if want_solid:
-            return bitset, n_words, cutoff, n_solid, hist, H, (words, cnt_c, int(hist.sum()))
+            return (bitset, n_words, cutoff, n_solid, hist, H,
+                    (words, cnt_c, int(hist.sum()), None))
         return bitset, n_words, cutoff, n_solid, hist, H
 
     def _finalize_host(self, abundance, bits_per_kmer, H, seed: int,
-                       lossy_quals: bool, want_solid: bool):
+                       lossy_quals: bool, want_solid: bool,
+                       device_max: int = 1 << 62):
         """finalize() for inputs that spilled runs to host RAM. Bounded
         HBM: the device never holds more than the solid run (uploaded for
         the Bloom/unitig builds) regardless of distinct-set size."""
@@ -489,14 +492,23 @@ class DeviceCounter:
         nu_total = int(hist.sum())
         solidset = None
         if n_solid:
-            Mcap = _bucket_size(n_solid)
-            wpad = np.full((Mcap, self.W), 0xFFFFFFFF, np.uint32)
-            wpad[:n_solid] = solid
-            cpad = np.zeros(Mcap, np.int32)
-            cpad[:n_solid] = np.minimum(
+            counts_solid = np.minimum(
                 counts[solid_m], np.iinfo(np.int32).max
             ).astype(np.int32)
-            solidset = (jnp.asarray(wpad), jnp.asarray(cpad), nu_total)
+            host_pair = (solid, counts_solid)
+            # the device builder only takes sets it can compile for
+            # (config.unitig_device_max_kmers); bigger sets build on host
+            # from host_pair, so skip the (large) upload entirely
+            if n_solid <= device_max:
+                Mcap = _bucket_size(n_solid)
+                wpad = np.full((Mcap, self.W), 0xFFFFFFFF, np.uint32)
+                wpad[:n_solid] = solid
+                cpad = np.zeros(Mcap, np.int32)
+                cpad[:n_solid] = counts_solid
+                solidset = (jnp.asarray(wpad), jnp.asarray(cpad), nu_total,
+                            host_pair)
+            else:
+                solidset = (None, None, nu_total, host_pair)
         return bitset, n_words, cutoff, n_solid, hist, H, solidset
 
 

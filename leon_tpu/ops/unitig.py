@@ -365,13 +365,22 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     starts = _bucket_starts(words, k)
     succ = jnp.full(2 * M, -1, jnp.int32)
     outc = jnp.zeros(2 * M, jnp.int32)
+    # the base axis rides a fori_loop (traced b) instead of unrolling:
+    # 8 unrolled search chains made the program large enough that the
+    # XLA compile service crashed past ~8M rows; 2 rolled chains compile
+    # at any size (shl2/shr2_ins/search are shape-stable in b)
+    from jax import lax as _lax
+
     for o in (0, 1):
         ids = jnp.arange(M, dtype=jnp.int32) * 2 + o
         x = words if o == 0 else rc
         xr = rc if o == 0 else words
-        for b in range(4):
-            y = shl2(x, jnp.uint32(b), k)
-            yr = shr2_ins(xr, jnp.uint32(3 - b), k)
+
+        def succ_body(b, st, ids=ids, x=x, xr=xr):
+            succ, outc = st
+            bu = b.astype(jnp.uint32)
+            y = shl2(x, bu, k)
+            yr = shr2_ins(xr, jnp.uint32(3) - bu, k)
             take_rc = lex_less(yr, y)
             cy = jnp.where(take_rc[:, None], yr, y)
             j = _searchsorted_words_dev(words, cy, iters, starts=starts, k=k)
@@ -382,6 +391,10 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
             outc = outc.at[ids].set(oc)
             first = hit & (oc == 1)
             succ = succ.at[ids].set(jnp.where(first, did, succ[ids]))
+            return (succ, outc)
+
+        succ, outc = _lax.fori_loop(0, 4, lambda b, st: succ_body(b, st),
+                                    (succ, outc))
     inc = outc.reshape(M, 2)[:, ::-1].reshape(-1)
     s = jnp.maximum(succ, 0)
     internal = solid2 & (outc == 1) & (succ >= 0) & (inc[s] == 1) & solid2[s]
@@ -488,10 +501,15 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     Fh_r = rc[hrow]
     Fh = jnp.where((hids & 1)[:, None].astype(bool), Fh_r, Fh_w)  # (cap_chains, W)
     hstart_c = jnp.where(live, start[jnp.arange(cap_chains)], cap_bases)
-    for j in range(k - 1):
-        t = 2 * (k - 1 - j)
-        bj = ((Fh[:, t // 32] >> jnp.uint32(t % 32)) & 3).astype(jnp.uint8)
-        bases = bases.at[jnp.where(live, hstart_c + j, cap_bases)].set(bj, mode="drop")
+
+    def prefix_body(j, bases):
+        # rolled (traced j) for compile-size reasons — see succ loop note
+        t = 2 * (k - 1) - 2 * j
+        col = jnp.take(Fh, t // 32, axis=1)
+        bj = ((col >> (t % 32).astype(jnp.uint32)) & 3).astype(jnp.uint8)
+        return bases.at[jnp.where(live, hstart_c + j, cap_bases)].set(bj, mode="drop")
+
+    bases = _lax.fori_loop(0, k - 1, prefix_body, bases)
 
     # pack 2-bit, 16 codes/u32, code t at bits 2t (pack_codes_np layout)
     grp = bases.reshape(-1, 16).astype(jnp.uint32)
@@ -739,16 +757,24 @@ def sort_rows_bigint(allc: np.ndarray) -> np.ndarray:
 
 
 def solid_kmers_sorted(raw: bytes, k: int, canon: np.ndarray | None = None) -> np.ndarray:
-    """(n_solid, W) u32 canonical solid k-mers, ascending big-int order,
-    spelled from the unitig payload. This is the DICT-v2 enumeration
-    (FORMAT.md §5): encoder and decoder both derive it from the SAME
-    payload bytes with this same function, so anchor indices into it are
-    deterministic by construction — no separately-shipped set to drift.
-    `canon` short-circuits the spelling when the caller already has
-    spell_canon's output (the decoder shares it with the bitset rebuild)."""
+    """(n_solid, W) u32 DISTINCT canonical solid k-mers, ascending big-int
+    order, spelled from the unitig payload. This is the DICT-v2
+    enumeration (FORMAT.md §5): encoder and decoder both derive it from
+    the SAME payload bytes with this same function, so anchor indices
+    into it are deterministic by construction. DEDUPED: a self-twin
+    chain (a unitig adjacent to its own reverse complement) legitimately
+    spells its k-mers twice in the payload, but the enumeration must
+    match the distinct solid run the encoder indexes against
+    (solid_run_host / solid_indices_dev). `canon` short-circuits the
+    spelling when the caller already has spell_canon's output (the
+    decoder shares it with the bitset rebuild)."""
     if canon is None:
         canon = spell_canon(raw, k)
-    return sort_rows_bigint(canon)
+    s = sort_rows_bigint(canon)
+    if s.shape[0] > 1:
+        keep = np.concatenate(([True], (s[1:] != s[:-1]).any(axis=1)))
+        s = np.ascontiguousarray(s[keep])
+    return s
 
 
 def solid_indices_dev(infl: "_Inflight", keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:

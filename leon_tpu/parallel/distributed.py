@@ -290,21 +290,39 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
     bitset_j, n_words, cutoff, n_solid, _hist, H, solidset = merged.finalize(
         cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
         lossy_quals=qual_mode == container.QUAL_LOSSY, want_solid=True,
+        device_max=cfg.unitig_device_max_kmers,
     )
     # every process derives the same section decision from the identical
     # merged solid set (shard invariance: archives match single-process)
     unitig_payload = None
+    unitig_infl = None
     if (cfg.unitig_sections and solidset is not None and n_solid > 0
             and n_solid <= cfg.unitig_max_kmers):  # solid-count gate (see config)
         try:
             from leon_tpu.ops import unitig as _unitig
 
-            infl = _unitig.dispatch_build(
-                solidset[0], solidset[1], cutoff, k, solidset[2],
-                n_solid=n_solid,
-            )
-            unitig_payload = pipeline._resolve_unitigs(infl, n_words)
-            unitig_infl = infl if unitig_payload is not None else None
+            if n_solid > cfg.unitig_device_max_kmers:
+                # compile-cliff fallback: byte-identical host builder
+                # (same decision rule as the single-process pipeline, so
+                # archives stay shard-invariant)
+                hp = solidset[3]
+                if hp is None and solidset[0] is not None:
+                    _w = np.asarray(solidset[0])
+                    _c = np.asarray(solidset[1])
+                    _m = _c >= cutoff
+                    hp = (np.ascontiguousarray(_w[_m]), _c[_m])
+                if hp is not None:
+                    hs, hc = hp
+                    p = _unitig.build_np_payload(hs, hc, cutoff, k, solidset[2])
+                    if p is not None and len(p) < 4 * n_words:
+                        unitig_payload = p
+            else:
+                infl = _unitig.dispatch_build(
+                    solidset[0], solidset[1], cutoff, k, solidset[2],
+                    n_solid=n_solid,
+                )
+                unitig_payload = pipeline._resolve_unitigs(infl, n_words)
+                unitig_infl = infl if unitig_payload is not None else None
         except Exception:
             unitig_payload = None
             unitig_infl = None

@@ -322,7 +322,7 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
     with span("count.finalize"):
         bitset, n_words, cutoff, n_solid, _hist, H_used, solidset = counter.finalize(
             cfg.abundance, cfg.bloom_bits_per_kmer, H, seed, lossy_quals,
-            want_solid=True,
+            want_solid=True, device_max=cfg.unitig_device_max_kmers,
         )
     tr("count.finalize.end")
     return bitset, n_words, cutoff, n_solid, H_used, solidset
@@ -540,6 +540,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     # DICT v2 enumeration source (cheapest available, see tail.dict):
     # ("infl", _Inflight) device run | ("host", solid rows) | None -> spell
     unitig_solid_src = None
+    unitig_thread = None  # host numpy builder (sets above the device cap)
+    unitig_thread_out: list = []
     if ck is not None:
         bitset, n_words, cutoff, n_solid, H, unitig_payload = ck
         bitset_j = _pad_bitset_dev(bitset, n_words)
@@ -564,6 +566,43 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             not use_host_count and cfg.unitig_sections and solidset is not None
             and n_solid > 0 and n_solid <= cfg.unitig_max_kmers
         )
+        if (unitig_planned and n_solid > cfg.unitig_device_max_kmers):
+            # too large for the device builder (compile-service cliff,
+            # see config): run the byte-identical numpy builder in a
+            # thread — it touches no device state, so it overlaps the
+            # whole encode stage instead of queuing behind the walks
+            unitig_planned = False
+            if solidset[3] is None and solidset[0] is not None:
+                # mid-size set counted entirely on device (no spill):
+                # pull the distinct run once and filter to solid rows so
+                # the host builder can run — the same section decision
+                # the spill path would make
+                _w = np.asarray(solidset[0])
+                _c = np.asarray(solidset[1])
+                _m = _c >= cutoff
+                solidset = (solidset[0], solidset[1], solidset[2],
+                            (np.ascontiguousarray(_w[_m]), _c[_m]))
+            if solidset[3] is not None:
+                import threading as _threading
+
+                from leon_tpu.ops import unitig as _unitig
+
+                _host_solid, _host_counts = solidset[3]
+                unitig_thread_out: list = []
+
+                def _host_build(out=unitig_thread_out, hs=_host_solid,
+                                hc=_host_counts, nu=solidset[2]):
+                    try:
+                        out.append(_unitig.build_np_payload(hs, hc, cutoff, k, nu))
+                    except Exception as e:
+                        print(f"[leon-tpu] host unitig build failed "
+                              f"({type(e).__name__}: {str(e)[:200]})",
+                              file=sys.stderr)
+                        out.append(None)
+
+                unitig_thread = _threading.Thread(target=_host_build, daemon=True)
+                unitig_thread.start()
+                unitig_solid_src = ("host", _host_solid)
         if unitig_planned and cfg.checkpoint:
             # checkpoint runs resolve the section choice up front (the
             # decision is part of the checkpoint); everyone else defers
@@ -618,6 +657,12 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     if ck is None and cfg.checkpoint:
         # the section decision is part of the checkpoint (a resumed run
         # must write the byte-identical archive), so resolve it now
+        if unitig_thread is not None:
+            unitig_thread.join()
+            p = unitig_thread_out[0] if unitig_thread_out else None
+            if p is not None and len(p) < 4 * n_words:
+                unitig_payload = p
+            unitig_thread = None
         if unitig_inflight is not None:
             unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
             if unitig_payload is not None:
@@ -774,6 +819,13 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t_encode = time.time() - t1
 
     tr("enc.bloom_late_d2h.begin")
+    if unitig_thread is not None and unitig_payload is None:
+        with span("tail.unitig_join"):
+            unitig_thread.join()
+        p = unitig_thread_out[0] if unitig_thread_out else None
+        if p is not None and len(p) < 4 * n_words:  # frozen size rule
+            unitig_payload = p
+        unitig_thread = None
     if unitig_inflight is not None and unitig_payload is None:
         with span("tail.unitig_drain"):
             unitig_payload = _resolve_unitigs(unitig_inflight, n_words)

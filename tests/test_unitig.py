@@ -379,3 +379,50 @@ class TestDictV2:
         dec = str(tmp_path / "v4.fasta")
         pipeline.decompress(p4, dec)
         assert open(dec, "rb").read() == src.read_bytes()
+
+
+def test_host_builder_path_byte_identical(rng, tmp_path):
+    """Solid sets above unitig_device_max_kmers build on HOST (threaded);
+    the archive must be byte-identical to the device-builder archive
+    (forced by setting the cap below/above the set's size)."""
+    from leon_tpu import pipeline
+    from leon_tpu.config import LeonConfig
+    from leon_tpu.io import container
+
+    lines = []
+    contig = "".join("ACGT"[b] for b in rng.integers(0, 4, 800))
+    for i in range(150):
+        s = int(rng.integers(0, 700))
+        lines.append(f">h{i}\n{contig[s:s+100]}\n")
+    src = tmp_path / "in.fasta"
+    src.write_bytes("".join(lines).encode())
+    common = dict(batch_reads=64, reads_per_block=128)
+    a = str(tmp_path / "host.leon")
+    b = str(tmp_path / "dev.leon")
+    pipeline.compress(str(src), a, LeonConfig(unitig_device_max_kmers=16, **common))
+    pipeline.compress(str(src), b, LeonConfig(**common))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    r = container.Reader(a)
+    assert r.unitigs_payload is not None  # the host path DID write UNITIGS
+    r.close()
+    d = pipeline.decompress(a, cfg=LeonConfig(**common))
+    assert open(d["output"], "rb").read() == src.read_bytes()
+
+
+def test_self_twin_chain_dict_enumeration(rng, tmp_path):
+    """A unitig adjacent to its own reverse complement spells its k-mers
+    TWICE in the payload (legitimately); the DICT enumeration must dedup
+    so encoder (distinct run) and decoder (spelled payload) agree.
+    Regression: hypothesis found poly-A reads raising 'solid-set size
+    mismatch' on decompress."""
+    from leon_tpu import pipeline
+    from leon_tpu.config import LeonConfig
+
+    src = tmp_path / "polya.fasta"
+    reads = [b"A" * 40, b"A" * 40, b"A" * 40,
+             b"AAAAAAAAAATTTTTTTTTTAAAAAAAAAA"] * 3
+    src.write_bytes(b"".join(b">p%d\n%s\n" % (i, r) for i, r in enumerate(reads)))
+    cfg = LeonConfig(kmer_size=15, batch_reads=64, reads_per_block=64)
+    st = pipeline.compress(str(src), str(tmp_path / "p.leon"), cfg)
+    d = pipeline.decompress(str(tmp_path / "p.leon"), cfg=cfg)
+    assert open(d["output"], "rb").read() == src.read_bytes()
