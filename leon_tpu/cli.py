@@ -119,11 +119,17 @@ def _run(args) -> int:
 def _rd(p: str) -> bytes:
     import gzip
 
-    if p.endswith(".gz"):
-        with gzip.open(p, "rb") as f:
-            return f.read()
-    with open(p, "rb") as f:
-        return f.read()
+    from leon_tpu.io import bank
+
+    out = []
+    for m in bank.album_paths(p):  # composite banks: oracle is the concat
+        if m.endswith(".gz"):
+            with gzip.open(m, "rb") as f:
+                out.append(f.read())
+        else:
+            with open(m, "rb") as f:
+                out.append(f.read())
+    return b"".join(out)
 
 
 def _is_fasta(p: str) -> bool:

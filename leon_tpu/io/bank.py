@@ -70,7 +70,52 @@ def _open(path: str):
     return open(path, "rb")
 
 
-def sniff_format(path: str) -> int:
+# ---------------------------------------------------------------------------
+# Composite ("album") banks
+# ---------------------------------------------------------------------------
+#
+# [R] GATB BankAlbum (gatb-core bank/impl/BankAlbum.cpp) lets a bank spec
+# name several files that iterate as one concatenated bank. Same contract
+# here: a spec is either a single path, a comma-separated list of paths,
+# or a `.list`/`.album` text file whose non-blank, non-'#' lines are paths
+# (relative to the album file's directory). Every public bank entry point
+# below accepts a spec; the pipeline and distributed drivers inherit
+# multi-file input for free. Decompression reconstructs the concatenation
+# of the member files (each member record stream in order).
+
+
+def album_paths(spec: str) -> list[str]:
+    """Expand a bank spec into its member file paths (see module note)."""
+    import os
+
+    if "," in spec:
+        paths = [s.strip() for s in spec.split(",") if s.strip()]
+        if not paths:
+            raise ValueError(f"{spec!r}: empty bank list")
+        return paths
+    if spec.lower().endswith((".list", ".album")):
+        base = os.path.dirname(os.path.abspath(spec))
+        paths = []
+        with open(spec, "r") as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                paths.append(ln if os.path.isabs(ln) else os.path.join(base, ln))
+        if not paths:
+            raise ValueError(f"{spec}: album file lists no inputs")
+        return paths
+    return [spec]
+
+
+def total_size(spec: str) -> int:
+    """Input bytes across all album members (plain getsize for one file)."""
+    import os
+
+    return sum(os.path.getsize(p) for p in album_paths(spec))
+
+
+def _sniff_one(path: str) -> int:
     with _open(path) as f:
         while True:
             line = f.readline()
@@ -86,17 +131,29 @@ def sniff_format(path: str) -> int:
             raise ValueError(f"{path}: not FASTA/FASTQ (first byte {s[:1]!r})")
 
 
-def read_blocks(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
+def sniff_format(spec: str) -> int:
+    fmts = {p: _sniff_one(p) for p in album_paths(spec)}
+    if len(set(fmts.values())) > 1:
+        raise ValueError(
+            f"composite bank mixes FASTA and FASTQ members: "
+            f"{ {p: ('FASTA' if v == FASTA else 'FASTQ') for p, v in fmts.items()} }"
+        )
+    return next(iter(fmts.values()))
+
+
+def read_blocks(spec: str, reads_per_block: int) -> Iterator[SeqBlock]:
     """Stream the input as SeqBlocks. Final newline presence is NOT part of
     the blocks; use `final_newline(path)` or `parse_all`."""
-    fmt = sniff_format(path)
-    if fmt == FASTA:
-        yield from _read_fasta(path, reads_per_block)
-    else:
-        yield from _read_fastq(path, reads_per_block)
+    sniff_format(spec)  # reject mixed-format albums up front
+    for path in album_paths(spec):
+        fmt = _sniff_one(path)
+        if fmt == FASTA:
+            yield from _read_fasta(path, reads_per_block)
+        else:
+            yield from _read_fastq(path, reads_per_block)
 
 
-def final_newline(path: str) -> bool:
+def _final_newline_one(path: str) -> bool:
     with _open(path) as f:
         last = b""
         while True:
@@ -105,6 +162,18 @@ def final_newline(path: str) -> bool:
                 break
             last = chunk[-1:]
         return last == b"\n"
+
+
+def final_newline(spec: str) -> bool:
+    """Whether the reconstruction ends with a newline. For an album, every
+    non-final member reconstructs WITH its trailing newline (records are
+    written newline-terminated); a member that lacked one cannot survive
+    byte-exactly — warn, matching the blank-line policy."""
+    paths = album_paths(spec)
+    for p in paths[:-1]:
+        if not _final_newline_one(p):
+            _warn_dropped(p, "missing final newline of a non-final album member")
+    return _final_newline_one(paths[-1])
 
 
 def _read_fasta(path: str, reads_per_block: int) -> Iterator[SeqBlock]:
@@ -339,11 +408,16 @@ def _capped_chunk(path: str, chunk_bytes: int) -> int:
         return chunk_bytes
 
 
-def validate_arrays(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
+def validate_arrays(spec: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
     """True when the input parses on the vectorized array path (regular
     structure). Streaming and cheap — a line scan with first-byte checks,
     no gathers — so callers can commit to one parser for multi-pass runs
-    instead of handling a mid-stream IrregularInput."""
+    instead of handling a mid-stream IrregularInput. Album specs validate
+    every member."""
+    return all(_validate_arrays_one(p, chunk_bytes) for p in album_paths(spec))
+
+
+def _validate_arrays_one(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
     import numpy as np
 
     chunk_bytes = _capped_chunk(path, chunk_bytes)
@@ -393,17 +467,28 @@ def validate_arrays(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
         return nlines % 4 == 0 and nlines > 0
 
 
-def read_blocks_arrays(path: str, reads_per_block: int,
+def read_blocks_arrays(spec: str, reads_per_block: int,
                        chunk_bytes: int = _ARRAY_CHUNK_BYTES):
     """Yield ArrayBlocks via the vectorized parser, streaming the file in
     ~chunk_bytes pieces (constant memory; gz decompresses through the same
     path). Block boundaries are identical to read_blocks at any
     chunk_bytes: chunks cut at record boundaries that are also
-    reads_per_block boundaries, the remainder carrying forward.
+    reads_per_block boundaries, the remainder carrying forward. Album
+    specs chain members (each member's final short block stays short, so
+    boundaries match read_blocks on the same spec).
 
     Raises IrregularInput on structure the tolerant parser accepts (blank
     filler lines etc.) — run validate_arrays first to choose the parser
     upfront; the raise here is a safety net only."""
+    paths = album_paths(spec)
+    if len(paths) > 1:
+        sniff_format(spec)  # reject mixed-format albums up front
+    for p in paths:
+        yield from _read_blocks_arrays_one(p, reads_per_block, chunk_bytes)
+
+
+def _read_blocks_arrays_one(path: str, reads_per_block: int,
+                            chunk_bytes: int = _ARRAY_CHUNK_BYTES):
     import numpy as np
 
     chunk_bytes = _capped_chunk(path, chunk_bytes)

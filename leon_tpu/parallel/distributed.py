@@ -475,6 +475,6 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
         )
         total = container.write(output_path, c)
         stats["output_bytes"] = total
-        stats["input_bytes"] = os.path.getsize(input_path)
+        stats["input_bytes"] = bank.total_size(input_path)
         stats["ratio"] = stats["input_bytes"] / total if total else 0.0
     return stats

@@ -127,7 +127,7 @@ _CKPT_VERSION = 4  # counts Bloom layout + key fields; bump with FORMAT §4
 
 def _ckpt_key(cfg: LeonConfig, k: int, input_path: str, lossy_quals: bool) -> tuple:
     try:
-        size = os.path.getsize(input_path)
+        size = bank.total_size(input_path)
     except OSError:
         size = -1
     # lossy_quals is part of the key: the auto Bloom sizing differs per
@@ -450,13 +450,15 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     span_reset()
     t0 = time.time()
     if output_path is None:
-        base = input_path[:-3] if input_path.endswith(".gz") else input_path
+        # composite banks: name the archive after the first member
+        first = bank.album_paths(input_path)[0]
+        base = first[:-3] if first.endswith(".gz") else first
         output_path = base + ".leon"
 
     k = cfg.kmer_size
     W = K.words_for_k(k)
     fmt = bank.sniff_format(input_path)
-    file_size = os.path.getsize(input_path)
+    file_size = bank.total_size(input_path)
     stream_mode = file_size > cfg.stream_threshold_bytes
 
     header_mode = 0 if cfg.noheader else 1
@@ -868,7 +870,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             dict_payload = adict.payload(None)
         writer.section(container.TAG_DICT, dict_payload)
     total = writer.close()
-    in_bytes = os.path.getsize(input_path)
+    in_bytes = bank.total_size(input_path)
     stats = {
         "input": input_path,
         "output": output_path,
