@@ -30,46 +30,42 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
-def _bloom_bytes_local(words: jnp.ndarray, valid: jnp.ndarray, nw, m_alloc: int,
-                       H: int, seed: int, k: int):
-    """Scatter this shard's solid k-mers into a 0/1 byte array of m bits.
-
-    Byte-per-bit (not packed) so the scatter is a plain max-scatter and the
-    cross-device OR is `pmax` — XLA has no OR-allreduce, but max on {0,1}
-    is one. Packing to u32 words happens after the merge. nw (exact word
-    count) is traced data; m_alloc = 32 * alloc_words(nw) is the static
-    scratch size.
-    """
+def _bloom_words_local(words: jnp.ndarray, valid: jnp.ndarray, nw,
+                       n_alloc: int, H: int, seed: int, k: int):
+    """Scatter this shard's solid k-mers into a PACKED (n_alloc,) u32 word
+    array: sort the (word, bit) probe pairs, drop duplicates, scatter-ADD
+    the single-bit values — add over deduplicated bits equals bitwise OR
+    (same trick as bloom.build_device), with no byte-per-bit scratch."""
     wi, bit = bloom.wordbit(words, H, nw, seed, jnp, k)  # (S, H)
-    pos = (wi.astype(jnp.uint32) << jnp.uint32(5)) | bit
-    v = jnp.broadcast_to(valid[:, None], pos.shape)
-    idx = jnp.where(v, pos, U32(m_alloc)).reshape(-1).astype(jnp.int32)  # pad -> overflow slot
-    by = jnp.zeros(m_alloc + 1, jnp.uint8).at[idx].max(jnp.uint8(1))
-    return by[:m_alloc]
-
-
-def _pack_bits(by: jnp.ndarray) -> jnp.ndarray:
-    """(m,) 0/1 uint8 -> (m/32,) uint32 words (bit p -> word p>>5, bit p&31)."""
-    b = by.reshape(-1, 32).astype(U32)
-    weights = (U32(1) << jnp.arange(32, dtype=U32))[None, :]
-    return jnp.sum(b * weights, axis=1, dtype=U32)
+    v = jnp.broadcast_to(valid[:, None], wi.shape)
+    wif = jnp.where(v, wi.astype(U32), U32(n_alloc)).reshape(-1)
+    bitf = jnp.where(v, bit, U32(0)).reshape(-1)
+    swi, sbit = lax.sort((wif, bitf), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (swi[1:] != swi[:-1]) | (sbit[1:] != sbit[:-1])]
+    )
+    idx = jnp.where(first, swi, U32(n_alloc)).astype(jnp.int32)
+    out = jnp.zeros(n_alloc + 1, U32).at[idx].add(U32(1) << sbit, mode="drop")
+    return out[:n_alloc]
 
 
 def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, n_words: int, H: int, seed: int, k: int):
     """Build the replicated Bloom bitset collectively: shard the solid-kmer
-    list over "d", scatter locally, OR-allreduce, pack. Returns a
-    fully-replicated (m/32,) uint32 device array.
+    list over "d", build packed per-shard partial filters, merge with an
+    all_to_all word-range exchange + local OR (each device reduces its own
+    word range — reduce-scatter semantics, since XLA exposes no OR
+    allreduce), then replicate. Returns a fully-replicated
+    (alloc_words(n_words),) uint32 device array.
 
-    Byte-per-bit scratch costs 32 * alloc_words(n_words) bytes per device;
-    callers gate on n_words and fall back to the host build for huge
-    filters. Returns a bitset padded to bloom.alloc_words(n_words).
-    """
-    if n_words > (1 << 27):
-        raise ValueError("mesh byte-per-bit builder supports n_words <= 2^27 "
-                         "(byte-per-bit scratch = 32*n_words bytes); use "
-                         "bloom.build_device + replication for larger filters")
-    m_alloc = 32 * bloom.alloc_words(n_words)
+    Memory per device is ~2x the packed filter (partial + exchange
+    transient) — no byte-per-bit scratch — and per-device traffic is ~1x
+    the filter plus the replication gather, independent of device count.
+    Capacity matches the single-device builder (bloom.MAX_WORDS)."""
+    if n_words > bloom.MAX_WORDS:
+        raise ValueError(f"n_words {n_words} > {bloom.MAX_WORDS}")
+    aw = bloom.alloc_words(n_words)
     n = mesh.devices.size
+    aw_pad = -(-aw // n) * n  # word space must split evenly over "d"
     S = solid_words.shape[0]
     W = solid_words.shape[1] if solid_words.ndim == 2 else 1
     pad = (-S) % max(n, 1)
@@ -80,14 +76,23 @@ def sharded_bloom_build(mesh: Mesh, solid_words: np.ndarray, n_words: int, H: in
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d"), P()),
-        out_specs=P(),
+        out_specs=P("d"),
     )
     def build(w, v, nw):
-        by = _bloom_bytes_local(w, v, nw, m_alloc, H, seed, k)
-        by = lax.pmax(by, "d")
-        return _pack_bits(by)
+        part = _bloom_words_local(w, v, nw, aw_pad, H, seed, k)
+        t = part.reshape(n, aw_pad // n)
+        if n > 1:
+            # row j of the result on device d = device j's partial for
+            # d's word range; OR them to own the merged range
+            t = lax.all_to_all(t, "d", split_axis=0, concat_axis=0)
+        merged = t[0]
+        for i in range(1, n):
+            merged = merged | t[i]
+        return merged
 
-    return jax.jit(build)(words, valid, jnp.uint32(n_words))
+    out = jax.jit(build)(words, valid, jnp.uint32(n_words))
+    out = jax.device_put(out, NamedSharding(mesh, P()))  # replicate
+    return out[:aw] if aw_pad != aw else out
 
 
 def make_sharded_encoder(mesh: Mesh, k: int, H: int, n_words: int, seed: int):
