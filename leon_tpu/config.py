@@ -67,11 +67,17 @@ class LeonConfig:
     # for every later dispatch), then the dense transfer. Measured event
     # rates on the 25x 1%-error bench corpus: ~3.6 err/read (error tails
     # near read ends emit one event per remaining step) and ~4.2 bif/read
-    # (Bloom FPs on the 4 candidate probes) — r2's 4/2 defaults made
+    # (Bloom FPs on the 4 candidate probes) — r2's 4/2 PER-READ slots made
     # EVERY chunk pay a synchronous retry round-trip, 90% of the encode
-    # stage. Slack is ~0.2 MB extra D2H per 16384-lane chunk: noise
-    # against the tunnel's latency floor
-    event_cap_per_read: int = 8
+    # stage. Today's caps are CHUNK-TOTAL budgets (cap = per_read x lanes,
+    # WalkCaps escalates on overflow). err events run ~1/read on 1%-error
+    # data, so 4/read keeps ~4x headroom while halving the errgap plane —
+    # the LARGEST compact-buffer D2H plane (u16 x cap_err; the tunnel
+    # charges ~40 ms latency + ~0.1 s/MB per drain). bif events run
+    # ~2.2/read on the bench corpus (measured: 4/read overflowed and paid
+    # escalation retries) and their plane is 2-bit packed — 16x smaller
+    # per slot — so bif keeps the 8/read headroom.
+    event_cap_per_read: int = 4
     bif_cap_per_read: int = 8
     # device-side pipelining depth: chunks dispatched ahead of the host
     # consuming their results (keeps the device busy across the D2H

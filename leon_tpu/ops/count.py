@@ -223,6 +223,11 @@ class DeviceCounter:
         # transient peaks ~6 GB of the 16 GB v5e HBM.
         self.spill_rows = int(spill_rows)
         self._host_runs: list = []  # (uniq LSW-first np, counts np i64)
+        # deferred slab compaction: (skeys, boundary, counts, nu_dev) of
+        # the last flushed slab, its distinct-count scalar still in an
+        # async D2H — resolved lazily so the sync overlaps the next
+        # chunks' H2D/scan dispatches instead of stalling the add() loop
+        self._pending_compact = None
 
     def add(self, canon, valid) -> None:
         """canon (B, P, W) device array, valid (B, P) device bool. Chunks
@@ -254,8 +259,24 @@ class DeviceCounter:
     def _flush_slab(self) -> None:
         if not self._pend:
             return
+        self._resolve_compact()  # at most one slab outstanding
         skeys, boundary, counts = self._sorted_pending()
-        nu = int(jnp.sum(boundary, dtype=jnp.int32))  # scalar D2H per slab
+        nu_dev = jnp.sum(boundary, dtype=jnp.int32)
+        try:
+            nu_dev.copy_to_host_async()
+        except AttributeError:  # non-jax array backends in tests
+            pass
+        self._pending_compact = (skeys, boundary, counts, nu_dev)
+
+    def _resolve_compact(self) -> None:
+        """Finish the deferred compaction of the last flushed slab (sync
+        on its distinct-count scalar, scatter into a bucketed run)."""
+        pc = self._pending_compact
+        if pc is None:
+            return
+        self._pending_compact = None
+        skeys, boundary, counts, nu_dev = pc
+        nu = int(nu_dev)
         out_size = _bucket_size(max(1, nu))
         keys_c, cnt_c = _compact_run(skeys, boundary, counts, out_size)
         self._runs.append((keys_c, cnt_c, out_size))
@@ -310,10 +331,58 @@ class DeviceCounter:
         self._runs, self._runs_n = [], 0
         self._next_merge = self.merge_factor * self.slab
 
+    def _final_sorted(self):
+        """Finalize-time collapse: raw pending chunks (count-1 entries) +
+        the deferred slab (uncompacted sorted, counts at boundaries) +
+        compacted runs all concatenate into ONE merge sort — no per-source
+        pre-sorts, no distinct-count syncs. Returns (skeys MSW-first,
+        boundary, summed); consumes all device-side state."""
+        pend, valids = self._pend, self._pend_valid
+        self._pend, self._pend_valid, self._pend_n = [], [], 0
+        pc, self._pending_compact = self._pending_compact, None
+        runs, self._runs, self._runs_n = self._runs, [], 0
+        W = self.W
+
+        if not runs and pc is None:
+            n = sum(int(c.shape[0] * c.shape[1]) for c in pend)
+            bucket = _bucket_size(n)
+            return _fused_sort_count(tuple(pend), tuple(valids), bucket, self.k)
+
+        srcs = [(keys_t, cnt) for keys_t, cnt, _b in runs]
+        if pc is not None:
+            skeys, boundary, counts, nu_dev = pc
+            nu = int(nu_dev)  # async-fetched at flush time: free by now
+            out_size = _bucket_size(max(1, nu))
+            if out_size <= skeys[0].shape[0] // 2:
+                # compaction shrinks the merge sort enough to pay for
+                # its scatter (typical at sequencing coverage)
+                srcs.append(_compact_run(skeys, boundary, counts, out_size))
+            else:
+                srcs.append((skeys, counts))  # counts live at boundary rows
+        if pend:
+            flat = jnp.concatenate([c.reshape(-1, W) for c in pend], axis=0)
+            v = jnp.concatenate([vv.reshape(-1) for vv in valids])
+            srcs.append((tuple(flat[:, W - 1 - j] for j in range(W)),
+                         v.astype(jnp.int32)))  # raw kmers count 1; pads 0
+        total = sum(int(s[1].shape[0]) for s in srcs)
+        bucket = _bucket_size(total)
+        keys_cat = []
+        for j in range(W):
+            parts = [s[0][j] for s in srcs]
+            if bucket > total:
+                parts.append(jnp.full(bucket - total, 0xFFFFFFFF, jnp.uint32))
+            keys_cat.append(jnp.concatenate(parts))
+        cparts = [s[1] for s in srcs]
+        if bucket > total:
+            cparts.append(jnp.zeros(bucket - total, jnp.int32))
+        counts_cat = jnp.concatenate(cparts)
+        return _merge_sorted_runs(tuple(keys_cat), counts_cat)
+
     def _merged_run(self):
         """Collapse all pending slabs/runs to ONE compacted run on device;
         returns (keys_t MSW-first, counts, bucket) or None when empty."""
         self._flush_slab()
+        self._resolve_compact()
         if not self._runs:
             return None
         if len(self._runs) > 1:
@@ -323,7 +392,9 @@ class DeviceCounter:
     def _host_merged(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Collapse device runs + host-spilled runs to ONE host run
         (uniq LSW-first, counts i64), or None when empty."""
-        r = self._merged_run() if (self._pend or self._runs) else None
+        r = (self._merged_run()
+             if (self._pend or self._runs or self._pending_compact is not None)
+             else None)
         parts = list(self._host_runs)
         self._host_runs = []
         if r is not None:
@@ -385,13 +456,15 @@ class DeviceCounter:
         coverage histogram (bloom.auto_params — the frozen rule).
 
         Launch discipline (the tunnel charges heavily per big program):
-        one fused concat+sort launch over the pending slab (or the run
-        merge), one compaction, then histogram + Bloom build sized to the
-        DISTINCT set. Host syncs: the distinct count (4 B) and the
-        256-entry histogram."""
+        one fused merge sort over raw pending chunks + the deferred slab
+        + merged runs, one compaction, then histogram + Bloom build sized
+        to the DISTINCT set. Host sync: the 256-entry histogram ONLY —
+        the distinct count is its sum (hist[0] is forced to 0), so the
+        compaction bucket derives from the same transfer."""
         from leon_tpu.ops import bloom
 
-        if not self._pend and not self._runs:
+        if (not self._pend and not self._runs
+                and self._pending_compact is None):
             hist = np.zeros(256, np.int64)
             cutoff = abundance if abundance is not None else 2
             if bits_per_kmer is None:
@@ -412,27 +485,22 @@ class DeviceCounter:
             # uploaded only when the unitig section needs it
             return self._finalize_host(abundance, bits_per_kmer, H, seed,
                                        lossy_quals, want_solid, device_max)
-        if not self._runs:
-            skeys, boundary, counts = self._sorted_pending()
-            tr("count.fin.sort_dispatched")
-            nu = int(jnp.sum(boundary, dtype=jnp.int32))
-            tr(f"count.fin.nu_sync nu={nu}")
-            keys_c, cnt_c = _compact_run(skeys, boundary, counts, _bucket_size(max(1, nu)))
-            tr("count.fin.compacted")
+        if (len(self._runs) == 1 and not self._pend
+                and self._pending_compact is None):
+            # already one compacted run — reuse it directly
+            keys_c, cnt_c, _b = self._runs[0]
+            self._runs, self._runs_n = [], 0
+            hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))
+            tr("count.fin.hist_sync")
         else:
-            self._flush_slab()
-            if len(self._runs) > 1:
-                skeys, boundary, summed = self._concat_and_merge()
-                nu = int(jnp.sum(boundary, dtype=jnp.int32))
-                keys_c, cnt_c = _compact_run(skeys, boundary, summed, _bucket_size(max(1, nu)))
-            else:
-                keys_c, cnt_c, _b = self._runs[0]
-        self._runs, self._runs_n = [], 0
-
-        # all downstream work (hist scatter, Bloom hash+sort) runs on the
-        # compacted distinct run — 5-30x smaller than the multiset
-        hist = np.asarray(_hist_of_sorted(cnt_c > 0, cnt_c))  # one transfer
-        tr("count.fin.hist_sync")
+            skeys, boundary, summed = self._final_sorted()
+            tr("count.fin.sort_dispatched")
+            hist = np.asarray(_hist_of_sorted(boundary, summed))  # ONE sync
+            nu = int(hist.sum())
+            tr(f"count.fin.hist_sync nu={nu}")
+            keys_c, cnt_c = _compact_run(skeys, boundary, summed,
+                                         _bucket_size(max(1, nu)))
+            tr("count.fin.compacted")
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
         auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
         if bits_per_kmer is None:

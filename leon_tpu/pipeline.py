@@ -538,7 +538,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     use_host_count = False
     unitig_payload: Optional[bytes] = None  # decided raw payload (or None)
     unitig_inflight = None
-    unitig_planned = False  # defer the build dispatch to the encode loop
+    unitig_planned = False  # device build eligible (dispatched pre-walks)
     # DICT v2 enumeration source (cheapest available, see tail.dict):
     # ("infl", _Inflight) device run | ("host", solid rows) | None -> spell
     unitig_solid_src = None
@@ -605,19 +605,21 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                 unitig_thread = _threading.Thread(target=_host_build, daemon=True)
                 unitig_thread.start()
                 unitig_solid_src = ("host", _host_solid)
-        if unitig_planned and cfg.checkpoint:
-            # checkpoint runs resolve the section choice up front (the
-            # decision is part of the checkpoint); everyone else defers
-            # the dispatch until the walk chunks are queued — the device
-            # executes in FIFO order, so an early unitig build would
-            # stall every walk behind its pointer-doubling passes
+        if unitig_planned:
+            # dispatch the build NOW, before any walk chunk enters the
+            # device FIFO: the build compute is serial device work either
+            # way, but dispatched first its payload D2H (started inside
+            # dispatch_build) and the tail.dict device lookup ride UNDER
+            # the walk stage instead of sitting fully exposed at the tail
+            # (measured 3.96s of a 13.7s 500k-read run when deferred)
             try:
                 from leon_tpu.ops import unitig as _unitig
 
-                unitig_inflight = _unitig.dispatch_build(
-                    solidset[0], solidset[1], cutoff, k, solidset[2],
-                    n_solid=n_solid,
-                )
+                with span("count.unitig_dispatch"):
+                    unitig_inflight = _unitig.dispatch_build(
+                        solidset[0], solidset[1], cutoff, k, solidset[2],
+                        n_solid=n_solid,
+                    )
                 tr("count.unitig.dispatched")
             except Exception as e:
                 print(f"[leon-tpu] unitig build dispatch failed "
@@ -793,29 +795,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         pending.append((be, None, None))
         if n_blocks:
             _progress(cfg, "encode", n_blocks_done + 1, n_blocks)
-    if unitig_planned and unitig_inflight is None and unitig_payload is None:
-        # dispatched here — after every walk chunk is in the device FIFO —
-        # so the unitig graph build overlaps the pending drains' host
-        # stream assembly instead of stalling the walks behind it
-        try:
-            from leon_tpu.ops import unitig as _unitig
-
-            with span("enc.unitig_dispatch"):
-                unitig_inflight = _unitig.dispatch_build(
-                    solidset[0], solidset[1], cutoff, k, solidset[2],
-                    n_solid=n_solid,
-                )
-            tr("enc.unitig.dispatched")
-        except Exception as e:
-            print(f"[leon-tpu] unitig build dispatch failed "
-                  f"({type(e).__name__}: {str(e)[:200]}); writing the "
-                  "BLOOM section instead", file=sys.stderr)
-            unitig_inflight = None  # BLOOM section fallback
-            if bitset is None and placer.mesh is None:
-                # start the bitset D2H now so the fallback transfer
-                # overlaps the pending drains instead of stalling the
-                # BLOOM section-write synchronously
-                bitset_j.copy_to_host_async()
     while pending:
         process(pending.popleft())
     t_encode = time.time() - t1
