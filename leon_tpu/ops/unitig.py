@@ -318,11 +318,15 @@ def _searchsorted_words_dev(hay, needles, iters: int, starts=None, k: int = 0):
     return jnp.where(found, loc, -1)
 
 
-def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: int):
+def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: int,
+                    assume_acyclic: bool = True):
     """Device unitig build over the padded sorted distinct run. Returns a
-    single u32 buffer: [n_chains, overflow, 0, 0 | len_nodes (cap_chains)
-    | packed bases (cap_bases/16)]. Semantics mirror the numpy reference
-    exactly (same ids, tie-breaks, emission order)."""
+    single u32 buffer: [n_chains, overflow, has_cycles, 0 | len_nodes
+    (cap_chains) | packed bases (cap_bases/16)]. Semantics mirror the
+    numpy reference exactly (same ids, tie-breaks, emission order).
+    assume_acyclic=True runs the fast single-doubling variant that only
+    DETECTS cycles (hdr[2]); drain_build re-dispatches with
+    assume_acyclic=False on the rare cycle-bearing input."""
     import jax.numpy as jnp
 
     from leon_tpu.ops.kmer import lex_less, revcomp_words_batch_np, shl2, shr2_ins, top_mask
@@ -443,33 +447,53 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
         _, _, Cm = lax.while_loop(cond, body, st)
         return Cm[:, 0], tuple(Cm[:, j + 1] for j in range(C))
 
-    # one fused pass: terminal reachability (cycle detection) + min id
-    # over the forward orbit (orbits are disjoint chains/cycles, so the
-    # plain-ids min equals the old cyc-gated min wherever it is consumed)
-    P0 = jnp.where(nxt >= 0, nxt, ids2)
-    _, (reached_i, m) = _double(
-        P0, ((nxt < 0).astype(jnp.int32), ids2),
-        lambda c, g: (c[0] | g[0], jnp.minimum(c[1], g[1])),
-    )
-    reached = reached_i.astype(bool)
-    cyc = ~reached
-    ch = cyc & (m == ids2)  # cycle heads
-    pv = jnp.where(ch, prev, -1)
-    nxt = nxt.at[jnp.where(ch, jnp.maximum(pv, 0), 2 * M)].set(-1, mode="drop")
-    prev = prev.at[jnp.where(ch, ids2, 2 * M)].set(-1, mode="drop")
+    cyc_flag = jnp.uint32(0)
+    if assume_acyclic:
+        # OPTIMISTIC fast path (the common case: real corpora have no
+        # circular unitigs): skip the cycle-detection doubling entirely
+        # and carry a reached-terminal bit through the rank doubling
+        # instead. A node whose prev-orbit never reaches a head is on a
+        # cycle; the build is then invalid and hdr[2] tells drain_build
+        # to re-dispatch the full variant. Cuts the doubling passes from
+        # three to one plus two scatter-mins (~2.5x on the build).
+        head, (rank, reached_i) = _double(
+            jnp.where(prev >= 0, prev, ids2),
+            ((prev >= 0).astype(jnp.int32), (prev < 0).astype(jnp.int32)),
+            lambda c, g: (c[0] + g[0], c[1] | g[1]),
+        )
+        cyc_flag = jnp.any((reached_i == 0) & solid2).astype(jnp.uint32)
+    else:
+        # FULL variant: terminal reachability (cycle detection) + min id
+        # over the forward orbit; cycles break at their min-id node
+        P0 = jnp.where(nxt >= 0, nxt, ids2)
+        _, (reached_i, m) = _double(
+            P0, ((nxt < 0).astype(jnp.int32), ids2),
+            lambda c, g: (c[0] | g[0], jnp.minimum(c[1], g[1])),
+        )
+        reached = reached_i.astype(bool)
+        cyc = ~reached
+        ch = cyc & (m == ids2)  # cycle heads
+        pv = jnp.where(ch, prev, -1)
+        nxt = nxt.at[jnp.where(ch, jnp.maximum(pv, 0), 2 * M)].set(-1, mode="drop")
+        prev = prev.at[jnp.where(ch, ids2, 2 * M)].set(-1, mode="drop")
 
-    head, (rank,) = _double(
-        jnp.where(prev >= 0, prev, ids2),
-        ((prev >= 0).astype(jnp.int32),),
-        lambda c, g: (c[0] + g[0],),
-    )
+        head, (rank,) = _double(
+            jnp.where(prev >= 0, prev, ids2),
+            ((prev >= 0).astype(jnp.int32),),
+            lambda c, g: (c[0] + g[0],),
+        )
 
-    _, (m, tm) = _double(
-        jnp.where(nxt >= 0, nxt, ids2),
-        (jnp.where(solid2, ids2, 2 * M), jnp.where(solid2, ids2 ^ 1, 2 * M)),
-        lambda c, g: (jnp.minimum(c[0], g[0]), jnp.minimum(c[1], g[1])),
-    )
-    keep_head = solid2 & (prev < 0) & (m <= tm)
+    # per-chain min id / min twin id are consumed only at HEAD rows, and
+    # every chain member knows its head — two scatter-mins over `head`
+    # replace the old third doubling pass (identical values at heads:
+    # a head's forward orbit IS its chain)
+    big = jnp.int32(2 * M)
+    idx_h = jnp.where(solid2, head, 2 * M)
+    cm = jnp.full(2 * M + 1, big, jnp.int32).at[idx_h].min(
+        jnp.where(solid2, ids2, big))[:2 * M]
+    tmn = jnp.full(2 * M + 1, big, jnp.int32).at[idx_h].min(
+        jnp.where(solid2, ids2 ^ 1, big))[:2 * M]
+    keep_head = solid2 & (prev < 0) & (cm <= tmn)
     kept = solid2 & keep_head[head]
 
     n_chains = jnp.cumsum(keep_head.astype(jnp.int32))
@@ -517,7 +541,7 @@ def _build_dev_impl(words, counts, cutoff, k: int, cap_chains: int, cap_bases: i
     packed = (grp << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
 
     hdr = jnp.stack([total_chains.astype(jnp.uint32), overflow,
-                     jnp.uint32(0), jnp.uint32(0)])
+                     cyc_flag, jnp.uint32(0)])
     return jnp.concatenate([hdr, len_nodes.astype(jnp.uint32), packed])
 
 
@@ -530,7 +554,8 @@ def _build_dev(*args, **kw):
         import jax
 
         _BUILD_JIT = jax.jit(
-            _build_dev_impl, static_argnames=("k", "cap_chains", "cap_bases")
+            _build_dev_impl,
+            static_argnames=("k", "cap_chains", "cap_bases", "assume_acyclic"),
         )
     return _BUILD_JIT(*args, **kw)
 
@@ -621,17 +646,31 @@ def dispatch_build(words, counts, cutoff: int, k: int, nu: int,
 
 
 def drain_build(infl: _Inflight) -> bytes | None:
-    """Drain the dispatched build; one capacity retry at cap*RETRY_FACTOR;
+    """Drain the dispatched build; cycle-bearing inputs re-dispatch the
+    full (cycle-breaking) variant; one capacity retry at cap*RETRY_FACTOR;
     returns the raw payload or None (caller writes BLOOM)."""
     buf = np.asarray(infl.buf)
+    acyclic = True
+    if buf[2]:  # cycles detected: the optimistic build is invalid
+        acyclic = False
+        buf = np.asarray(_build_dev(infl.words, infl.counts,
+                                    np.int32(infl.cutoff), infl.k,
+                                    infl.cap_chains, infl.cap_bases,
+                                    assume_acyclic=False))
     n_chains = int(buf[0])
     if buf[1]:  # overflow: retry once with a larger cap
         cap = infl.cap_chains * RETRY_FACTOR
         Mcap = int(infl.words.shape[0])
         cb = _caps(Mcap, infl.nu, infl.k, cap)
         buf = np.asarray(_build_dev(infl.words, infl.counts,
-                                    np.int32(infl.cutoff), infl.k, cap, cb))
+                                    np.int32(infl.cutoff), infl.k, cap, cb,
+                                    assume_acyclic=acyclic))
         n_chains = int(buf[0])
+        if buf[2]:
+            buf = np.asarray(_build_dev(infl.words, infl.counts,
+                                        np.int32(infl.cutoff), infl.k, cap,
+                                        cb, assume_acyclic=False))
+            n_chains = int(buf[0])
         if buf[1]:
             return None
         infl.cap_chains, infl.cap_bases = cap, cb
