@@ -525,6 +525,18 @@ class BlockEncoder:
                 self.qual_arr[qidx] = np.where(q >= 0x40, 0x49, q)
 
     def finish(self) -> tuple[bytes, dict[int, int]]:
+        """In-order stream resolution + entropy framing (one call)."""
+        return assemble_block(self.finish_streams(), self.block.n_reads,
+                              self.cfg.nb_cores)
+
+    def finish_streams(self) -> list[tuple[int, bytes, dict]]:
+        """Resolve this block's raw streams IN ORDER (anchor-dict indices
+        depend on the global first-use state, so this must run on the
+        pipeline thread, block by block). Returns the (sid, data, frame
+        kwargs) list whose entropy framing — the expensive part — is a
+        pure function of the list and can run on a background worker
+        (assemble_block); archives stay byte-identical under any
+        scheduling."""
         block = self.block
         prep = self.prep
         todo: list[tuple[int, bytes, dict]] = []
@@ -650,20 +662,33 @@ class BlockEncoder:
         else:
             add(S_FASTALINES, _encode_line_struct(block.line_lens))
 
-        # entropy-frame the streams on the host worker pool (-nb-cores,
-        # reference: Dispatcher threads, README.md:47-48); zlib and the
-        # native coders release the GIL
+        return todo
+
+
+def assemble_block(todo: list, n_reads: int, nb_cores=None,
+                   use_pool: bool = True) -> tuple[bytes, dict[int, int]]:
+    """Entropy-frame a block's resolved streams and assemble the payload.
+
+    Pure function of `todo` — safe on any thread. `use_pool=False` frames
+    sequentially (the pipeline's async path: cross-BLOCK parallelism on
+    the -nb-cores pool replaces intra-block stream parallelism; reference:
+    Dispatcher threads, README.md:47-48). zlib and the native coders
+    release the GIL either way, and frame() still runs its method trials
+    concurrently for multi-MB payloads."""
+    if use_pool:
         framed = _pool_map(
-            lambda t: frames.frame(t[1], **t[2]), todo, self.cfg.nb_cores
+            lambda t: frames.frame(t[1], **t[2]), todo, nb_cores
         )
-        sizes = {sid: len(fr) for (sid, _, _), fr in zip(todo, framed)}
-        out = bytearray()
-        varint.encode_one(block.n_reads, out)
-        varint.encode_one(len(todo), out)
-        for (sid, _, _), fr in zip(todo, framed):
-            out.append(sid)
-            out += fr
-        return bytes(out), sizes
+    else:
+        framed = [frames.frame(d, **kw) for _, d, kw in todo]
+    sizes = {sid: len(fr) for (sid, _, _), fr in zip(todo, framed)}
+    out = bytearray()
+    varint.encode_one(n_reads, out)
+    varint.encode_one(len(todo), out)
+    for (sid, _, _), fr in zip(todo, framed):
+        out.append(sid)
+        out += fr
+    return bytes(out), sizes
 
 
 @dataclass

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from collections import deque
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -30,7 +31,7 @@ from leon_tpu.config import LeonConfig
 from leon_tpu.io import bank, container
 from leon_tpu.ops import bloom, count
 from leon_tpu.ops import kmer as K
-from leon_tpu.utils.trace import span, span_reset, span_totals, tr
+from leon_tpu.utils.trace import span, span_add, span_reset, span_totals, tr
 
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -742,17 +743,51 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     with_conf = meta.qual_mode == container.QUAL_LOSSY
 
-    def process(item):
-        nonlocal n_anchored, n_blocks_done
-        be, ch, inflight = item
-        if ch is None:  # block finished
-            with span("enc.finish"):
-                payload, sizes = be.finish()
+    # Block framing runs on background workers, committed IN ORDER: the
+    # stream resolution (anchor-dict state) stays on this thread, but the
+    # entropy coding — the measured encode-stage majority at chr scale
+    # (span enc.finish, CHRSCALE.json) — is a pure function of the
+    # resolved streams, so blocks frame concurrently on the -nb-cores
+    # pool while the device walks ahead. Archives are byte-identical
+    # under any scheduling (ordered commit; framing is deterministic).
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_frame_workers = max(1, cfg.nb_cores or (os.cpu_count() or 1))
+    frame_pool = ThreadPoolExecutor(max_workers=n_frame_workers,
+                                    thread_name_prefix="leon-blk")
+    commit_q: deque = deque()  # (future, n_reads) in block order
+
+    def _frame_job(todo, nr):
+        t = time.time()
+        res = blockcodec.assemble_block(todo, nr, use_pool=False)
+        span_add("enc.frame_bg", time.time() - t)
+        return res
+
+    def _commit(limit: int) -> None:
+        # write finished blocks in order; block on the oldest while more
+        # than `limit` are pending (0 = drain everything)
+        nonlocal n_blocks_done
+        while commit_q and (commit_q[0][0].done() or len(commit_q) > limit):
+            fut, nr = commit_q.popleft()
+            with span("enc.commit_wait"):
+                payload, sizes = fut.result()
             with span("enc.write"):
-                writer.block(payload, be.block.n_reads)
+                writer.block(payload, nr)
             n_blocks_done += 1
             for sid, sz in sizes.items():
                 stream_sizes[sid] = stream_sizes.get(sid, 0) + sz
+
+    def process(item):
+        nonlocal n_anchored
+        be, ch, inflight = item
+        if ch is None:  # block finished
+            with span("enc.finish"):
+                todo = be.finish_streams()
+            commit_q.append(
+                (frame_pool.submit(_frame_job, todo, be.block.n_reads),
+                 be.block.n_reads)
+            )
+            _commit(max(4, 2 * n_frame_workers))
             return
         enc = drain_walk_chunk(ch, inflight, bitset_j, k, H, n_words, seed,
                                with_conf, caps=walk_caps)
@@ -765,8 +800,6 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
                     seg_off=ch.seg_off, n=ch.n, enc=enc,
                 )
             )
-
-    from collections import deque
 
     pending: deque = deque()
     walk_caps = WalkCaps(cfg)
@@ -797,6 +830,8 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             _progress(cfg, "encode", n_blocks_done + 1, n_blocks)
     while pending:
         process(pending.popleft())
+    _commit(0)
+    frame_pool.shutdown(wait=False)
     t_encode = time.time() - t1
 
     tr("enc.bloom_late_d2h.begin")
