@@ -539,10 +539,15 @@ class BlockEncoder:
         scheduling."""
         block = self.block
         prep = self.prep
-        todo: list[tuple[int, bytes, dict]] = []
+        todo: list[tuple[int, object, dict]] = []
 
-        def add(sid: int, data: bytes, **kw) -> None:
-            if data:
+        def add(sid: int, data, **kw) -> None:
+            # `data` may be bytes or a zero-arg callable producing bytes:
+            # callables defer pure per-block work (header tokenization,
+            # varint/2-bit packing, inner frames) to the background
+            # assembly job; empty results are dropped there, matching the
+            # eager `if data` skip
+            if callable(data) or data:
                 todo.append((sid, data, kw))
 
         add(S_FLAGS, bytes(self.flags))
@@ -576,25 +581,31 @@ class BlockEncoder:
             dist = (size_at - 1 - dictidx)[~newmask]
             head = bytearray()
             varint.encode_one(prev_len, head)
-            add(
-                S_DICTIDX,
-                bytes(head)
-                + frames.frame(np.packbits(newmask).tobytes())
-                + frames.frame(varint.encode_array(dist.astype(np.uint64)),
-                               try_o1=True),
-            )
+
+            def _dictidx_payload(head=bytes(head), newmask=newmask, dist=dist):
+                return (
+                    head
+                    + frames.frame(np.packbits(newmask).tobytes())
+                    + frames.frame(varint.encode_array(dist.astype(np.uint64)),
+                                   try_o1=True)
+                )
+
+            add(S_DICTIDX, _dictidx_payload)
             # nevt/errpos varints have strong order-1 structure (event
             # counts correlate within a read; gap bytes cluster) — the o1
             # coder measured ~8%/2% under zlib/rANS on the E.coli corpus
-            add(S_NEVT, varint.encode_array(np.concatenate(self.nevt)), try_o1=True)
+            nevt_chunks = self.nevt
+            add(S_NEVT,
+                lambda c=nevt_chunks: varint.encode_array(np.concatenate(c)),
+                try_o1=True)
         if self.errpos:
             ep = np.concatenate(self.errpos)
             if ep.size:
-                add(S_ERRPOS, varint.encode_array(ep), try_o1=True)
+                add(S_ERRPOS, lambda e=ep: varint.encode_array(e), try_o1=True)
         # streams 7/8 carry 2-bit values (base code / candidate rank):
         # packed 4 per byte (FORMAT.md §6), little-endian within the byte
-        add(S_ERRNT, _pack_2bit(self.errnt))
-        add(S_BIF, _pack_2bit(self.bif))
+        add(S_ERRNT, lambda b=self.errnt: _pack_2bit(b))
+        add(S_BIF, lambda b=self.bif: _pack_2bit(b))
         add(S_RAWSEQ, bytes(self.rawseq))
         excn = [p.size for p in prep.exc_pos if p is not None]
         if excn:
@@ -614,7 +625,7 @@ class BlockEncoder:
         if self.meta.header_mode:
             from leon_tpu.codecs import headers as hcodec
 
-            add(S_HEADERS, hcodec.encode(block.headers))
+            add(S_HEADERS, lambda h=block.headers: hcodec.encode(h))
         if self.meta.qual_mode and self.qual_arr is not None:
             # biggest stream: position-aware q1 model vs order-1 vs zlib
             # (static rANS skipped — it never wins on quality data and the
@@ -675,6 +686,8 @@ def assemble_block(todo: list, n_reads: int, nb_cores=None,
     Dispatcher threads, README.md:47-48). zlib and the native coders
     release the GIL either way, and frame() still runs its method trials
     concurrently for multi-MB payloads."""
+    todo = [(sid, d() if callable(d) else d, kw) for sid, d, kw in todo]
+    todo = [t for t in todo if t[1]]
     if use_pool:
         framed = _pool_map(
             lambda t: frames.frame(t[1], **t[2]), todo, nb_cores
