@@ -82,6 +82,16 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.leon_merge_runs.restype = ctypes.c_int64
+    lib.leon_merge_runs.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.leon_rows_sorted.restype = ctypes.c_int32
+    lib.leon_rows_sorted.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.leon_hdr_decode.restype = ctypes.c_int64
     lib.leon_hdr_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,

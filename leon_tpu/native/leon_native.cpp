@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (see leon_tpu/native/__init__.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -643,6 +644,89 @@ int64_t leon_hdr_decode(const uint8_t* modes, int64_t n,
     prev_toks.swap(toks);
   }
   return out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sorted-run k-way merge: the count-finalize hot path at chr scale.
+//
+// The slab counter spills compacted (distinct kmer, count) runs to host RAM
+// once they exceed the HBM budget (ops/count.py DeviceCounter._spill_run) —
+// the TPU analog of DSK's temp disk partitions ([R] gatb-core
+// kmer/impl/SortingCountAlgorithm, SURVEY.md §3.4). Merging those runs with
+// a global np.lexsort + np.add.at measured as the dominant count.finalize
+// cost (~200 s at 340M distinct rows); the runs are each sorted, so a
+// streaming k-way merge is O(n log R) with sequential access.
+//
+// Keys are rows of W little-endian u32 words (word W-1 most significant);
+// runs ascend in that order. Equal keys sum their int64 counts. Output
+// buffers must hold sum(ns) rows. Returns the distinct row count.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t leon_merge_runs(int64_t R, int64_t W, const uint32_t* const* keys,
+                        const int64_t* const* counts, const int64_t* ns,
+                        uint32_t* out_keys, int64_t* out_counts) {
+  if (R <= 0) return 0;
+  struct Head {
+    const uint32_t* row;  // current key row
+    int64_t pos;          // row index within run
+    int32_t run;
+  };
+  std::vector<Head> heap;
+  heap.reserve(static_cast<size_t>(R));
+  auto key_less = [W](const uint32_t* a, const uint32_t* b) {
+    for (int64_t w = W - 1; w >= 0; --w) {
+      if (a[w] != b[w]) return a[w] < b[w];
+    }
+    return false;
+  };
+  // heap orders by (key, run) so equal keys pop grouped and deterministic
+  auto head_greater = [&key_less](const Head& x, const Head& y) {
+    if (key_less(x.row, y.row)) return false;
+    if (key_less(y.row, x.row)) return true;
+    return x.run > y.run;
+  };
+  for (int32_t r = 0; r < R; ++r) {
+    if (ns[r] > 0) heap.push_back(Head{keys[r], 0, r});
+  }
+  std::make_heap(heap.begin(), heap.end(), head_greater);
+  int64_t m = -1;  // last output row
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), head_greater);
+    Head h = heap.back();
+    heap.pop_back();
+    if (m >= 0 && memcmp(out_keys + m * W, h.row, sizeof(uint32_t) * W) == 0) {
+      out_counts[m] += counts[h.run][h.pos];
+    } else {
+      ++m;
+      memcpy(out_keys + m * W, h.row, sizeof(uint32_t) * W);
+      out_counts[m] = counts[h.run][h.pos];
+    }
+    if (++h.pos < ns[h.run]) {
+      h.row += W;
+      heap.push_back(h);
+      std::push_heap(heap.begin(), heap.end(), head_greater);
+    }
+  }
+  return m + 1;
+}
+
+// Fast sortedness check (ascending, strict or equal allowed) for the W-word
+// row order above; returns 1 when sorted. Guards the merge fast path: an
+// unsorted partial falls back to the numpy lexsort merge.
+int32_t leon_rows_sorted(int64_t n, int64_t W, const uint32_t* keys) {
+  for (int64_t i = 1; i < n; ++i) {
+    const uint32_t* a = keys + (i - 1) * W;
+    const uint32_t* b = keys + i * W;
+    for (int64_t w = W - 1; w >= 0; --w) {
+      if (a[w] < b[w]) break;
+      if (a[w] > b[w]) return 0;
+    }
+  }
+  return 1;
 }
 
 }  // extern "C"

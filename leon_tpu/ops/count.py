@@ -85,9 +85,18 @@ def count_batch(canon: np.ndarray | jnp.ndarray, valid) -> tuple[np.ndarray, np.
 
 
 def merge_counts(partials: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
-    """Merge per-batch (unique, counts) partials on host (sorted merge)."""
+    """Merge per-batch (unique, counts) partials on host (sorted merge).
+
+    Fast path: when every partial is itself sorted (the slab counter's
+    spilled runs and the distributed exchange always are), a native
+    streaming k-way merge (leon_native.cpp leon_merge_runs) replaces the
+    global lexsort — the measured count.finalize majority at chr scale
+    (340M distinct rows). Unsorted partials fall back to the lexsort."""
     if not partials:
         return np.zeros((0, 1), dtype=np.uint32), np.zeros(0, dtype=np.int64)
+    nat = _merge_counts_native(partials)
+    if nat is not None:
+        return nat
     allk = np.concatenate([p[0] for p in partials], axis=0)
     allc = np.concatenate([p[1] for p in partials], axis=0)
     if allk.shape[0] == 0:
@@ -102,6 +111,43 @@ def merge_counts(partials: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndar
     out_counts = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
     np.add.at(out_counts, gid, sc)
     return sk[newgrp], out_counts
+
+
+def _merge_counts_native(partials):
+    """Native k-way merge of sorted (uniq, counts) runs; None when the
+    native lib is unavailable or any run is not sorted/contiguous-ready."""
+    import ctypes
+
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "leon_merge_runs"):
+        return None
+    runs = [(k, c) for k, c in partials if k.shape[0] > 0]
+    if not runs:
+        k0 = partials[0][0]
+        return (np.zeros((0, k0.shape[1]), np.uint32), np.zeros(0, np.int64))
+    W = runs[0][0].shape[1]
+    keys_c, cnts_c, ns = [], [], []
+    for k, c in runs:
+        if k.shape[1] != W:
+            return None
+        kk = np.ascontiguousarray(k, dtype=np.uint32)
+        if not lib.leon_rows_sorted(kk.shape[0], W, kk.ctypes.data):
+            return None
+        keys_c.append(kk)
+        cnts_c.append(np.ascontiguousarray(c, dtype=np.int64))
+        ns.append(kk.shape[0])
+    R = len(runs)
+    total = int(sum(ns))
+    out_k = np.empty((total, W), dtype=np.uint32)
+    out_c = np.empty(total, dtype=np.int64)
+    kp = (ctypes.c_void_p * R)(*[k.ctypes.data for k in keys_c])
+    cp = (ctypes.c_void_p * R)(*[c.ctypes.data for c in cnts_c])
+    ns_a = np.asarray(ns, dtype=np.int64)
+    m = lib.leon_merge_runs(R, W, kp, cp, ns_a.ctypes.data,
+                            out_k.ctypes.data, out_c.ctypes.data)
+    return np.ascontiguousarray(out_k[:m]), out_c[:m]
 
 
 def histogram(counts: np.ndarray, max_count: int = 255) -> np.ndarray:

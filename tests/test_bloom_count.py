@@ -200,3 +200,45 @@ def test_build_device_matches_build_np(rng):
 def test_saturation_warning():
     assert bloom.saturation_warning(500_000, 1 << 15, 12.0) is not None  # clipped
     assert bloom.saturation_warning(10_000, 1 << 15, 12.0) is None       # healthy
+
+
+def test_merge_counts_native_matches_lexsort(rng):
+    from leon_tpu import native
+    from leon_tpu.ops.count import _merge_counts_native
+
+    runs = []
+    for _ in range(5):
+        n = int(rng.integers(1, 5000))
+        k = rng.integers(0, 50, (n, 2)).astype(np.uint32)
+        # sort MSW-major (column 1 most significant) and dedupe
+        order = np.lexsort((k[:, 0], k[:, 1]))
+        k = k[order]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]).any(axis=1)
+        k = k[keep]
+        c = rng.integers(1, 100, k.shape[0]).astype(np.int64)
+        runs.append((k, c))
+    got = _merge_counts_native(runs)
+    if got is None:  # no toolchain: fallback covered elsewhere
+        assert native.get_lib() is None
+        return
+    # numpy oracle: concat + lexsort + sum per group
+    allk = np.concatenate([r[0] for r in runs])
+    allc = np.concatenate([r[1] for r in runs])
+    order = np.lexsort((allk[:, 0], allk[:, 1]))
+    sk, sc = allk[order], allc[order]
+    new = np.ones(sk.shape[0], dtype=bool)
+    new[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    gid = np.cumsum(new) - 1
+    want_c = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+    np.add.at(want_c, gid, sc)
+    assert np.array_equal(got[0], sk[new])
+    assert np.array_equal(got[1], want_c)
+
+
+def test_merge_counts_unsorted_fallback():
+    a = np.array([[5, 0], [1, 0]], dtype=np.uint32)  # NOT sorted
+    ca = np.array([2, 3], dtype=np.int64)
+    u, c = count.merge_counts([(a, ca)])
+    got = {tuple(u[i]): int(c[i]) for i in range(u.shape[0])}
+    assert got == {(1, 0): 3, (5, 0): 2}
