@@ -707,11 +707,15 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     if bitset is None:
         if placer.mesh is None and (unitig_inflight is not None
                                     or unitig_payload is not None
-                                    or unitig_planned):
+                                    or unitig_planned
+                                    or unitig_thread is not None):
             # the UNITIGS section replaces the bitset (5-10x smaller D2H
-            # already in flight); the bitset only crosses the tunnel on
-            # the rare fallback, synchronously at section-write time.
-            # (mesh runs still materialize it below for replication)
+            # already in flight, or being built by the host thread above
+            # the device cap — the chr-scale norm, where the full-bitset
+            # transfer would steal tunnel bandwidth from every per-chunk
+            # drain of the encode stage); the bitset only crosses the
+            # tunnel on the rare fallback, synchronously at section-write
+            # time. (mesh runs still materialize it below for replication)
             pass
         elif placer.mesh is None:
             # single device: start the (slow-tunnel) bitset D2H now but
