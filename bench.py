@@ -170,15 +170,16 @@ def main() -> int:
     dec_main = os.path.join(workdir, "out_main.fastq")
     gc.collect(); time.sleep(2.0)
     t0 = time.time()
-    pipeline.decompress(out_main, dec_main, cfg=cfg)
+    dstats = pipeline.decompress(out_main, dec_main, cfg=cfg)
     decomp_elapsed = time.time() - t0
     # best of 2: the decode event-stream capacity buckets depend on the
     # input's event counts, so the first large-input decode can compile
     # shapes the small warm-up never saw
     gc.collect(); time.sleep(2.0)
     t0 = time.time()
-    pipeline.decompress(out_main, dec_main, cfg=cfg)
-    decomp_elapsed = min(decomp_elapsed, time.time() - t0)
+    dstats2 = pipeline.decompress(out_main, dec_main, cfg=cfg)
+    if time.time() - t0 < decomp_elapsed:
+        decomp_elapsed, dstats = time.time() - t0, dstats2
     ok = _roundtrip_ok(src_main, dec_main)
 
     # --- secondary: the 50k config rounds 1-2 reported, for continuity ---
@@ -210,6 +211,9 @@ def main() -> int:
                     kk: stats[kk] for kk in stats if kk.startswith("time_")
                 },
                 "span_s": stats.get("span_s", {}),
+                # decompress wall-clock attribution (VERDICT r3 weak #2:
+                # the decompress number must be as attributed as compress)
+                "decompress_span_s": dstats.get("span_s", {}),
                 "secondary_50k": {
                     "elapsed_s": round(el_s1, 3),
                     "compress_reads_per_s": round(SMALL["n_reads"] / el_s1, 1),

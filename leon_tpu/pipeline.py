@@ -35,7 +35,6 @@ from leon_tpu.utils.trace import span, span_add, span_reset, span_totals, tr
 
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-_BUCKETS = [64, 128, 256, 512, 1024, 2048]
 
 
 def _pad_bitset_dev(bitset: np.ndarray, n_words: int):
@@ -56,11 +55,17 @@ def _progress(cfg: LeonConfig, stage: str, done: int, total: int) -> None:
 
 
 def _bucket_len(maxlen: int, k: int) -> int:
+    """Padded chunk width for a given max segment length. The walk/scan
+    kernels cost one scan step per column, so bucket granularity is a
+    direct kernel-time multiplier: the old power-of-two grid padded 100 bp
+    reads to L=128 (walk ME = 97 steps for 69 real ones, +40% kernel
+    time). Fine 8-column grid up to 128 (the short-read sweet spot; a few
+    extra cached XLA shapes), 1/8-octave beyond."""
     need = max(maxlen, k + 1)
-    for b in _BUCKETS:
-        if b >= need:
-            return b
-    return -(-need // 2048) * 2048
+    if need <= 128:
+        return -(-need // 8) * 8
+    step = max(16, 1 << (need.bit_length() - 4))
+    return -(-need // step) * step
 
 
 @dataclass
@@ -493,29 +498,48 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
         else:
             yield from bank.read_blocks(input_path, cfg.reads_per_block)
 
+    def timed_bp():
+        """Parse + prep blocks with the host time attributed to the
+        parse.inline span (parse now runs INSIDE the count pass so it
+        overlaps the device's count compute instead of preceding it)."""
+        it = raw_blocks()
+        while True:
+            t = time.time()
+            b = next(it, None)
+            if b is None:
+                span_add("parse.inline", time.time() - t)
+                return
+            b = conv(b)
+            p = blockcodec.prepare_block(b, cfg.max_device_len)
+            span_add("parse.inline", time.time() - t)
+            yield b, p
+
+    n_reads = None
+    final_nl = bank.final_newline(input_path)
+    n_blocks = 0  # unknown until a pass completes
     if not stream_mode:
-        blocks = [conv(b) for b in raw_blocks()]
-        tr("parse.blocks")
-        preps = [blockcodec.prepare_block(b, cfg.max_device_len) for b in blocks]
-        tr("parse.preps")
-        n_reads = sum(b.n_reads for b in blocks)
-        final_nl = bank.final_newline(input_path)
-        tr("parse.final_nl")
-        n_blocks = len(blocks)
+        # lazy parse WITH caching: pass 1 parses while the device counts
+        # (host parse rides under device compute), pass 2 replays from RAM
+        bp_cache: list = []
+        cache_state = {"done": False}
 
         def iter_bp():
-            return zip(blocks, preps)
+            yield from bp_cache
+            if cache_state["done"]:
+                return
+            skip = len(bp_cache)  # re-entry after an abandoned pass
+            for i, bp in enumerate(timed_bp()):
+                if i >= skip:
+                    bp_cache.append(bp)
+                    yield bp
+            cache_state["done"] = True
+            nonlocal n_blocks
+            n_blocks = len(bp_cache)
     else:
         # streaming: re-parse per pass, constant memory (the reference's
         # disk-streaming design, README.md:13)
-        n_reads = None
-        final_nl = bank.final_newline(input_path)
-        n_blocks = 0  # unknown until a pass completes
-
         def iter_bp():
-            for b in raw_blocks():
-                b = conv(b)
-                yield b, blockcodec.prepare_block(b, cfg.max_device_len)
+            yield from timed_bp()
 
     t_parse = time.time() - t0
 
@@ -535,7 +559,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
 
     placer = _Placer(cfg)
     dev_cache: Optional[dict] = {} if not stream_mode else None
-    prep_iter = preps if not stream_mode else iter_preps()
+    prep_iter = iter_preps()
     use_host_count = False
     unitig_payload: Optional[bytes] = None  # decided raw payload (or None)
     unitig_inflight = None
@@ -561,7 +585,7 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
             print(f"[leon-tpu] device count failed ({type(e).__name__}); "
                   "falling back to host-merge counting", file=_sys.stderr)
             use_host_count = True
-            prep_iter = preps if not stream_mode else iter_preps()
+            prep_iter = iter_preps()
         # gate on the SOLID count: dispatch_build compacts the run to its
         # solid rows before the graph build, so error-singleton-dominated
         # distinct sets (the chr-scale norm) do not disqualify the section
@@ -705,9 +729,10 @@ def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[L
     t1 = time.time()
     tr("enc.bloom_d2h.begin")
     if bitset is None:
+        # (unitig_planned is always False by this point: every setter
+        # above resolves it into inflight/thread/payload before the walks)
         if placer.mesh is None and (unitig_inflight is not None
                                     or unitig_payload is not None
-                                    or unitig_planned
                                     or unitig_thread is not None):
             # the UNITIGS section replaces the bitset (5-10x smaller D2H
             # already in flight, or being built by the host thread above
