@@ -154,6 +154,15 @@ def read_blocks(spec: str, reads_per_block: int) -> Iterator[SeqBlock]:
 
 
 def _final_newline_one(path: str) -> bool:
+    import os
+
+    if not path.endswith(".gz"):  # plain file: seek to the last byte
+        size = os.path.getsize(path)
+        if size == 0:
+            return False
+        with open(path, "rb") as f:
+            f.seek(size - 1)
+            return f.read(1) == b"\n"
     with _open(path) as f:
         last = b""
         while True:
@@ -408,19 +417,33 @@ def _capped_chunk(path: str, chunk_bytes: int) -> int:
         return chunk_bytes
 
 
-def validate_arrays(spec: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
+def validate_arrays(spec: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES,
+                    prefix_bytes: Optional[int] = None) -> bool:
     """True when the input parses on the vectorized array path (regular
     structure). Streaming and cheap — a line scan with first-byte checks,
     no gathers — so callers can commit to one parser for multi-pass runs
     instead of handling a mid-stream IrregularInput. Album specs validate
-    every member."""
-    return all(_validate_arrays_one(p, chunk_bytes) for p in album_paths(spec))
+    every member.
+
+    prefix_bytes: validate only the first ~prefix_bytes of each member (a
+    cheap optimistic check — full-file validation costs a whole extra
+    input scan). Callers that use it must handle a mid-parse
+    IrregularInput from the array parser, whose per-block checks enforce
+    the SAME predicates over the rest of the file (pipeline.compress
+    restarts with the tolerant parser — the parser CHOICE ends up
+    identical to full validation)."""
+    return all(_validate_arrays_one(p, chunk_bytes, prefix_bytes)
+               for p in album_paths(spec))
 
 
-def _validate_arrays_one(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bool:
+def _validate_arrays_one(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES,
+                         prefix_bytes: Optional[int] = None) -> bool:
     import numpy as np
 
     chunk_bytes = _capped_chunk(path, chunk_bytes)
+    if prefix_bytes is not None:
+        chunk_bytes = min(chunk_bytes, prefix_bytes)
+    consumed = 0
     with _open(path) as f:
         head = f.read(1)
         if head == b">":
@@ -431,6 +454,7 @@ def _validate_arrays_one(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bo
         nlines = 0
         while True:
             data = f.read(chunk_bytes)
+            consumed += len(data)
             eof = not data
             buf = carry + data if carry else data
             if not buf:
@@ -464,6 +488,8 @@ def _validate_arrays_one(path: str, chunk_bytes: int = _ARRAY_CHUNK_BYTES) -> bo
             carry = tail
             if eof:
                 break
+            if prefix_bytes is not None and consumed >= prefix_bytes:
+                return True  # valid so far; the parser checks the rest
         return nlines % 4 == 0 and nlines > 0
 
 

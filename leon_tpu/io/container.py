@@ -28,8 +28,12 @@ MAGIC = b"LEONTPU1"
 # v5: the DICT payload carries a leading u8 format tag; tag 1 stores each
 #     anchor as an index into the solid set spelled by the UNITIGS
 #     section (FORMAT.md §5). Readers accept v3-v5.
-VERSION = 5
-_READ_VERSIONS = (3, 4, 5)
+# v6: hash family v4 (single rolling chain, min/max blocked addressing —
+# FORMAT.md §4). Archives v3-v5 used the two-chain family; their walk
+# events cannot be decoded by this coder, so they are refused outright
+# rather than mis-decoded (the version byte is checked before any stream).
+VERSION = 6
+_READ_VERSIONS = (6,)
 
 TAG_META = 1
 TAG_DICT = 2
@@ -166,7 +170,11 @@ class Reader:
         if head[:8] != MAGIC:
             raise ValueError(f"{path}: not a LEONTPU container (bad magic)")
         if head[8] not in _READ_VERSIONS:
-            raise ValueError(f"{path}: unsupported container version {head[8]}")
+            hint = (" (written by an older leon-tpu with the v2/v3 hash "
+                    "family; decompress with that version and re-compress)"
+                    if 3 <= head[8] <= 5 else "")
+            raise ValueError(
+                f"{path}: unsupported container version {head[8]}{hint}")
         self.version = head[8]
         (nsect,) = struct.unpack_from("<I", head, 9)
         self.meta: Meta | None = None

@@ -3,13 +3,19 @@ graph (reference behavior: /root/reference/README.md:13 "inserts solid kmers
 in a bloom-filter"; [R] gatb-core tools/collections/impl/Bloom.hpp).
 
 TPU-first: the bitset is a flat uint32 array resident in HBM; membership is
-H gathered word loads + bit tests, batched over lanes. Hash family v2
+ONE gathered word load + mask test, batched over lanes. Hash family v4
 (FORMAT.md §4) is an ntHash-style 32-bit ROLLING family: during the graph
 walk each of the 4 successor candidates costs a couple of XOR/rotates
-instead of a full multiword re-hash, and strand-invariance comes from
-per-function min(forward, reverse) — no canonical big-int compare on the
-hot path. Decoder determinism depends on the numpy and jnp paths being
-bit-identical; both are implemented here from the same table constants.
+instead of a full multiword re-hash, and strand-invariance comes from the
+unordered (min, max) pair of the forward/reverse chain values — no
+canonical big-int compare on the hot path. v4 carries a SINGLE rolling
+chain per strand (v2/v3 carried two independent families): the two hash
+coordinates the blocked addressing needs (word index, bit positions) come
+from min(f, r) and max(f, r), which jointly preserve the full 64 bits of
+the strand pair — measured ~35% off the fused-walk scan body, whose
+per-step hash updates were half its VPU work. Decoder determinism depends
+on the numpy and jnp paths being bit-identical; both are implemented here
+from the same table constants.
 """
 
 from __future__ import annotations
@@ -40,19 +46,17 @@ def _rol_int(x: int, r: int) -> int:
 
 
 def tables(seed: int, k: int) -> np.ndarray:
-    """All table constants for hash family v2, shape (2, 4, 4) uint32:
-    [m][kind][base] with kind 0=T, 1=Tc, 2=Trot, 3=Tcrot."""
-    out = np.zeros((2, 4, 4), dtype=np.uint32)
-    for m, c in enumerate((_C1, _C2)):
-        base = _fmix32_int(seed ^ c)
-        T = [_fmix32_int((base + b * _PHI) & _M32) for b in range(4)]
-        Tc = [T[3 - b] for b in range(4)]
-        Trot = [_rol_int(v, k - 1) for v in T]
-        Tcrot = [_rol_int(v, k - 1) for v in Tc]
-        out[m, 0] = T
-        out[m, 1] = Tc
-        out[m, 2] = Trot
-        out[m, 3] = Tcrot
+    """Table constants for hash family v4, shape (4, 4) uint32:
+    [kind][base] with kind 0=T, 1=Tc, 2=Trot, 3=Tcrot — ONE rolling
+    family (see module docstring)."""
+    out = np.zeros((4, 4), dtype=np.uint32)
+    base = _fmix32_int(seed ^ _C1)
+    T = [_fmix32_int((base + b * _PHI) & _M32) for b in range(4)]
+    Tc = [T[3 - b] for b in range(4)]
+    out[0] = T
+    out[1] = Tc
+    out[2] = [_rol_int(v, k - 1) for v in T]
+    out[3] = [_rol_int(v, k - 1) for v in Tc]
     return out
 
 
@@ -67,55 +71,50 @@ def ror1(x, xp):
 
 
 def hash_codes(codes, k: int, seed: int, xp):
-    """From-scratch (f1, r1, f2, r2) of the k-mer codes[..., 0:k].
+    """From-scratch (f, r) strand-chain values of the k-mer codes[..., 0:k].
 
     codes: (..., k) integer base codes. Works for numpy and jnp.
     """
     tab = tables(seed, k)
     shape = codes.shape[:-1]
-    f = [xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)]
-    r = [xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)]
+    u = xp.uint32
+    f = xp.zeros(shape, xp.uint32)
+    r = xp.zeros(shape, xp.uint32)
+    T = xp.asarray(tab[0])
+    Tc = xp.asarray(tab[1])
     for i in range(k):
-        b = codes[..., i].astype(xp.uint32) if hasattr(codes[..., i], "astype") else codes[..., i]
-        for m in range(2):
-            T = xp.asarray(tab[m, 0])
-            Tc = xp.asarray(tab[m, 1])
-            rf = (k - 1 - i) % 32
-            rr = i % 32
-            tv = xp.take(T, b.astype(xp.int32) if xp is jnp else b.astype(np.int64))
-            cv = xp.take(Tc, b.astype(xp.int32) if xp is jnp else b.astype(np.int64))
-            u = xp.uint32
-            f[m] = f[m] ^ (((tv << u(rf)) | (tv >> u((32 - rf) % 32))) if rf else tv)
-            r[m] = r[m] ^ (((cv << u(rr)) | (cv >> u((32 - rr) % 32))) if rr else cv)
-    return f[0], r[0], f[1], r[1]
+        b = codes[..., i]
+        bi = b.astype(xp.int32 if xp is jnp else np.int64)
+        rf = (k - 1 - i) % 32
+        rr = i % 32
+        tv = xp.take(T, bi)
+        cv = xp.take(Tc, bi)
+        f = f ^ (((tv << u(rf)) | (tv >> u((32 - rf) % 32))) if rf else tv)
+        r = r ^ (((cv << u(rr)) | (cv >> u((32 - rr) % 32))) if rr else cv)
+    return f, r
 
 
 def hash_words(words, k: int, seed: int, xp):
-    """From-scratch hashes of packed k-mer words (..., W) without
+    """From-scratch (f, r) of packed k-mer words (..., W) without
     materializing the (..., k) code array: extracts base columns on the fly."""
     tab = tables(seed, k)
     shape = words.shape[:-1]
     u = xp.uint32
-    f1 = xp.zeros(shape, xp.uint32)
-    r1 = xp.zeros(shape, xp.uint32)
-    f2 = xp.zeros(shape, xp.uint32)
-    r2 = xp.zeros(shape, xp.uint32)
+    f = xp.zeros(shape, xp.uint32)
+    r = xp.zeros(shape, xp.uint32)
+    T = xp.asarray(tab[0])
+    Tc = xp.asarray(tab[1])
     for i in range(k):
         t = 2 * (k - 1 - i)
         b = (words[..., t // 32] >> u(t % 32)) & u(3)
         bi = b.astype(xp.int32 if xp is jnp else np.int64)
         rf = (k - 1 - i) % 32
         rr = i % 32
-        for m, (fh, rh) in enumerate(((f1, r1), (f2, r2))):
-            tv = xp.take(xp.asarray(tab[m, 0]), bi)
-            cv = xp.take(xp.asarray(tab[m, 1]), bi)
-            fh ^= ((tv << u(rf)) | (tv >> u((32 - rf) % 32))) if rf else tv
-            rh ^= ((cv << u(rr)) | (cv >> u((32 - rr) % 32))) if rr else cv
-            if m == 0:
-                f1, r1 = fh, rh
-            else:
-                f2, r2 = fh, rh
-    return f1, r1, f2, r2
+        tv = xp.take(T, bi)
+        cv = xp.take(Tc, bi)
+        f = f ^ (((tv << u(rf)) | (tv >> u((32 - rf) % 32))) if rf else tv)
+        r = r ^ (((cv << u(rr)) | (cv >> u((32 - rr) % 32))) if rr else cv)
+    return f, r
 
 
 MAX_WORDS = (1 << 31) - 64  # word index must fit int32 for device gathers
@@ -161,22 +160,24 @@ def mulhi32(a, b, xp):
     return hh + (hl >> u(16)) + (cross >> u(16))
 
 
-def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
-    """BLOCKED Bloom addressing (hash family v3, FORMAT.md §4): all H bits
+def wordmask_from_hashes(f, r, n_hashes: int, n_words: int, xp):
+    """BLOCKED Bloom addressing (hash family v4, FORMAT.md §4): all H bits
     of a key live in ONE u32 bitset word, so membership is a single
     gathered word + mask test. On TPU the walk is gather-bound (4
     candidates x H hashes x every step, random HBM access); blocking cuts
     the gather count H-fold for a modest false-positive penalty (~2-3x at
     12 bits/kmer, still <1.5%).
 
-    word index (strand-invariant): w = mulhi32(h1, n_words) — fastrange,
+    Both coordinates derive from the strand-invariant unordered pair
+    (lo, hi) = (min(f, r), max(f, r)) of the ONE rolling chain:
+    word index: w = mulhi32(lo, n_words) — fastrange on lo's high bits,
     so the filter is sized EXACTLY at bits_per_kmer * n_solid instead of
     the next power of two (stored-Bloom bytes dominate DNA-mode archives;
     power-of-two rounding wasted up to 2x).
-    bit positions: bit_i = (x2 >> 5i) & 31 for i < 6, then
-    ((x1 >> 5(i-6)) & 31) for i in [6, 8), with x2 = f2^r2, x1 = f1^r1
-    (both strand-invariant). mask = OR of (1 << bit_i); a key sets <= H
-    distinct bits. Bit-identical in numpy and jnp.
+    bit positions: bit_i = (hi >> 5i) & 31 for i < 6, then
+    ((lo >> 5(i-6)) & 31) for i in [6, 8) — lo's LOW bits, disjoint from
+    the high bits fastrange consumes. mask = OR of (1 << bit_i); a key
+    sets <= H distinct bits. Bit-identical in numpy and jnp.
 
     Returns (word_index int32 (...,), mask uint32 (...,)).
     """
@@ -184,56 +185,56 @@ def wordmask_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
     i32 = xp.int32 if xp is jnp else np.int64
     if isinstance(n_words, (int, np.integer)) and n_words > MAX_WORDS:
         raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
-    h1 = xp.minimum(f1, r1)
-    wi = mulhi32(h1, _as_u32(n_words, xp), xp).astype(i32)
-    x2 = f2 ^ r2
-    x1 = f1 ^ r1
-    mask = xp.zeros(h1.shape, xp.uint32) if hasattr(h1, "shape") else u(0)
+    lo = xp.minimum(f, r)
+    hi = xp.maximum(f, r)
+    wi = mulhi32(lo, _as_u32(n_words, xp), xp).astype(i32)
+    mask = xp.zeros(lo.shape, xp.uint32) if hasattr(lo, "shape") else u(0)
     for i in range(n_hashes):
-        b = ((x2 >> u(5 * i)) if i < 6 else (x1 >> u(5 * (i - 6)))) & u(31)
+        b = ((hi >> u(5 * i)) if i < 6 else (lo >> u(5 * (i - 6)))) & u(31)
         mask = mask | (u(1) << b)
     return wi, mask
 
 
-def wordbit_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
+def wordbit_from_hashes(f, r, n_hashes: int, n_words: int, xp):
     """Per-bit view of the blocked addressing: (word int32 (..., H), bit
     uint32 (..., H)) — the SAME bits wordmask_from_hashes tests, unrolled
     for build paths that deduplicate (word, bit) pairs."""
     u = xp.uint32
-    wi, _ = wordmask_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
-    x2 = f2 ^ r2
-    x1 = f1 ^ r1
+    wi, _ = wordmask_from_hashes(f, r, n_hashes, n_words, xp)
+    lo = xp.minimum(f, r)
+    hi = xp.maximum(f, r)
     bits = []
     for i in range(n_hashes):
-        bits.append((((x2 >> u(5 * i)) if i < 6 else (x1 >> u(5 * (i - 6)))) & u(31)))
+        bits.append((((hi >> u(5 * i)) if i < 6 else (lo >> u(5 * (i - 6)))) & u(31)))
     wis = [wi] * n_hashes
     return xp.stack(wis, axis=-1), xp.stack(bits, axis=-1)
 
 
 def wordbit(words, n_hashes: int, n_words: int, seed: int, xp, k: int):
     """(word_index, bit) of packed k-mer words (..., W)."""
-    f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    return wordbit_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
+    f, r = hash_words(words, k, seed, xp)
+    return wordbit_from_hashes(f, r, n_hashes, n_words, xp)
 
 
 def wordmask(words, n_hashes: int, n_words: int, seed: int, xp, k: int):
     """(word_index, 32-bit mask) of packed k-mer words (..., W)."""
-    f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    return wordmask_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
+    f, r = hash_words(words, k, seed, xp)
+    return wordmask_from_hashes(f, r, n_hashes, n_words, xp)
 
 
-def wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes: int, n_words: int, xp):
+def wordbit_classic_from_hashes(f, r, n_hashes: int, n_words: int, xp):
     """CLASSIC (unblocked) addressing: H independent (word, bit) pairs by
-    double hashing g_i = h1 + i*h2, word = fastrange(g_i), bit = g_i & 31.
-    Lower false-positive rate than the blocked v3 family (no per-word key
-    clustering) at H gathers per probe — used by the graph API's
-    FP-sensitive traversals, NOT by the container format."""
+    double hashing g_i = h1 + i*h2 with (h1, h2) = (min(f,r), max(f,r)|1),
+    word = fastrange(g_i), bit = g_i & 31. Lower false-positive rate than
+    the blocked v4 family (no per-word key clustering) at H gathers per
+    probe — used by the graph API's FP-sensitive traversals, NOT by the
+    container format."""
     u = xp.uint32
     i32 = xp.int32 if xp is jnp else np.int64
     if isinstance(n_words, (int, np.integer)) and n_words > MAX_WORDS:
         raise ValueError(f"n_words {n_words} > {MAX_WORDS}")
-    h1 = xp.minimum(f1, r1)
-    h2 = xp.minimum(f2, r2) | u(1)
+    h1 = xp.minimum(f, r)
+    h2 = xp.maximum(f, r) | u(1)
     nw = _as_u32(n_words, xp)
     wis, bits = [], []
     for i in range(n_hashes):
@@ -247,8 +248,8 @@ def build_np_classic(solid_words: np.ndarray, n_words: int, n_hashes: int,
                      seed: int, k: int) -> np.ndarray:
     bitset = np.zeros(n_words, dtype=np.uint32)
     if solid_words.shape[0]:
-        f1, r1, f2, r2 = hash_words(solid_words, k, seed, np)
-        wi, bit = wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes, n_words, np)
+        f, r = hash_words(solid_words, k, seed, np)
+        wi, bit = wordbit_classic_from_hashes(f, r, n_hashes, n_words, np)
         np.bitwise_or.at(bitset, wi.reshape(-1), np.uint32(1) << bit.reshape(-1))
     return bitset
 
@@ -256,8 +257,8 @@ def build_np_classic(solid_words: np.ndarray, n_words: int, n_hashes: int,
 def probe_classic(bitset, words, n_hashes: int, n_words: int, seed: int, k: int):
     """Classic-addressed probe of packed k-mer words (..., W) -> bool."""
     xp = np if isinstance(words, np.ndarray) else jnp
-    f1, r1, f2, r2 = hash_words(words, k, seed, xp)
-    wi, bit = wordbit_classic_from_hashes(f1, r1, f2, r2, n_hashes, n_words, xp)
+    f, r = hash_words(words, k, seed, xp)
+    wi, bit = wordbit_classic_from_hashes(f, r, n_hashes, n_words, xp)
     return probe_wordbit(bitset, wi, bit, xp)
 
 

@@ -38,8 +38,8 @@ def _ror1(x):
     return (x >> U32(1)) | (x << U32(31))
 
 
-def _tab(tab_np, m, kind):
-    return jnp.asarray(tab_np[m, kind])  # (4,) u32 constant
+def _tab(tab_np, kind):
+    return jnp.asarray(tab_np[kind])  # (4,) u32 constant
 
 
 def _take4(tabc, idx):
@@ -67,9 +67,9 @@ def _sel4(arr, idx):
 # are where-chains.
 
 
-def _tabn(tab_np, m, kind):
+def _tabn(tab_np, kind):
     """(4,) python-int table row (embeds as scalar constants)."""
-    return [int(x) for x in tab_np[m, kind]]
+    return [int(x) for x in tab_np[kind]]
 
 
 def _take4c(trow, idx):
@@ -112,56 +112,50 @@ def _shr2_ins_t(ws, base, k: int):
 
 def _anchor_scan(codes, k: int, seed: int):
     """One pass over base columns: at every k-mer position, the forward
-    words (for walk-state init) and the four rolling strand hashes
-    (FORMAT.md §4 v2). Returns (fwds (B,P,W), hs 4x(B,P))."""
+    words (for walk-state init) and the two rolling strand-chain values
+    (FORMAT.md §4 v4). Returns (fwds (B,P,W), hs 2x(B,P))."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
+    T, Tc, Trot, Tcrot = (_tabn(tab, i) for i in range(4))
     cols = codes.T.astype(jnp.int32)  # (L, B)
     # leaving-base columns: base at j-k (garbage for j<k, masked by is_slide)
     leave = jnp.concatenate([jnp.zeros((k, B), jnp.int32), cols[:-k] if L > k else cols[:0]], axis=0)
 
     def step(carry, xs):
-        fwd, f1, r1, f2, r2 = carry  # fwd: tuple of W (B,) words
+        fwd, f, r = carry  # fwd: tuple of W (B,) words
         x, o, j = xs
         is_slide = j >= k
         jm = jnp.minimum(j, k - 1) & 31  # scalar rotate amount (traced)
         fwd = _shl2_t(fwd, x.astype(U32), k)
 
-        def upd(f, r, T, Tc, Trot, Tcrot):
-            # scalarized table lookups (_take4c): no (B, 4) intermediates
-            f = _rol1(f ^ jnp.where(is_slide, _take4c(Trot, o), U32(0))) ^ _take4c(T, x)
-            radd = _take4c(Tc, x)
-            radd = (radd << jm.astype(U32)) | (radd >> ((U32(32) - jm.astype(U32)) & U32(31)))
-            r_slide = _ror1(r ^ _take4c(Tc, o)) ^ _take4c(Tcrot, x)
-            r_build = r ^ radd
-            return f, jnp.where(is_slide, r_slide, r_build)
-
-        f1, r1 = upd(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        f2, r2 = upd(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        return (fwd, f1, r1, f2, r2), (fwd, f1, r1, f2, r2)
+        # scalarized table lookups (_take4c): no (B, 4) intermediates
+        f = _rol1(f ^ jnp.where(is_slide, _take4c(Trot, o), U32(0))) ^ _take4c(T, x)
+        radd = _take4c(Tc, x)
+        radd = (radd << jm.astype(U32)) | (radd >> ((U32(32) - jm.astype(U32)) & U32(31)))
+        r_slide = _ror1(r ^ _take4c(Tc, o)) ^ _take4c(Tcrot, x)
+        r = jnp.where(is_slide, r_slide, r ^ radd)
+        return (fwd, f, r), (fwd, f, r)
 
     z = jnp.zeros(B, jnp.uint32)
-    init = (tuple(z for _ in range(words_for_k(k))), z, z, z, z)
+    init = (tuple(z for _ in range(words_for_k(k))), z, z)
     js = jnp.arange(L, dtype=jnp.int32)
     _, ys = lax.scan(step, init, (cols, leave, js))
     # re-stack the per-word planes OUTSIDE the scan (bulk relayout once)
     fwds = jnp.stack([jnp.moveaxis(w[k - 1 :], 0, 1) for w in ys[0]], axis=-1)
-    hs = tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys[1:])  # 4 x (B, P)
+    hs = tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys[1:])  # 2 x (B, P)
     return fwds, hs
 
 
-def _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words):
+def _probe4_rolling(bitset, cf, cr, H, n_words):
     """Membership of 4 candidates given their strand hashes, each (B, 4).
-    Blocked Bloom (FORMAT.md §4 v3): ONE gathered u32 word per candidate."""
-    wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
+    Blocked Bloom (FORMAT.md §4 v4): ONE gathered u32 word per candidate."""
+    wi, mask = bloom.wordmask_from_hashes(cf, cr, H, n_words, jnp)
     return bloom.probe_wordmask(bitset, wi, mask, jnp)
 
 
 def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, seed, side, ME):
     """Scan one walk direction with rolling candidate hashes. state0 =
-    (fwd words, f1, r1, f2, r2) at the anchor. Returns step-ordered planes
+    (fwd words, f, r) at the anchor. Returns step-ordered planes
     (B, ME): is_bif, rank, is_err, errnt-rank (b among non-solid, v3),
     is_conf.
 
@@ -173,8 +167,7 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
     ~2.5x on the whole encode kernel vs the take_along_axis form."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tab(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tab(tab, 1, i) for i in range(4))
+    T, Tc, Trot, Tcrot = (_tab(tab, i) for i in range(4))
     right = side == "right"
     # bit offset of the base leaving the window when advancing
     t_out = 2 * (k - 1) if right else 0
@@ -186,26 +179,21 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
     b_all = jnp.take_along_axis(codes, jnp.clip(j_all, 0, L - 1), axis=1).astype(jnp.int32)
 
     def step(carry, xs):
-        fwd, f1, r1, f2, r2 = carry
+        fwd, f, r = carry
         b, active = xs
         o = ((fwd[:, t_out // 32] >> U32(t_out % 32)) & U32(3)).astype(jnp.int32)
 
-        def cands(f, r, T, Tc, Trot, Tcrot):
-            if right:
-                fbase = _rol1(f ^ _take4(Trot, o))
-                rbase = _ror1(r ^ _take4(Tc, o))
-                cf = fbase[:, None] ^ T[None, :]
-                cr = rbase[:, None] ^ Tcrot[None, :]
-            else:
-                fbase = _ror1(f ^ _take4(T, o))
-                rbase = _rol1(r ^ _take4(Tcrot, o))
-                cf = fbase[:, None] ^ Trot[None, :]
-                cr = rbase[:, None] ^ Tc[None, :]
-            return cf, cr
-
-        cf1, cr1 = cands(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        cf2, cr2 = cands(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        solid = _probe4_rolling(bitset, cf1, cr1, cf2, cr2, H, n_words)
+        if right:
+            fbase = _rol1(f ^ _take4(Trot, o))
+            rbase = _ror1(r ^ _take4(Tc, o))
+            cf = fbase[:, None] ^ T[None, :]
+            cr = rbase[:, None] ^ Tcrot[None, :]
+        else:
+            fbase = _ror1(f ^ _take4(T, o))
+            rbase = _rol1(r ^ _take4(Tcrot, o))
+            cf = fbase[:, None] ^ Trot[None, :]
+            cr = rbase[:, None] ^ Tc[None, :]
+        solid = _probe4_rolling(bitset, cf, cr, H, n_words)
         si = solid.astype(jnp.int32)
         scount = si.sum(axis=1)
         solid_b = _sel4(si, b).astype(bool)
@@ -227,17 +215,15 @@ def _walk_side(codes, lengths, apos, anchored, state0, bitset, k, H, n_words, se
         # event per sequencing error instead of k
         b_min_solid = jnp.argmax(si, axis=1).astype(jnp.int32)
         b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        f1n = _sel4(cf1, b_adv)
-        r1n = _sel4(cr1, b_adv)
-        f2n = _sel4(cf2, b_adv)
-        r2n = _sel4(cr2, b_adv)
+        fn = _sel4(cf, b_adv)
+        rn = _sel4(cr, b_adv)
         bu = b_adv.astype(U32)
         if right:
             fwd = shl2(fwd, bu, k)
         else:
             fwd = shr2_ins(fwd, bu, k)
         ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8), is_conf)
-        return (fwd, f1n, r1n, f2n, r2n), ys
+        return (fwd, fn, rn), ys
 
     _, ys = lax.scan(step, state0, (b_all.T, active_all.T))
     return tuple(jnp.moveaxis(y, 0, 1) for y in ys)  # each (B, ME)
@@ -264,8 +250,7 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
     VPU at 4/128 lane occupancy and measured ~500x slower on v5e."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
+    T, Tc, Trot, Tcrot = (_tabn(tab, i) for i in range(4))
     t_hi = 2 * (k - 1)
 
     lengths = lengths.astype(jnp.int32)
@@ -281,45 +266,36 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
     lidx_all = jnp.where(in_right_all, s_all, ls_all)  # side-local step idx
     switch_all = s_all == nr[:, None]
 
-    afwd, a1, a2, a3, a4 = state0
+    afwd, a1, a2 = state0
     # the k-mer window rides as a TUPLE of W (B,) words — a (B, W) carry
     # would re-tile against the (B,) carries every step (see the
     # scalarization note above)
     afwd_t = tuple(afwd[:, j] for j in range(afwd.shape[1]))
 
     def step(carry, xs):
-        fwd, f1, r1, f2, r2, last = carry
+        fwd, f, r, last = carry
         b, active, in_r, sw, lidx = xs
         # side switch: restart from the anchor state, fresh gap chain
         fwd = tuple(jnp.where(sw, a, w) for a, w in zip(afwd_t, fwd))
-        f1 = jnp.where(sw, a1, f1)
-        r1 = jnp.where(sw, a2, r1)
-        f2 = jnp.where(sw, a3, f2)
-        r2 = jnp.where(sw, a4, r2)
+        f = jnp.where(sw, a1, f)
+        r = jnp.where(sw, a2, r)
         last = jnp.where(sw, -1, last)
 
         o = jnp.where(
             in_r, (fwd[t_hi // 32] >> U32(t_hi % 32)) & U32(3), fwd[0] & U32(3)
         ).astype(jnp.int32)
 
-        def bases(f, r, T, Tc, Trot, Tcrot):
-            fb_r = _rol1(f ^ _take4c(Trot, o))
-            rb_r = _ror1(r ^ _take4c(Tc, o))
-            fb_l = _ror1(f ^ _take4c(T, o))
-            rb_l = _rol1(r ^ _take4c(Tcrot, o))
-            return fb_r, rb_r, fb_l, rb_l
-
-        fb1r, rb1r, fb1l, rb1l = bases(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        fb2r, rb2r, fb2l, rb2l = bases(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        cf1s, cr1s, cf2s, cr2s, sis = [], [], [], [], []
+        fb_r = _rol1(f ^ _take4c(Trot, o))
+        rb_r = _ror1(r ^ _take4c(Tc, o))
+        fb_l = _ror1(f ^ _take4c(T, o))
+        rb_l = _rol1(r ^ _take4c(Tcrot, o))
+        cfs, crs, sis = [], [], []
         for cb in range(4):
-            cf1 = jnp.where(in_r, fb1r ^ U32(T1[cb]), fb1l ^ U32(Trot1[cb]))
-            cr1 = jnp.where(in_r, rb1r ^ U32(Tcrot1[cb]), rb1l ^ U32(Tc1[cb]))
-            cf2 = jnp.where(in_r, fb2r ^ U32(T2[cb]), fb2l ^ U32(Trot2[cb]))
-            cr2 = jnp.where(in_r, rb2r ^ U32(Tcrot2[cb]), rb2l ^ U32(Tc2[cb]))
-            wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
+            cf = jnp.where(in_r, fb_r ^ U32(T[cb]), fb_l ^ U32(Trot[cb]))
+            cr = jnp.where(in_r, rb_r ^ U32(Tcrot[cb]), rb_l ^ U32(Tc[cb]))
+            wi, mask = bloom.wordmask_from_hashes(cf, cr, H, n_words, jnp)
             sis.append(bloom.probe_wordmask(bitset, wi, mask, jnp).astype(jnp.int32))
-            cf1s.append(cf1); cr1s.append(cr1); cf2s.append(cf2); cr2s.append(cr2)
+            cfs.append(cf); crs.append(cr)
         si0, si1, si2, si3 = sis
         scount = si0 + si1 + si2 + si3
         cums = [si0, si0 + si1, si0 + si1 + si2, scount]
@@ -345,19 +321,17 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
                       jnp.where(si2 > 0, 2,
                       jnp.where(si3 > 0, 3, 0)))).astype(jnp.int32)
         b_adv = jnp.where(is_err & (scount >= 1), b_min_solid, b)
-        f1n = _sel4w(cf1s, b_adv)
-        r1n = _sel4w(cr1s, b_adv)
-        f2n = _sel4w(cf2s, b_adv)
-        r2n = _sel4w(cr2s, b_adv)
+        fn = _sel4w(cfs, b_adv)
+        rn = _sel4w(crs, b_adv)
         bu = b_adv.astype(U32)
         fl = _shl2_t(fwd, bu, k)
         fr = _shr2_ins_t(fwd, bu, k)
         fwd = tuple(jnp.where(in_r, a, c) for a, c in zip(fl, fr))
         ys = (is_bif, rank.astype(jnp.uint8), is_err, ent.astype(jnp.uint8),
               jnp.maximum(gap, 0).astype(jnp.uint16), is_conf)
-        return (fwd, f1n, r1n, f2n, r2n, last), ys
+        return (fwd, fn, rn, last), ys
 
-    carry0 = (afwd_t, a1, a2, a3, a4, jnp.full(B, -1, jnp.int32))
+    carry0 = (afwd_t, a1, a2, jnp.full(B, -1, jnp.int32))
     _, ys = lax.scan(step, carry0,
                      (b_all.T, active_all.T, in_right_all.T, switch_all.T,
                       lidx_all.T))
@@ -367,27 +341,28 @@ def _walk_fused(codes, lengths, apos, anchored, state0, bitset, k, H, n_words,
 
 def _anchor_state(codes, lengths, bitset, k: int, H: int, n_words, seed: int):
     """Anchor search: (anchored (B,), apos (B,) i32, state0) where state0 =
-    (afwd (B, W), f1, r1, f2, r2) is the walk state at the anchor."""
+    (afwd (B, W), f, r) is the walk state at the anchor."""
     lengths = lengths.astype(jnp.int32)
-    fwds, (h1f, h1r, h2f, h2r) = _anchor_scan(codes, k, seed)
+    fwds, (hf, hr) = _anchor_scan(codes, k, seed)
     P = fwds.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
     # membership at every position (B, P)
-    hh1 = jnp.minimum(h1f, h1r)
-    wi, mask = bloom.wordmask_from_hashes(h1f, h1r, h2f, h2r, H, n_words, jnp)
+    hh = jnp.minimum(hf, hr)
+    wi, mask = bloom.wordmask_from_hashes(hf, hr, H, n_words, jnp)
     member = bloom.probe_wordmask(bitset, wi, mask, jnp) & valid
 
     anchored = member.any(axis=1)
     # minimizer-style anchor (FORMAT.md §5): the solid position with the
-    # smallest h1 digest — overlapping reads pick the same anchor k-mer,
-    # keeping the dictionary small; argmin breaks ties at the first index
+    # smallest min-strand digest — overlapping reads pick the same anchor
+    # k-mer, keeping the dictionary small; argmin ties break at the first
+    # index
     apos = jnp.argmin(
-        jnp.where(member, hh1, jnp.uint32(0xFFFFFFFF)), axis=1
+        jnp.where(member, hh, jnp.uint32(0xFFFFFFFF)), axis=1
     ).astype(jnp.int32)
     sel = apos[:, None]
     afwd = jnp.take_along_axis(fwds, sel[..., None], axis=1)[:, 0, :]
-    a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (h1f, h1r, h2f, h2r))
+    a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (hf, hr))
     return anchored, apos, (afwd, *a_h)
 
 
@@ -720,8 +695,7 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
     ar = jnp.arange(B)
     MEv = max(1, qbif.shape[1])
     tab = bloom.tables(seed, k)
-    T1, Tc1, Trot1, Tcrot1 = (_tabn(tab, 0, i) for i in range(4))
-    T2, Tc2, Trot2, Tcrot2 = (_tabn(tab, 1, i) for i in range(4))
+    T, Tc, Trot, Tcrot = (_tabn(tab, i) for i in range(4))
     t_hi = 2 * (k - 1)
 
     lengths = lengths.astype(jnp.int32)
@@ -736,17 +710,15 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
     ev_all = jnp.take_along_axis(err_plane, jnp.clip(j_all, 0, L - 1), axis=1)
     switch_all = s_all == nr[:, None]
 
-    afwd, a1, a2, a3, a4 = state0
+    afwd, a1, a2 = state0
     afwd_t = tuple(afwd[:, j] for j in range(afwd.shape[1]))
 
     def step(carry, xs):
-        fwd, f1, r1, f2, r2, pbif = carry
+        fwd, f, r, pbif = carry
         ev, active, in_r, sw = xs
         fwd = tuple(jnp.where(sw, a, w) for a, w in zip(afwd_t, fwd))
-        f1 = jnp.where(sw, a1, f1)
-        r1 = jnp.where(sw, a2, r1)
-        f2 = jnp.where(sw, a3, f2)
-        r2 = jnp.where(sw, a4, r2)
+        f = jnp.where(sw, a1, f)
+        r = jnp.where(sw, a2, r)
 
         is_err = active & (ev >= 4)
         rank_ns = (ev & 3).astype(jnp.int32)
@@ -756,24 +728,17 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
 
         # scalarized per-candidate arrays (see _walk_fused): no (B, 4)
         # intermediates inside the scan
-        def bases(f, r, T, Tc, Trot, Tcrot):
-            fb_r = _rol1(f ^ _take4c(Trot, o))
-            rb_r = _ror1(r ^ _take4c(Tc, o))
-            fb_l = _ror1(f ^ _take4c(T, o))
-            rb_l = _rol1(r ^ _take4c(Tcrot, o))
-            return fb_r, rb_r, fb_l, rb_l
-
-        fb1r, rb1r, fb1l, rb1l = bases(f1, r1, T1, Tc1, Trot1, Tcrot1)
-        fb2r, rb2r, fb2l, rb2l = bases(f2, r2, T2, Tc2, Trot2, Tcrot2)
-        cf1s, cr1s, cf2s, cr2s, sis = [], [], [], [], []
+        fb_r = _rol1(f ^ _take4c(Trot, o))
+        rb_r = _ror1(r ^ _take4c(Tc, o))
+        fb_l = _ror1(f ^ _take4c(T, o))
+        rb_l = _rol1(r ^ _take4c(Tcrot, o))
+        cfs, crs, sis = [], [], []
         for cb in range(4):
-            cf1 = jnp.where(in_r, fb1r ^ U32(T1[cb]), fb1l ^ U32(Trot1[cb]))
-            cr1 = jnp.where(in_r, rb1r ^ U32(Tcrot1[cb]), rb1l ^ U32(Tc1[cb]))
-            cf2 = jnp.where(in_r, fb2r ^ U32(T2[cb]), fb2l ^ U32(Trot2[cb]))
-            cr2 = jnp.where(in_r, rb2r ^ U32(Tcrot2[cb]), rb2l ^ U32(Tc2[cb]))
-            wi, mask = bloom.wordmask_from_hashes(cf1, cr1, cf2, cr2, H, n_words, jnp)
+            cf = jnp.where(in_r, fb_r ^ U32(T[cb]), fb_l ^ U32(Trot[cb]))
+            cr = jnp.where(in_r, rb_r ^ U32(Tcrot[cb]), rb_l ^ U32(Tc[cb]))
+            wi, mask = bloom.wordmask_from_hashes(cf, cr, H, n_words, jnp)
             sis.append(bloom.probe_wordmask(bitset, wi, mask, jnp).astype(jnp.int32))
-            cf1s.append(cf1); cr1s.append(cr1); cf2s.append(cf2); cr2s.append(cr2)
+            cfs.append(cf); crs.append(cr)
         si0, si1, si2, si3 = sis
         scount = si0 + si1 + si2 + si3
         is_bif = active & ~is_err & (scount >= 2)
@@ -800,17 +765,15 @@ def _walk_decode_fused(lengths, apos, anchored, state0, bitset,
         pbif = pbif + is_bif.astype(jnp.int32)
 
         b_adv = jnp.where(is_err & (scount >= 1), b_uniq, b)
-        f1n = _sel4w(cf1s, b_adv)
-        r1n = _sel4w(cr1s, b_adv)
-        f2n = _sel4w(cf2s, b_adv)
-        r2n = _sel4w(cr2s, b_adv)
+        fn = _sel4w(cfs, b_adv)
+        rn = _sel4w(crs, b_adv)
         bu = b_adv.astype(U32)
         fl = _shl2_t(fwd, bu, k)
         fr = _shr2_ins_t(fwd, bu, k)
         fwd = tuple(jnp.where(in_r, a, c) for a, c in zip(fl, fr))
-        return (fwd, f1n, r1n, f2n, r2n, pbif), b.astype(jnp.uint8)
+        return (fwd, fn, rn, pbif), b.astype(jnp.uint8)
 
-    carry = (afwd_t, a1, a2, a3, a4, jnp.zeros(B, jnp.int32))
+    carry = (afwd_t, a1, a2, jnp.zeros(B, jnp.int32))
     _, bs = lax.scan(step, carry,
                      (ev_all.T, active_all.T, in_right_all.T, switch_all.T))
     return jnp.moveaxis(bs, 0, 1), j_all, active_all
@@ -910,9 +873,9 @@ def decode_batch(apos, anchored, lengths, afwd, bitset,
     gathered = jnp.take_along_axis(anchor_codes, jnp.clip(rel, 0, k - 1), axis=1)
     codes0 = jnp.where(in_anchor, gathered, jnp.uint8(0))
 
-    # initial rolling-hash states of the anchor k-mer (FORMAT.md §4 v2)
-    f1, r1, f2, r2 = bloom.hash_words(afwd, k, seed, jnp)
-    state0 = (afwd, f1, r1, f2, r2)
+    # initial rolling-hash state of the anchor k-mer (FORMAT.md §4 v4)
+    f, r = bloom.hash_words(afwd, k, seed, jnp)
+    state0 = (afwd, f, r)
 
     # fused bif queue per lane: right ranks then left ranks, the fused
     # walk's consumption order (and the container's stream order)

@@ -23,18 +23,18 @@ def test_hash_np_jnp_identical(rng, k):
 
 @pytest.mark.parametrize("k", [15, 31, 33])
 def test_hash_strand_invariance(rng, k):
-    """min(f, r) per hash function must be identical for a k-mer and its
-    reverse complement — the v2 strand-invariance contract."""
+    """The unordered (min, max) strand pair must be identical for a k-mer
+    and its reverse complement — the v4 strand-invariance contract."""
     codes = rng.integers(0, 4, (100, k), dtype=np.uint8)
     fwd = K.pack_codes_batch_np(codes, k)
     rc = K.pack_codes_batch_np((3 - codes)[:, ::-1], k)
-    f1, r1, f2, r2 = bloom.hash_words(fwd, k, 99, np)
-    g1, s1, g2, s2 = bloom.hash_words(rc, k, 99, np)
+    f, r = bloom.hash_words(fwd, k, 99, np)
+    g, s = bloom.hash_words(rc, k, 99, np)
     # reverse hash of s == forward hash of revcomp(s)
-    np.testing.assert_array_equal(r1, g1)
-    np.testing.assert_array_equal(f1, s1)
-    np.testing.assert_array_equal(np.minimum(f1, r1), np.minimum(g1, s1))
-    np.testing.assert_array_equal(np.minimum(f2, r2), np.minimum(g2, s2))
+    np.testing.assert_array_equal(r, g)
+    np.testing.assert_array_equal(f, s)
+    np.testing.assert_array_equal(np.minimum(f, r), np.minimum(g, s))
+    np.testing.assert_array_equal(np.maximum(f, r), np.maximum(g, s))
 
 
 def test_rolling_equals_scratch(rng):
@@ -48,30 +48,30 @@ def test_rolling_equals_scratch(rng):
         r %= 32
         return ((int(x) << r) | (int(x) >> (32 - r))) & 0xFFFFFFFF
 
-    for m in range(2):
-        T, Tc, Trot, Tcrot = (tab[m, i] for i in range(4))
-        # from-scratch at position p
-        def scratch(p):
-            f = r = 0
-            for i in range(k):
-                f ^= rol(T[seq[p + i]], k - 1 - i)
-                r ^= rol(Tc[seq[p + i]], i)
-            return f, r
+    T, Tc, Trot, Tcrot = (tab[i] for i in range(4))
 
-        # roll right across the sequence
-        f, r = scratch(0)
-        for p in range(1, 100):
-            o, x = seq[p - 1], seq[p + k - 1]
-            f = (rol(int(f) ^ int(Trot[o]), 1) ^ int(T[x])) & 0xFFFFFFFF
-            r = (rol(int(r) ^ int(Tc[o]), 31) ^ int(Tcrot[x])) & 0xFFFFFFFF
-            assert (f, r) == scratch(p), f"right roll diverged at {p} (fn {m})"
-        # roll left back down
-        f, r = scratch(99)
-        for p in range(98, 50, -1):
-            x, o = seq[p], seq[p + k]
-            f = (int(Trot[x]) ^ rol(int(f) ^ int(T[o]), 31)) & 0xFFFFFFFF
-            r = (rol(int(r) ^ int(Tcrot[o]), 1) ^ int(Tc[x])) & 0xFFFFFFFF
-            assert (f, r) == scratch(p), f"left roll diverged at {p} (fn {m})"
+    # from-scratch at position p
+    def scratch(p):
+        f = r = 0
+        for i in range(k):
+            f ^= rol(T[seq[p + i]], k - 1 - i)
+            r ^= rol(Tc[seq[p + i]], i)
+        return f, r
+
+    # roll right across the sequence
+    f, r = scratch(0)
+    for p in range(1, 100):
+        o, x = seq[p - 1], seq[p + k - 1]
+        f = (rol(int(f) ^ int(Trot[o]), 1) ^ int(T[x])) & 0xFFFFFFFF
+        r = (rol(int(r) ^ int(Tc[o]), 31) ^ int(Tcrot[x])) & 0xFFFFFFFF
+        assert (f, r) == scratch(p), f"right roll diverged at {p}"
+    # roll left back down
+    f, r = scratch(99)
+    for p in range(98, 50, -1):
+        x, o = seq[p], seq[p + k]
+        f = (int(Trot[x]) ^ rol(int(f) ^ int(T[o]), 31)) & 0xFFFFFFFF
+        r = (rol(int(r) ^ int(Tcrot[o]), 1) ^ int(Tc[x])) & 0xFFFFFFFF
+        assert (f, r) == scratch(p), f"left roll diverged at {p}"
 
 
 def test_bloom_membership(rng):
@@ -133,24 +133,24 @@ def test_auto_cutoff():
 
 @pytest.mark.parametrize("n_words", [1 << 15, 99_968, 3_000_064, (1 << 31) - 64])
 def test_wordbit_np_jnp_identical(rng, n_words):
-    """Hash family v3 (blocked + fastrange, FORMAT.md §4) must be
+    """Hash family v4 (blocked + fastrange, FORMAT.md §4) must be
     bit-identical between the numpy and jnp implementations — decoder
     determinism depends on it — and the per-bit view must agree with the
     fused word+mask view the probes use. Sizes include non-powers-of-two
     (exact sizing is the point of fastrange) and the int32 ceiling."""
-    f1, r1, f2, r2 = (rng.integers(0, 2**32, 2048, dtype=np.uint32) for _ in range(4))
-    win, bin_ = bloom.wordbit_from_hashes(f1, r1, f2, r2, 4, n_words, np)
+    f, r = (rng.integers(0, 2**32, 2048, dtype=np.uint32) for _ in range(2))
+    win, bin_ = bloom.wordbit_from_hashes(f, r, 4, n_words, np)
     wij, bij = bloom.wordbit_from_hashes(
-        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, n_words, jnp
+        *(jnp.asarray(x) for x in (f, r)), 4, n_words, jnp
     )
     assert np.array_equal(win.astype(np.int64), np.asarray(wij).astype(np.int64))
     assert np.array_equal(bin_, np.asarray(bij))
     assert int(win.max()) < n_words and int(win.min()) >= 0
     # blocked: all H bits of a key live in the SAME word
     assert (win == win[:, :1]).all()
-    wm, mask = bloom.wordmask_from_hashes(f1, r1, f2, r2, 4, n_words, np)
+    wm, mask = bloom.wordmask_from_hashes(f, r, 4, n_words, np)
     wmj, maskj = bloom.wordmask_from_hashes(
-        *(jnp.asarray(x) for x in (f1, r1, f2, r2)), 4, n_words, jnp
+        *(jnp.asarray(x) for x in (f, r)), 4, n_words, jnp
     )
     assert np.array_equal(wm.astype(np.int64), np.asarray(wmj).astype(np.int64))
     assert np.array_equal(mask, np.asarray(maskj))

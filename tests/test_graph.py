@@ -19,7 +19,10 @@ def dbg_and_contig(rng):
     canon, _, valid = K.kmer_scan(codes, lengths, k)
     uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
     solid = uniq[counts >= 2]
-    n_words = bloom.choose_n_words(max(1, len(solid)), 14.0)
+    # generous sizing: these tests assert exact traversal semantics, so
+    # keep the false-positive rate out of the picture (an FP at an early
+    # step truncates the walk — seen once per hash-family change)
+    n_words = bloom.choose_n_words(max(1, len(solid)), 24.0)
     import jax.numpy as jnp
 
     bits = jnp.asarray(bloom.build_np_classic(solid, n_words, H, seed, k))

@@ -330,55 +330,31 @@ class TestDictV2:
         assert (np.argsort(key, kind="stable") == np.arange(key.size)).all()
         assert np.unique(key).size == key.size
 
-    def test_v4_archive_still_reads(self, rng, tmp_path):
-        """A v4 archive (untagged raw DICT) must keep decoding. Built by
-        byte surgery on a v5 BLOOM-mode archive: strip the DICT tag byte
-        and restamp the version. DICT follows the BLOCK sections, so the
-        INDEX offsets stay valid."""
-        import struct
-        import zlib as _zlib
-
+    def test_old_container_versions_refused(self, rng, tmp_path):
+        """Containers v3-v5 used the two-chain hash family (pre-v6): their
+        walk events cannot be decoded by the v4-family coder, so the
+        Reader must refuse them with a clear re-compress hint instead of
+        mis-decoding (FORMAT.md changelog)."""
         from leon_tpu import pipeline
         from leon_tpu.config import LeonConfig
         from leon_tpu.io import container
-        from leon_tpu.utils import varint as _varint
 
         lines = []
         contig = "".join("ACGT"[b] for b in rng.integers(0, 4, 600))
-        for i in range(100):
+        for i in range(50):
             s = int(rng.integers(0, 500))
             lines.append(f">v{i}\n{contig[s:s+100]}\n")
         src = tmp_path / "in.fasta"
         src.write_bytes("".join(lines).encode())
         out = str(tmp_path / "x.leon")
-        # BLOOM mode => raw (tag 0) dict; v4 is that payload minus the tag
         pipeline.compress(str(src), out, LeonConfig(unitig_sections=False))
         data = bytes(open(out, "rb").read())
         assert data[8] == container.VERSION
-        out4 = bytearray(data[:8] + bytes([4]) + data[9:13])
-        pos = 13
-        (nsect,) = struct.unpack_from("<I", data, 9)
-        for _ in range(nsect):
-            tag = data[pos]
-            plen, end = _varint.decode_one(data, pos + 1)
-            payload = data[end : end + plen]
-            if tag == container.TAG_DICT:
-                assert payload[0] == 0
-                payload = payload[1:]
-            sec = bytearray([tag])
-            _varint.encode_one(len(payload), sec)
-            sec += payload
-            sec += struct.pack("<I", _zlib.crc32(payload) & 0xFFFFFFFF)
-            out4 += sec
-            pos = end + plen + 4
-        p4 = str(tmp_path / "v4.leon")
-        open(p4, "wb").write(bytes(out4))
-        r = container.Reader(p4)
-        assert r.version == 4
-        r.close()
-        dec = str(tmp_path / "v4.fasta")
-        pipeline.decompress(p4, dec)
-        assert open(dec, "rb").read() == src.read_bytes()
+        for old in (3, 4, 5):
+            p = str(tmp_path / f"v{old}.leon")
+            open(p, "wb").write(data[:8] + bytes([old]) + data[9:])
+            with pytest.raises(ValueError, match="older leon-tpu"):
+                container.Reader(p)
 
 
 def test_host_builder_path_byte_identical(rng, tmp_path):
