@@ -92,6 +92,11 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.leon_rows_sorted.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.leon_spell_canon.restype = ctypes.c_int64
+    lib.leon_spell_canon.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
     lib.leon_hdr_decode.restype = ctypes.c_int64
     lib.leon_hdr_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,

@@ -730,3 +730,71 @@ int32_t leon_rows_sorted(int64_t n, int64_t W, const uint32_t* keys) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Canonical k-mer spelling of the UNITIGS payload: the decode-side DICT
+// enumeration + bitset-rebuild input (ops/unitig.py spell_canon). The numpy
+// form packs every window from scratch (O(n*k) with two full (n, k) gathers
+// — measured ~4.7 s of a 43 s 500k-read decompress); this rolling form is
+// O(n*W): slide the forward and reverse-complement windows one base at a
+// time and emit min(fwd, rc) per position.
+//
+// codes: concatenated 2-bit base codes of all unitigs; lens: per-unitig code
+// counts; out: (sum(len_i - k + 1), W) u32 rows, little-endian words, base i
+// of a window at bit 2*(k-1-i) of the big-int (kmer.pack_codes_batch_np
+// layout). Returns the row count.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t leon_spell_canon(const uint8_t* codes, int64_t n_units,
+                         const int64_t* lens, int32_t k, int32_t W,
+                         uint32_t* out) {
+  std::vector<uint32_t> fwd(static_cast<size_t>(W));
+  std::vector<uint32_t> rc(static_cast<size_t>(W));
+  const int32_t t_hi = 2 * (k - 1);          // bit offset of the window's MSB base
+  const int32_t hi_word = t_hi / 32, hi_bit = t_hi % 32;
+  const int32_t top_bits = (2 * k) % 32;     // valid bits in the top word
+  const uint32_t top_mask =
+      top_bits ? ((top_bits == 32) ? 0xFFFFFFFFu : ((1u << top_bits) - 1u))
+               : 0xFFFFFFFFu;
+  int64_t m = 0;
+  const uint8_t* p = codes;
+  for (int64_t u = 0; u < n_units; ++u) {
+    const int64_t L = lens[u];
+    if (L < k) { p += L; continue; }
+    std::fill(fwd.begin(), fwd.end(), 0u);
+    std::fill(rc.begin(), rc.end(), 0u);
+    for (int64_t i = 0; i < L; ++i) {
+      const uint32_t b = p[i] & 3u;
+      // fwd' = ((fwd << 2) | b) & mask(2k)
+      uint32_t carry = b;
+      for (int32_t w = 0; w < W; ++w) {
+        const uint32_t nc = fwd[w] >> 30;
+        fwd[w] = (fwd[w] << 2) | carry;
+        carry = nc;
+      }
+      fwd[W - 1] &= top_mask;
+      // rc' = (rc >> 2) | ((3-b) << 2*(k-1))
+      for (int32_t w = 0; w < W - 1; ++w) {
+        rc[w] = (rc[w] >> 2) | (rc[w + 1] << 30);
+      }
+      rc[W - 1] >>= 2;
+      rc[hi_word] |= (3u - b) << hi_bit;
+      if (i >= k - 1) {
+        // canonical = min(fwd, rc) as a big-int (MSW compare first)
+        bool rc_less = false;
+        for (int32_t w = W - 1; w >= 0; --w) {
+          if (rc[w] != fwd[w]) { rc_less = rc[w] < fwd[w]; break; }
+        }
+        const uint32_t* src = rc_less ? rc.data() : fwd.data();
+        memcpy(out + m * W, src, sizeof(uint32_t) * W);
+        ++m;
+      }
+    }
+    p += L;
+  }
+  return m;
+}
+
+}  // extern "C"

@@ -756,12 +756,31 @@ def rebuild_bitset_np(raw: bytes, k: int, n_words: int, n_hashes: int,
 
 def spell_canon(raw: bytes, k: int) -> np.ndarray:
     """(n_solid, W) u32: every canonical k-mer spelled by the unitig
-    payload, in payload traversal order (chunked window packing)."""
-    from leon_tpu.ops.kmer import pack_codes_batch_np
+    payload, in payload traversal order. Native rolling-window spell when
+    the lib is available (O(n) vs the numpy chunked form's O(n*k) —
+    measured ~4.7 s of a 43 s 500k-read decompress); numpy fallback is
+    bit-identical (tested)."""
+    from leon_tpu.ops.kmer import pack_codes_batch_np, words_for_k
 
     lens, codes = parse_payload(raw, k)
     if codes.size == 0:
         return np.zeros((0, max(1, (k + 15) // 16)), np.uint32)
+
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "leon_spell_canon"):
+        W = words_for_k(k)
+        nk_total = int(np.maximum(lens - k + 1, 0).sum())
+        out = np.empty((nk_total, W), dtype=np.uint32)
+        codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
+        lens_c = np.ascontiguousarray(lens, dtype=np.int64)
+        m = lib.leon_spell_canon(codes_c.ctypes.data, lens_c.shape[0],
+                                 lens_c.ctypes.data, k, W, out.ctypes.data)
+        if m == nk_total:
+            return np.ascontiguousarray(out.astype("<u4"))
+        # count mismatch (unitigs shorter than k shouldn't exist in a
+        # valid payload): fall through to the numpy reference
     starts = np.cumsum(lens) - lens
     nk = lens - k + 1
     pos = np.repeat(starts, nk) + (

@@ -1000,6 +1000,8 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
     the re-walk is a pure function of its lane."""
     from leon_tpu.ops import walk
 
+    import jax.numpy as jnp
+
     k, H, seed = meta.k, meta.n_hashes, meta.seed
     n_words = np.uint32(meta.n_words)
     n_segs = db.seg_read.shape[0]
@@ -1014,6 +1016,22 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
         ori = db.orient[anch_idx]
         afwd_all[anch_idx] = np.where(ori[:, None], rcw, words)
 
+    # ONE packed per-lane matrix for the whole block (sliced per
+    # sub-batch): [apos, anchored, dlen, nerr_r, nerr_l, nbif_r, nbif_l,
+    # err_base(rel), bif_base(rel), afwd...] — the dispatch ships 4 H2D
+    # arrays instead of 14 (the tunnel charges per transfer)
+    scal_all = np.empty((n_segs, 9 + W), dtype=np.int32)
+    scal_all[:, 0] = db.apos
+    scal_all[:, 1] = db.anchored
+    scal_all[:, 2] = np.where(db.anchored, db.seg_len, 0)
+    scal_all[:, 3] = db.nerr_r
+    scal_all[:, 4] = db.nerr_l
+    scal_all[:, 5] = db.nbif_r
+    scal_all[:, 6] = db.nbif_l
+    scal_all[:, 7] = db.err_base[:n_segs]
+    scal_all[:, 8] = db.bif_base[:n_segs]
+    scal_all[:, 9:] = afwd_all.view(np.int32)
+
     B = cfg.batch_reads
     mesh_n = placer.n if placer is not None and placer.mesh is not None else 1
     dispatched = []
@@ -1023,38 +1041,26 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
         anch = db.anchored[s:e]
         if not anch.any():
             continue
+        scal = scal_all[s:e].copy()
+        e0 = int(db.err_base[s])
+        e1 = int(db.err_base[e]) if e < n_segs else db.errgaps.size
+        b0 = int(db.bif_base[s])
+        b1 = int(db.bif_base[e]) if e < n_segs else db.bifs.size
+        scal[:, 7] -= e0
+        scal[:, 8] -= b0
         if mesh_n > 1 and (e - s) % mesh_n:
             # pad lanes to the mesh width (inactive lanes decode to
             # nothing; the assembled output only reads the real rows)
             pad = mesh_n - (e - s) % mesh_n
             sl = np.concatenate([sl, np.zeros(pad, sl.dtype)])
             anch = np.concatenate([anch, np.zeros(pad, bool)])
-        nlanes = sl.shape[0]
+            scal = np.concatenate([scal, np.zeros((pad, scal.shape[1]), np.int32)])
         Lb = _bucket_len(int(sl[anch].max()), k)
         ME = max(1, Lb - k)
-
-        def lane(arr, dtype=None, cols=None):
-            """Slice a per-lane array, pad to nlanes, place on the mesh."""
-            a = arr[s:e]
-            if dtype is not None:
-                a = a.astype(dtype)
-            if a.shape[0] < nlanes:
-                pad_shape = (nlanes - a.shape[0],) + a.shape[1:]
-                a = np.concatenate([a, np.zeros(pad_shape, a.dtype)])
-            if placer is None:
-                return a
-            return placer.batch2(a) if a.ndim == 2 else placer.batch1(a)
-
-        dlen = np.where(anch, sl, 0).astype(np.int32)
 
         # ship the FLAT event streams (padded to a static capacity bucket);
         # the device reconstructs the (B, ME) planes — 1-2 bytes/event over
         # the tunnel instead of dense int32 planes
-        e0 = int(db.err_base[s])
-        e1 = int(db.err_base[e]) if e < n_segs else db.errgaps.size
-        b0 = int(db.bif_base[s])
-        b1 = int(db.bif_base[e]) if e < n_segs else db.bifs.size
-
         def padded(flat, lo, hi):
             ln = hi - lo
             cap = 1 << max(10, (max(1, ln + ME) - 1).bit_length())
@@ -1062,18 +1068,13 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
             out[:ln] = flat[lo:hi]
             return placer.replicated(out) if placer is not None and placer.mesh else out
 
-        anch_d = placer.batch1(anch) if placer is not None and placer.mesh else anch
-        dlen_d = placer.batch1(dlen) if placer is not None and placer.mesh else dlen
-        dec = walk.decode_batch_flat(
-            lane(db.apos, np.int32), anch_d, dlen_d, lane(afwd_all), bitset_j,
-            lane(db.nerr_r, np.int32), lane(db.nerr_l, np.int32),
-            lane(db.nbif_r, np.int32), lane(db.nbif_l, np.int32),
-            lane(db.err_base - e0, np.int32),
-            lane(db.bif_base - b0, np.int32),
+        scal_d = placer.batch2(scal) if placer is not None and placer.mesh else jnp.asarray(scal)
+        dec = walk.decode_batch_flat_packed(
+            scal_d,
             padded(db.errgaps.astype(np.uint16), e0, e1),
             padded(db.errnts, e0, e1),
             padded(db.bifs, b0, b1),
-            k, H, n_words, seed, Lb,
+            bitset_j, k, H, n_words, seed, Lb, W,
         )
         dec.copy_to_host_async()
         dispatched.append((s, anch, sl, Lb, dec))

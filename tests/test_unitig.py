@@ -315,6 +315,26 @@ class TestDictV2:
             blockcodec.AnchorDict.from_payload_v5(
                 idxed, d.W, solid_provider=lambda: solid_sorted[:-1])
 
+    @pytest.mark.parametrize("k", [15, 31, 33, 63])
+    def test_spell_canon_native_matches_numpy(self, rng, k):
+        """The native rolling spell and the numpy chunked spell must be
+        bit-identical — the DICT enumeration and bitset rebuild both hang
+        off this function (decoder determinism)."""
+        from leon_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        uniq, counts = make_solid(rng, k)
+        payload = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
+        lens, codes = unitig.parse_payload(payload, k)
+        native_rows = unitig.spell_canon(payload, k)
+        # numpy reference: the chunked-window path (force-skip the lib)
+        import unittest.mock as _mock
+
+        with _mock.patch.object(native, "get_lib", lambda: None):
+            np_rows = unitig.spell_canon(payload, k)
+        np.testing.assert_array_equal(native_rows, np_rows)
+
     def test_solid_kmers_sorted_matches_solid_set(self, rng):
         k = 15
         uniq, counts = make_solid(rng, k)
