@@ -798,3 +798,239 @@ int64_t leon_spell_canon(const uint8_t* codes, int64_t n_units,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Unitig chain construction (ops/unitig.py _np_chains, bit-exact): the host
+// builder for solid sets above the device compile cliff
+// (config.unitig_device_max_kmers). The numpy form costs ~18 s per 1M rows
+// (structured-dtype searchsorted + O(n log n) pointer-doubling gathers);
+// this form is O(n) serial chain walking with a 16-bit prefix-bucketed
+// binary search — the chr-scale (36M-row) build must finish under the
+// encode stage it overlaps.
+//
+// Semantics replicated exactly (payload bytes are the frozen §4a contract):
+//   succ[did] = FIRST (in base order) solid successor's directed id;
+//   outc = solid successor count; inc(did) = outc(twin);
+//   internal = solid & outc==1 & succ>=0 & inc(succ)==1 & solid(succ);
+//   prev = inverse of nxt (ascending-did last-writer);
+//   cycles: cut the edge INTO each cycle's min-id node;
+//   head/rank via prev-chains, continuing x->nxt[x] only when
+//   prev[nxt[x]] == x (the numpy head/rank derives from prev);
+//   chain min-id / min-twin-id via nxt-orbit suffix minima (memoized);
+//   keep_head = solid & prev<0 & (m <= tm); kept = solid & keep_head[head].
+// ---------------------------------------------------------------------------
+
+namespace leon_unitig {
+
+static inline bool row_less(const uint32_t* a, const uint32_t* b, int32_t W) {
+  for (int32_t w = W - 1; w >= 0; --w) {
+    if (a[w] != b[w]) return a[w] < b[w];
+  }
+  return false;
+}
+
+static inline bool row_eq(const uint32_t* a, const uint32_t* b, int32_t W) {
+  return memcmp(a, b, sizeof(uint32_t) * W) == 0;
+}
+
+// ((kmer << 2) | base) & mask2k  (unitig.py _np_shl2)
+static inline void shl2(const uint32_t* x, uint32_t b, int32_t W,
+                        uint32_t top_mask, uint32_t* out) {
+  uint32_t carry = b;
+  for (int32_t w = 0; w < W; ++w) {
+    uint32_t nc = x[w] >> 30;
+    out[w] = (x[w] << 2) | carry;
+    carry = nc;
+  }
+  out[W - 1] &= top_mask;
+}
+
+// (kmer >> 2) | (base << 2(k-1))  (unitig.py _np_shr2_ins)
+static inline void shr2_ins(const uint32_t* x, uint32_t b, int32_t W,
+                            int32_t k, uint32_t* out) {
+  for (int32_t w = 0; w < W - 1; ++w) {
+    out[w] = (x[w] >> 2) | (x[w + 1] << 30);
+  }
+  out[W - 1] = x[W - 1] >> 2;
+  const int32_t t = 2 * (k - 1);
+  out[t / 32] |= b << (t % 32);
+}
+
+}  // namespace leon_unitig
+
+extern "C" {
+
+int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
+                           const int32_t* counts, int32_t cutoff, int32_t k,
+                           uint32_t* rc_out, int64_t* nxt, int64_t* head,
+                           int64_t* rank, uint8_t* kept, uint8_t* keep_head) {
+  using namespace leon_unitig;
+  if (M <= 0) return 0;
+  const int64_t N = 2 * M;
+  const int32_t top_bits = (2 * k) % 32;
+  const uint32_t top_mask =
+      top_bits ? ((1u << top_bits) - 1u) : 0xFFFFFFFFu;
+
+  // rc_out[i] = revcomp(words[i]) — per-base repack (matches
+  // kmer.revcomp_words_batch_np): base i at bit 2*(k-1-i)
+  for (int64_t i = 0; i < M; ++i) {
+    const uint32_t* wr = words + i * W;
+    uint32_t* rr = rc_out + i * W;
+    memset(rr, 0, sizeof(uint32_t) * W);
+    for (int32_t j = 0; j < k; ++j) {
+      const int32_t ts = 2 * (k - 1 - j);                 // source base j
+      const uint32_t b = (wr[ts / 32] >> (ts % 32)) & 3u;
+      const int32_t td = 2 * j;  // dest position (k-1-j) -> bit 2*(k-1-(k-1-j))
+      rr[td / 32] |= (3u - b) << (td % 32);
+    }
+  }
+
+  // 16-bit prefix bucket index over the sort key's high bits (MSW)
+  std::vector<int64_t> bucket(65537, 0);
+  for (int64_t i = 0; i < M; ++i) {
+    bucket[(words[i * W + (W - 1)] >> 16) + 1]++;
+  }
+  for (int64_t b = 0; b < 65536; ++b) bucket[b + 1] += bucket[b];
+
+  auto find = [&](const uint32_t* key) -> int64_t {
+    const uint32_t hi = key[W - 1] >> 16;
+    int64_t lo = bucket[hi], hiX = bucket[hi + 1];
+    while (lo < hiX) {
+      const int64_t mid = (lo + hiX) >> 1;
+      if (row_less(words + mid * W, key, W)) lo = mid + 1;
+      else hiX = mid;
+    }
+    if (lo < M && row_eq(words + lo * W, key, W)) return lo;
+    return -1;
+  };
+
+  std::vector<int64_t> succ(N, -1);
+  std::vector<int32_t> outc(N, 0);
+  std::vector<uint8_t> solid2(N);
+  for (int64_t i = 0; i < M; ++i) {
+    const uint8_t s = counts[i] >= cutoff ? 1 : 0;
+    solid2[2 * i] = s;
+    solid2[2 * i + 1] = s;
+  }
+
+  std::vector<uint32_t> buf(4 * W);
+  uint32_t* y = buf.data();
+  uint32_t* yr = y + W;
+  for (int64_t did = 0; did < N; ++did) {
+    const int64_t i = did >> 1;
+    const int32_t o = static_cast<int32_t>(did & 1);
+    const uint32_t* x = o ? rc_out + i * W : words + i * W;
+    const uint32_t* xr = o ? words + i * W : rc_out + i * W;
+    for (uint32_t b = 0; b < 4; ++b) {
+      shl2(x, b, W, top_mask, y);
+      shr2_ins(xr, 3u - b, W, k, yr);
+      const bool take_rc = row_less(yr, y, W);
+      const uint32_t* cy = take_rc ? yr : y;
+      const int64_t j = find(cy);
+      if (j >= 0 && counts[j] >= cutoff) {
+        outc[did]++;
+        if (outc[did] == 1) succ[did] = j * 2 + (take_rc ? 1 : 0);
+      }
+    }
+  }
+
+  // inc(did) = outc(twin); internal -> nxt
+  for (int64_t did = 0; did < N; ++did) {
+    const int64_t s = succ[did];
+    const bool internal = solid2[did] && outc[did] == 1 && s >= 0 &&
+                          outc[s ^ 1] == 1 && solid2[s];
+    nxt[did] = internal ? s : -1;
+  }
+
+  std::vector<int64_t> prev(N, -1);
+  for (int64_t did = 0; did < N; ++did) {
+    if (nxt[did] >= 0) prev[nxt[did]] = did;  // ascending = np last-writer
+  }
+
+  // cycle cut: for each nxt-cycle, hv = min id in cycle; cut edge into hv
+  {
+    std::vector<uint8_t> color(N, 0);  // 0 unvisited, 1 on path, 2 done
+    std::vector<int64_t> path;
+    for (int64_t s0 = 0; s0 < N; ++s0) {
+      if (color[s0]) continue;
+      path.clear();
+      int64_t x = s0;
+      while (x >= 0 && color[x] == 0) {
+        color[x] = 1;
+        path.push_back(x);
+        x = nxt[x];
+      }
+      if (x >= 0 && color[x] == 1) {
+        // found a new cycle: nodes from x onward in path
+        int64_t hv = x;
+        size_t ci = path.size();
+        while (ci > 0 && path[ci - 1] != x) --ci;
+        for (size_t t = ci - 1; t < path.size(); ++t) {
+          if (path[t] < hv) hv = path[t];
+        }
+        const int64_t pv = prev[hv];
+        if (pv >= 0) nxt[pv] = -1;
+        prev[hv] = -1;
+      }
+      for (int64_t p : path) color[p] = 2;
+    }
+  }
+
+  // chain min-id / min-twin-id: suffix minima over nxt-orbits (memoized)
+  std::vector<int64_t> msuf(N, -2), tmsuf(N, -2);
+  {
+    std::vector<int64_t> stack;
+    for (int64_t s0 = 0; s0 < N; ++s0) {
+      if (msuf[s0] != -2) continue;
+      stack.clear();
+      int64_t x = s0;
+      while (x >= 0 && msuf[x] == -2) {
+        msuf[x] = -3;  // on stack
+        stack.push_back(x);
+        x = nxt[x];
+      }
+      int64_t m = (x >= 0) ? msuf[x] : N;
+      int64_t tm = (x >= 0) ? tmsuf[x] : N;
+      for (size_t t = stack.size(); t-- > 0;) {
+        const int64_t v = stack[t];
+        if (solid2[v]) {
+          if (v < m) m = v;
+          if ((v ^ 1) < tm) tm = v ^ 1;
+        }
+        msuf[v] = m;
+        tmsuf[v] = tm;
+      }
+    }
+  }
+
+  // head/rank via prev-chains: walk forward from each head, continuing
+  // x -> nxt[x] only while prev[nxt[x]] == x (numpy derives these from
+  // the prev pointers)
+  for (int64_t did = 0; did < N; ++did) {
+    head[did] = did;
+    rank[did] = 0;
+  }
+  for (int64_t h = 0; h < N; ++h) {
+    if (prev[h] >= 0) continue;
+    int64_t x = h, r = 0;
+    for (;;) {
+      head[x] = h;
+      rank[x] = r;
+      const int64_t nx = nxt[x];
+      if (nx < 0 || prev[nx] != x) break;
+      x = nx;
+      ++r;
+    }
+  }
+
+  for (int64_t did = 0; did < N; ++did) {
+    keep_head[did] = (solid2[did] && prev[did] < 0 &&
+                      msuf[did] <= tmsuf[did]) ? 1 : 0;
+  }
+  for (int64_t did = 0; did < N; ++did) {
+    kept[did] = (solid2[did] && keep_head[head[did]]) ? 1 : 0;
+  }
+  return 0;
+}
+
+}  // extern "C"

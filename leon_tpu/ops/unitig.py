@@ -201,6 +201,39 @@ def _np_chains(words: np.ndarray, counts: np.ndarray, cutoff: int, k: int):
     return F, nxt, head, rank, kept, keep_head
 
 
+def _native_chains(words: np.ndarray, counts: np.ndarray, cutoff: int,
+                   k: int):
+    """_np_chains via the native O(n) builder (leon_unitig_chains):
+    serial chain walking + prefix-bucketed successor search instead of
+    structured-dtype searchsorted + pointer-doubling gathers (~18 s per
+    1M rows in numpy — the chr-scale 36M-row build must finish under the
+    encode stage it overlaps). Bit-identical to _np_chains (tested).
+    Returns None when the native lib is unavailable."""
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "leon_unitig_chains"):
+        return None
+    M, W = words.shape
+    words_c = np.ascontiguousarray(words, dtype=np.uint32)
+    counts_c = np.ascontiguousarray(counts, dtype=np.int32)
+    rc = np.empty((M, W), np.uint32)
+    nxt = np.empty(2 * M, np.int64)
+    head = np.empty(2 * M, np.int64)
+    rank = np.empty(2 * M, np.int64)
+    kept = np.empty(2 * M, np.uint8)
+    keep_head = np.empty(2 * M, np.uint8)
+    rcode = lib.leon_unitig_chains(
+        M, W, words_c.ctypes.data, counts_c.ctypes.data, int(cutoff), k,
+        rc.ctypes.data, nxt.ctypes.data, head.ctypes.data, rank.ctypes.data,
+        kept.ctypes.data, keep_head.ctypes.data,
+    )
+    if rcode != 0:
+        return None
+    F = np.stack([words_c, rc], axis=1).reshape(2 * M, W)
+    return F, nxt, head, rank, kept.astype(bool), keep_head.astype(bool)
+
+
 def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
                      k: int, nu: int | None = None) -> bytes | None:
     """Numpy unitig build. words: (M, W) u32 LSW-first distinct canonical
@@ -214,7 +247,11 @@ def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
         nu = M
     if M == 0:
         return None
-    F, nxt, head, rank, kept, keep_head = _np_chains(words, counts, cutoff, k)
+    nat = _native_chains(words, counts, cutoff, k)
+    if nat is not None:
+        F, nxt, head, rank, kept, keep_head = nat
+    else:
+        F, nxt, head, rank, kept, keep_head = _np_chains(words, counts, cutoff, k)
     ids2 = np.arange(2 * M)
     heads = ids2[keep_head]
     n_chains = heads.size

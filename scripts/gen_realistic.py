@@ -76,13 +76,31 @@ def make_quals(rng: np.random.Generator, n: int, L: int, legacy: bool) -> np.nda
     return _Q_BINS[np.digitize(q, edges)]
 
 
+def read_lengths(rng: np.random.Generator, n: int, read_len: int,
+                 len_model: str) -> np.ndarray:
+    """Per-read lengths. "fixed": all read_len. "longtail": ~85% at
+    read_len, the rest a lognormal tail up to 4x (adapter-trimmed +
+    merged-fragment mixture, the length-varying class real trimmed
+    FASTQs exhibit; VERDICT r3 missing #5)."""
+    if len_model == "fixed":
+        return np.full(n, read_len, np.int64)
+    lens = np.full(n, read_len, np.int64)
+    tail = rng.random(n) < 0.15
+    nt = int(tail.sum())
+    draw = np.exp(rng.normal(np.log(read_len * 0.7), 0.6, nt))
+    lens[tail] = np.clip(draw.astype(np.int64), 36, 4 * read_len)
+    return lens
+
+
 def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
-        legacy: bool, paired: bool = True) -> None:
+        legacy: bool, paired: bool = True, len_model: str = "fixed") -> None:
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     g = make_genome(rng, genome)
-    starts = rng.integers(0, genome - read_len, n_reads)
-    quals = make_quals(rng, n_reads, read_len, legacy)
+    lmax = read_len if len_model == "fixed" else 4 * read_len
+    lens = read_lengths(rng, n_reads, read_len, len_model)
+    starts = rng.integers(0, genome - lmax, n_reads)
+    quals = make_quals(rng, n_reads, lmax, legacy)
     # tile/x/y counters like a real flowcell: sorted-ish tiles, jittery x/y
     tiles = np.sort(rng.integers(1101, 1120, n_reads))
     xs = rng.integers(1000, 29000, n_reads)
@@ -90,11 +108,12 @@ def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
     with open(path, "wb") as f:
         out = []
         for i in range(n_reads):
-            r = g[starts[i] : starts[i] + read_len].copy()
+            ln = int(lens[i])
+            r = g[starts[i] : starts[i] + ln].copy()
             # error rate follows the quality string (q -> p = 10^(-q/10))
-            q = quals[i].astype(np.float64) - 33.0
+            q = quals[i, :ln].astype(np.float64) - 33.0
             perr = np.power(10.0, -q / 10.0)
-            mut = rng.random(read_len) < perr
+            mut = rng.random(ln) < perr
             nmut = int(mut.sum())
             if nmut:
                 r[mut] = (r[mut] + rng.integers(1, 4, nmut)) & 3
@@ -104,11 +123,64 @@ def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
             hdr = b"@SIM:1:FC705VJ:1:%d:%d:%d %d:N:0:ATCACG" % (
                 tiles[i], xs[i], ys[i], pair,
             )
-            out.append(b"%s\n%s\n+\n%s\n" % (hdr, bases[r].tobytes(), quals[i].tobytes()))
+            out.append(b"%s\n%s\n+\n%s\n" % (hdr, bases[r].tobytes(),
+                                             quals[i, :ln].tobytes()))
             if len(out) >= 4096:
                 f.write(b"".join(out))
                 out = []
         f.write(b"".join(out))
+
+
+def gen_paired(prefix: str, n_pairs: int, read_len: int, genome: int,
+               seed: int, legacy: bool, insert_mean: int = 320,
+               insert_sd: int = 50) -> tuple[str, str]:
+    """Paired-end R1/R2 files (the BankAlbum workload, [R] gatb-core
+    bank/impl/BankAlbum): each fragment yields R1 = forward read at the
+    fragment start and R2 = reverse-complement read at the fragment end,
+    with identical flowcell coordinates and ' 1:'/' 2:' pair fields.
+    Returns (r1_path, r2_path) — consume as the album spec 'r1,r2'."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = make_genome(rng, genome)
+    inserts = np.clip(
+        rng.normal(insert_mean, insert_sd, n_pairs).astype(np.int64),
+        read_len, genome - 1,
+    )
+    starts = rng.integers(0, genome - inserts.max() - 1, n_pairs)
+    q1 = make_quals(rng, n_pairs, read_len, legacy)
+    q2 = make_quals(rng, n_pairs, read_len, legacy)
+    tiles = np.sort(rng.integers(1101, 1120, n_pairs))
+    xs = rng.integers(1000, 29000, n_pairs)
+    ys = rng.integers(1000, 29000, n_pairs)
+    r1_path, r2_path = prefix + "_R1.fastq", prefix + "_R2.fastq"
+
+    def read_of(start, ln, qrow, rc):
+        r = g[start : start + ln].copy()
+        q = qrow.astype(np.float64) - 33.0
+        mut = rng.random(ln) < np.power(10.0, -q / 10.0)
+        nmut = int(mut.sum())
+        if nmut:
+            r[mut] = (r[mut] + rng.integers(1, 4, nmut)) & 3
+        return (3 - r)[::-1] if rc else r
+
+    with open(r1_path, "wb") as f1, open(r2_path, "wb") as f2:
+        o1, o2 = [], []
+        for i in range(n_pairs):
+            coord = b"@SIM:1:FC705VJ:1:%d:%d:%d" % (tiles[i], xs[i], ys[i])
+            ra = read_of(int(starts[i]), read_len, q1[i], rc=False)
+            rb = read_of(int(starts[i] + inserts[i] - read_len), read_len,
+                         q2[i], rc=True)
+            o1.append(b"%s 1:N:0:ATCACG\n%s\n+\n%s\n"
+                      % (coord, bases[ra].tobytes(), q1[i].tobytes()))
+            o2.append(b"%s 2:N:0:ATCACG\n%s\n+\n%s\n"
+                      % (coord, bases[rb].tobytes(), q2[i].tobytes()))
+            if len(o1) >= 4096:
+                f1.write(b"".join(o1))
+                f2.write(b"".join(o2))
+                o1, o2 = [], []
+        f1.write(b"".join(o1))
+        f2.write(b"".join(o2))
+    return r1_path, r2_path
 
 
 def main() -> int:

@@ -22,7 +22,7 @@ from leon_tpu.ops import kmer as K
 
 k, H, seed = 31, 2, 0x1234ABCD
 n_words = 1 << 16
-L = 128
+L = 104
 B = 16384
 ME = L - k
 
@@ -59,13 +59,13 @@ def main():
         lambda c, l, bs: walk._anchor_state(c, l, bs, k, H,
                                             jnp.uint32(n_words), seed)
     )(codes, lengths, bitset)
-    afwd, f1, r1, f2, r2 = st
+    afwd, f1, r1 = st
 
-    walk_fn = jax.jit(lambda c, l, ap, an, w, a, b_, c_, d: sum(
+    walk_fn = jax.jit(lambda c, l, ap, an, w, a, b_: sum(
         p.astype(jnp.int32).sum() for p in walk._walk_fused(
-            c, l, ap, an, (w, a, b_, c_, d), bitset, k, H,
+            c, l, ap, an, (w, a, b_), bitset, k, H,
             jnp.uint32(n_words), seed, ME)[:6]))
-    print(f"walk:   {timed(walk_fn, codes, lengths, apos, anchored, afwd, f1, r1, f2, r2):.4f}s", flush=True)
+    print(f"walk:   {timed(walk_fn, codes, lengths, apos, anchored, afwd, f1, r1):.4f}s", flush=True)
 
     cap_err, cap_bif = 4 * B, 8 * B
     full_fn = jax.jit(lambda p, l: walk.encode_batch_compact_packed(
@@ -86,11 +86,11 @@ def main():
     orig = bl.probe_wordmask
     try:
         bl.probe_wordmask = lambda bitset, wi, mask, xp: (wi & mask) != 0
-        walk_np_fn = jax.jit(lambda c, l, ap, an, w, a, b_, c_, d: sum(
+        walk_np_fn = jax.jit(lambda c, l, ap, an, w, a, b_: sum(
             p.astype(jnp.int32).sum() for p in walk._walk_fused(
-                c, l, ap, an, (w, a, b_, c_, d), bitset, k, H,
+                c, l, ap, an, (w, a, b_), bitset, k, H,
                 jnp.uint32(n_words), seed, ME)[:6]))
-        print(f"walk.nogather: {timed(walk_np_fn, codes, lengths, apos, anchored, afwd, f1, r1, f2, r2):.4f}s", flush=True)
+        print(f"walk.nogather: {timed(walk_np_fn, codes, lengths, apos, anchored, afwd, f1, r1):.4f}s", flush=True)
     finally:
         bl.probe_wordmask = orig
 

@@ -316,6 +316,23 @@ class TestDictV2:
                 idxed, d.W, solid_provider=lambda: solid_sorted[:-1])
 
     @pytest.mark.parametrize("k", [15, 31, 33, 63])
+    def test_native_chains_payload_matches_numpy(self, rng, k):
+        """The native O(n) chain builder must produce the byte-identical
+        payload to the numpy reference (_np_chains) — the §4a payload is
+        the frozen decode contract."""
+        from leon_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        uniq, counts = make_solid(rng, k)
+        import unittest.mock as _mock
+
+        p_native = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
+        with _mock.patch.object(unitig, "_native_chains", lambda *a: None):
+            p_np = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
+        assert p_native == p_np
+
+    @pytest.mark.parametrize("k", [15, 31, 33, 63])
     def test_spell_canon_native_matches_numpy(self, rng, k):
         """The native rolling spell and the numpy chunked spell must be
         bit-identical — the DICT enumeration and bitset rebuild both hang
