@@ -756,12 +756,29 @@ def _decode_line_struct(payload: bytes, n_reads: int, lengths: np.ndarray):
     vals = varint.decode_array(payload).astype(np.int64)
     nl_arr = np.empty(n_reads, dtype=np.int64)
     cpos = np.empty(n_reads, dtype=np.int64)
-    vp = 0
-    for i in range(n_reads):
-        cpos[i] = vp
-        nl = int(vals[vp])
-        nl_arr[i] = nl
-        vp += 1 + (nl - 1 if nl > 1 else 0)
+    if n_reads and vals.size >= n_reads and (vals[:n_reads] == 1).all() \
+            and vals.size == n_reads:
+        # single-line reads (the FASTA norm): stride is exactly 1
+        nl_arr.fill(1)
+        cpos[:] = np.arange(n_reads)
+    else:
+        from leon_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "leon_linestruct_scan"):
+            vals_c = np.ascontiguousarray(vals)
+            vp = lib.leon_linestruct_scan(vals_c.ctypes.data, vals_c.size,
+                                          n_reads, nl_arr.ctypes.data,
+                                          cpos.ctypes.data)
+            if vp < 0:
+                raise ValueError("fastalines stream truncated")
+        else:  # pure-python fallback (no toolchain)
+            vp = 0
+            for i in range(n_reads):
+                cpos[i] = vp
+                nl = int(vals[vp])
+                nl_arr[i] = nl
+                vp += 1 + (nl - 1 if nl > 1 else 0)
     given_counts = np.maximum(nl_arr - 1, 0)
     given = vals[_ragged_dst(cpos + 1, given_counts)] if given_counts.any() else np.zeros(0, np.int64)
     sums = np.zeros(n_reads, dtype=np.int64)

@@ -1034,3 +1034,30 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FASTA/wrapped-FASTQ line-structure count scan (codecs/blocks.py
+// _decode_line_struct): per read the stream holds nlines then nlines-1
+// explicit lengths; the count positions are a strictly sequential scan the
+// numpy path ran as a per-read Python loop (VERDICT r3 weak #6 — at 10M
+// FASTA reads it is the decode tail). Returns the final cursor, or -1 if
+// the stream is short.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t leon_linestruct_scan(const int64_t* vals, int64_t nvals,
+                             int64_t n_reads, int64_t* nl_arr,
+                             int64_t* cpos) {
+  int64_t vp = 0;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    if (vp >= nvals) return -1;
+    cpos[i] = vp;
+    const int64_t nl = vals[vp];
+    nl_arr[i] = nl;
+    vp += 1 + (nl > 1 ? nl - 1 : 0);
+  }
+  return vp;
+}
+
+}  // extern "C"
