@@ -97,6 +97,12 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.leon_bloom_build.restype = ctypes.c_int32
+    lib.leon_bloom_build.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.leon_linestruct_scan.restype = ctypes.c_int64
     lib.leon_linestruct_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,

@@ -1061,3 +1061,49 @@ int64_t leon_linestruct_scan(const int64_t* vals, int64_t nvals,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host Bloom build (ops/bloom.py build_np, hash family v4): from-scratch
+// strand-chain hashes of (M, W) packed k-mer rows + blocked-addressing
+// insert. The numpy form loops k table-gather rounds over the whole row set
+// (~60-90 s at the chr-scale 36.5M-row build inside count.finalize and the
+// decode-side bitset rebuild); this form is a tight per-row loop. T/Tc are
+// the v4 base tables from bloom.tables(seed, k) — passed in so the frozen
+// fmix32 constants live in exactly one place.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int32_t leon_bloom_build(int64_t M, int32_t W, const uint32_t* words,
+                         int64_t n_words, int32_t H, int32_t k,
+                         const uint32_t* T, const uint32_t* Tc,
+                         uint32_t* bitset) {
+  if (H < 1 || H > 8) return -1;
+  for (int64_t i = 0; i < M; ++i) {
+    const uint32_t* wr = words + i * W;
+    uint32_t f = 0, r = 0;
+    for (int32_t j = 0; j < k; ++j) {
+      const int32_t t = 2 * (k - 1 - j);
+      const uint32_t b = (wr[t / 32] >> (t % 32)) & 3u;
+      const int32_t rf = (k - 1 - j) % 32;
+      const int32_t rr = j % 32;
+      const uint32_t tv = T[b], cv = Tc[b];
+      f ^= rf ? ((tv << rf) | (tv >> (32 - rf))) : tv;
+      r ^= rr ? ((cv << rr) | (cv >> (32 - rr))) : cv;
+    }
+    const uint32_t lo = f < r ? f : r;
+    const uint32_t hi = f < r ? r : f;
+    const uint32_t wi = static_cast<uint32_t>(
+        (static_cast<uint64_t>(lo) * static_cast<uint64_t>(n_words)) >> 32);
+    uint32_t mask = 0;
+    for (int32_t h = 0; h < H; ++h) {
+      const uint32_t bit =
+          ((h < 6 ? (hi >> (5 * h)) : (lo >> (5 * (h - 6)))) & 31u);
+      mask |= 1u << bit;
+    }
+    bitset[wi] |= mask;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -324,11 +324,30 @@ def saturation_warning(n_solid: int, n_words: int, bits_per_kmer: float) -> str 
 
 
 def build_np(solid_words: np.ndarray, n_words: int, n_hashes: int, seed: int, k: int) -> np.ndarray:
-    """Host build: returns uint32 bitset of shape (n_words,)."""
+    """Host build: returns uint32 bitset of shape (n_words,). Native
+    per-row kernel when available (the numpy form's k table-gather rounds
+    cost ~60-90 s at chr-scale row counts — count.finalize and the
+    decode-side rebuild both sit on this); bit-identical fallback."""
     bitset = np.zeros(n_words, dtype=np.uint32)
-    if solid_words.shape[0]:
-        wi, mask = wordmask(solid_words, n_hashes, n_words, seed, np, k)
-        np.bitwise_or.at(bitset, wi.reshape(-1), mask.reshape(-1))
+    if not solid_words.shape[0]:
+        return bitset
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "leon_bloom_build"):
+        tab = tables(seed, k)
+        T = np.ascontiguousarray(tab[0])
+        Tc = np.ascontiguousarray(tab[1])
+        w = np.ascontiguousarray(solid_words, dtype=np.uint32)
+        rc = lib.leon_bloom_build(w.shape[0], w.shape[1], w.ctypes.data,
+                                  int(n_words), int(n_hashes), int(k),
+                                  T.ctypes.data, Tc.ctypes.data,
+                                  bitset.ctypes.data)
+        if rc == 0:
+            return bitset
+        bitset[:] = 0
+    wi, mask = wordmask(solid_words, n_hashes, n_words, seed, np, k)
+    np.bitwise_or.at(bitset, wi.reshape(-1), mask.reshape(-1))
     return bitset
 
 

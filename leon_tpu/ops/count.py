@@ -268,7 +268,10 @@ class DeviceCounter:
         # 48M rows = ~0.6 GB of keys+counts at k<=31; the merge-sort
         # transient peaks ~6 GB of the 16 GB v5e HBM.
         self.spill_rows = int(spill_rows)
-        self._host_runs: list = []  # (uniq LSW-first np, counts np i64)
+        # spilled runs: resolved (uniq LSW-first np, counts np i64) pairs,
+        # except the newest which may still be an in-flight device pair
+        # (keys_t, cnt_c) whose async D2H resolves at the next spill/merge
+        self._host_runs: list = []
         # deferred slab compaction: (skeys, boundary, counts, nu_dev) of
         # the last flushed slab, its distinct-count scalar still in an
         # async D2H — resolved lazily so the sync overlaps the next
@@ -366,16 +369,39 @@ class DeviceCounter:
             self._next_merge = out_size + self.merge_factor * self.slab
 
     def _spill_run(self, keys_c, cnt_c, out_size: int) -> None:
-        """Move a compacted device run to host RAM (trimmed to real rows)
-        and reset the device merge hierarchy."""
-        W = self.W
+        """Move a compacted device run to host RAM (trimmed lazily) and
+        reset the device merge hierarchy. The D2H transfers START here
+        (copy_to_host_async) but resolve at merge time: a chr-scale run
+        spills ~0.5 GB per run, and the synchronous np.asarray form
+        serialized every spill against the count loop (part of the 408 s
+        count.dispatch span at 10M reads)."""
+        for arr in (*keys_c, cnt_c):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # non-jax arrays in tests
+                pass
+        # depth-1 deferral: resolve the PREVIOUS spill now (its async D2H
+        # completed during the minutes of count compute since) so HBM
+        # never holds more than one spilled run
+        if self._host_runs and not isinstance(self._host_runs[-1][0], np.ndarray):
+            self._host_runs[-1] = self._resolve_host_run(self._host_runs[-1])
+        self._host_runs.append((keys_c, cnt_c))
+        self._runs, self._runs_n = [], 0
+        self._next_merge = self.merge_factor * self.slab
+
+    @staticmethod
+    def _resolve_host_run(run):
+        """Materialize a spilled run: either already-host (uniq, counts)
+        numpy pair or a deferred (keys_t, cnt_c) device pair."""
+        a, b = run
+        if isinstance(a, np.ndarray):
+            return a, b
+        keys_c, cnt_c = a, b
+        W = len(keys_c)
         cnt = np.asarray(cnt_c)
         m = cnt > 0
         uniq = np.stack([np.asarray(keys_c[W - 1 - j]) for j in range(W)], axis=1)
-        self._host_runs.append((np.ascontiguousarray(uniq[m]),
-                                cnt[m].astype(np.int64)))
-        self._runs, self._runs_n = [], 0
-        self._next_merge = self.merge_factor * self.slab
+        return np.ascontiguousarray(uniq[m]), cnt[m].astype(np.int64)
 
     def _final_sorted(self):
         """Finalize-time collapse: raw pending chunks (count-1 entries) +
@@ -441,7 +467,7 @@ class DeviceCounter:
         r = (self._merged_run()
              if (self._pend or self._runs or self._pending_compact is not None)
              else None)
-        parts = list(self._host_runs)
+        parts = [self._resolve_host_run(x) for x in self._host_runs]
         self._host_runs = []
         if r is not None:
             keys_c, cnt_c, _b = r
@@ -576,8 +602,10 @@ class DeviceCounter:
         HBM: the device never holds more than the solid run (uploaded for
         the Bloom/unitig builds) regardless of distinct-set size."""
         from leon_tpu.ops import bloom
+        from leon_tpu.utils.trace import span
 
-        uniq, counts = self._host_merged()
+        with span("count.fin.host_merge"):
+            uniq, counts = self._host_merged()
         hist = histogram(np.minimum(counts, np.iinfo(np.int64).max))
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
         auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
@@ -589,13 +617,16 @@ class DeviceCounter:
         n_solid = int(solid_m.sum())
         n_words = bloom.choose_n_words(max(1, n_solid), bits_per_kmer)
         solid = np.ascontiguousarray(uniq[solid_m])
-        bitset_np = np.zeros(n_words, np.uint32)
-        step = 16 << 20
-        for s in range(0, n_solid, step):
-            bitset_np |= bloom.build_np(solid[s : s + step], n_words, H, seed, self.k)
-        bitset = jnp.asarray(
-            np.pad(bitset_np, (0, bloom.alloc_words(n_words) - n_words))
-        )
+        with span("count.fin.bloom_np"):
+            bitset_np = np.zeros(n_words, np.uint32)
+            step = 16 << 20
+            for s in range(0, n_solid, step):
+                bitset_np |= bloom.build_np(solid[s : s + step], n_words, H,
+                                            seed, self.k)
+        with span("count.fin.upload"):
+            bitset = jnp.asarray(
+                np.pad(bitset_np, (0, bloom.alloc_words(n_words) - n_words))
+            )
         import sys as _sys
 
         warn = bloom.saturation_warning(n_solid, n_words, bits_per_kmer)

@@ -74,6 +74,25 @@ def test_rolling_equals_scratch(rng):
         assert (f, r) == scratch(p), f"left roll diverged at {p}"
 
 
+@pytest.mark.parametrize("k", [15, 31, 33, 63])
+def test_build_np_native_matches_numpy(rng, k):
+    """The native per-row Bloom build must set the byte-identical bitset
+    to the numpy wordmask build (the filter is the decode contract)."""
+    from leon_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    codes = rng.integers(0, 4, (4000, k), dtype=np.uint8)
+    words = K.pack_codes_batch_np(codes, k)
+    n_words = bloom.choose_n_words(4000, 13.0)
+    for H in (2, 4, 8):
+        got = bloom.build_np(words, n_words, H, 0xBEEF, k)
+        ref = np.zeros(n_words, dtype=np.uint32)
+        wi, mask = bloom.wordmask(words, H, n_words, 0xBEEF, np, k)
+        np.bitwise_or.at(ref, wi.reshape(-1), mask.reshape(-1))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_bloom_membership(rng):
     k = 31
     codes = rng.integers(0, 4, (5500, k), dtype=np.uint8)
