@@ -27,11 +27,17 @@ def _build_and_load() -> ctypes.CDLL | None:
     so = os.path.join(_DIR, f"_leon_native_{tag}.so")
     if not os.path.exists(so):
         tmp = so + ".tmp"
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _SRC, "-o", tmp]
+        try:  # OpenMP first (parallel unitig successor search); plain next
+            subprocess.run(base[:1] + ["-fopenmp"] + base[1:], check=True,
+                           capture_output=True, timeout=120)
         except (subprocess.SubprocessError, OSError):
-            return None
+            try:
+                subprocess.run(base, check=True, capture_output=True,
+                               timeout=120)
+            except (subprocess.SubprocessError, OSError):
+                return None
         os.replace(tmp, so)
         # drop stale builds
         for fn in os.listdir(_DIR):

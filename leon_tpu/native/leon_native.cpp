@@ -873,6 +873,9 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
 
   // rc_out[i] = revcomp(words[i]) — per-base repack (matches
   // kmer.revcomp_words_batch_np): base i at bit 2*(k-1-i)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
   for (int64_t i = 0; i < M; ++i) {
     const uint32_t* wr = words + i * W;
     uint32_t* rr = rc_out + i * W;
@@ -913,10 +916,16 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
     solid2[2 * i + 1] = s;
   }
 
-  std::vector<uint32_t> buf(4 * W);
-  uint32_t* y = buf.data();
-  uint32_t* yr = y + W;
+  // successor search: independent per directed node — the build's hot
+  // loop (8 prefix-bucketed binary searches per k-mer); parallelized
+  // when the lib is built with OpenMP (it overlaps the encode stage from
+  // a background thread, and at 36M rows the serial form outlived it —
+  // tail.unitig_join 99 s in CHRSCALE.json)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
   for (int64_t did = 0; did < N; ++did) {
+    uint32_t y[16], yr[16];
     const int64_t i = did >> 1;
     const int32_t o = static_cast<int32_t>(did & 1);
     const uint32_t* x = o ? rc_out + i * W : words + i * W;
