@@ -11,9 +11,20 @@ ratio-competitive with order-0 adaptive coding on Leon's short streams.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 from leon_tpu.utils import varint
+
+# Sampled-trial predictor accounting (VERDICT r3 weak #5: bound the
+# misprediction cost with a stat, not a hope). Always-on: how many frames
+# took the sampled path. With LEON_FRAME_AUDIT=1 every sampled frame ALSO
+# runs the full encodes it skipped and records predicted-vs-actual winner
+# and the bytes lost to mispredicts (audit mode changes nothing about the
+# emitted archive — the sampled winner is still written).
+STATS = {"sampled_frames": 0, "audit_frames": 0, "audit_mispredicts": 0,
+         "audit_loss_bytes": 0, "audit_best_bytes": 0}
+_AUDIT = os.environ.get("LEON_FRAME_AUDIT") == "1"
 
 METHOD_RAW = 0
 METHOD_ZLIB = 1
@@ -82,6 +93,15 @@ def frame(data: bytes, try_rans: bool = True, try_o1: bool = False,
             scands = _candidates(sdata, try_rans, try_o1, slens)
             ssizes = [len(fn()) for _, fn in scands]
             w = min(range(len(scands)), key=lambda i: (ssizes[i], i))
+            STATS["sampled_frames"] += 1
+            if _AUDIT:
+                full = [len(fn()) for _, fn in cands]
+                true_w = min(range(len(cands)), key=lambda i: (full[i], i))
+                STATS["audit_frames"] += 1
+                STATS["audit_best_bytes"] += full[true_w]
+                if true_w != w:
+                    STATS["audit_mispredicts"] += 1
+                    STATS["audit_loss_bytes"] += full[w] - full[true_w]
             cands = [cands[w]]
         results = [fn() for _, fn in cands]
         for (m, _), r in zip(cands, results):

@@ -657,6 +657,45 @@ class DeviceCounter:
         return bitset, n_words, cutoff, n_solid, hist, H, solidset
 
 
+def range_boundaries(nproc: int, k: int, W: int) -> np.ndarray:
+    """(nproc-1, W) u32 LSW-first key-space boundaries splitting the
+    CANONICAL k-mer space into nproc ~equal ranges. Canonical =
+    min(fwd, rc) of two ~uniform 2k-bit values, so P(C <= x) =
+    1 - (1 - x/T)^2 with T = 2^(2k); the inverse CDF gives boundaries
+    that balance ranges in expectation WITHOUT any data-dependent
+    computation (shard-invariant by construction)."""
+    import math
+
+    T = 1 << (2 * k)
+    out = np.zeros((max(0, nproc - 1), W), np.uint32)
+    for i in range(1, nproc):
+        x = int(T * (1.0 - math.sqrt(1.0 - i / nproc)))
+        for j in range(W):
+            out[i - 1, j] = (x >> (32 * j)) & 0xFFFFFFFF
+    return out
+
+
+def range_split(uniq: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Split positions of a sorted (M, W) distinct run at the given
+    boundary keys: returns (nproc+1,) int64 offsets, range q =
+    rows[off[q]:off[q+1]]."""
+    M, W = uniq.shape
+    dt = np.dtype([(f"w{j}", ">u4") for j in range(W - 1, -1, -1)])
+
+    def rec(x):
+        r = np.empty(x.shape[0], dtype=dt)
+        for j in range(W):
+            r[f"w{j}"] = x[:, j]
+        return r
+
+    offs = np.zeros(bounds.shape[0] + 2, np.int64)
+    offs[-1] = M
+    if M and bounds.shape[0]:
+        offs[1:-1] = np.searchsorted(rec(np.ascontiguousarray(uniq)),
+                                     rec(np.ascontiguousarray(bounds)))
+    return offs
+
+
 def auto_cutoff(hist: np.ndarray) -> int:
     """Automatic abundance threshold (reference: README.md:54 'default:
     automatic'). Frozen rule: locate the genomic coverage mode (the

@@ -59,7 +59,7 @@ def initialize(coordinator_address: Optional[str] = None,
 # DCN traffic accounting (surfaced in the run stats): bytes this process
 # contributed to / received from collective exchanges, plus bytes moved
 # through the shared-filesystem payload gather.
-_TRAFFIC = {"dcn_tx": 0, "dcn_rx": 0, "fs_spill": 0}
+_TRAFFIC = {"dcn_tx": 0, "dcn_rx": 0, "fs_spill": 0, "fs_exchange": 0}
 
 
 def _allgather_bytes(data: bytes, chunk: int = 8 << 20) -> list[bytes]:
@@ -206,6 +206,167 @@ def _unpack_payloads(blob: bytes) -> dict[int, tuple[bytes, int]]:
         out[bi] = (blob[o : o + ln], nr)
         o += ln
     return out
+
+
+def _exchange_range_runs(uniq: np.ndarray, cnts: np.ndarray,
+                         offs: np.ndarray, output_path: str,
+                         pid: int, nproc: int):
+    """All-to-all of key-range slices of each process's sorted distinct
+    run. Primary path: the shared filesystem (`<out>.runx.<src>.<dst>`
+    part files — the DSK temp-partition analog; zero DCN for the bulk
+    rows). Fallback: chunked allgather of the full runs, sliced locally.
+    Returns the list of sorted runs covering THIS process's range."""
+    from jax.experimental import multihost_utils as mhu
+
+    wrote = []
+    for dst in range(nproc):
+        if dst == pid:
+            continue
+        part = f"{output_path}.runx.{pid}.{dst}"
+        with open(part, "wb") as f:
+            f.write(_pack_run(np.ascontiguousarray(uniq[offs[dst]:offs[dst + 1]]),
+                              np.ascontiguousarray(cnts[offs[dst]:offs[dst + 1]])))
+            f.flush()
+            os.fsync(f.fileno())
+        _TRAFFIC["fs_exchange"] += os.path.getsize(part)
+        wrote.append(part)
+    mhu.sync_global_devices("leon.runx.written")
+    visible = all(
+        os.path.exists(f"{output_path}.runx.{src}.{pid}")
+        for src in range(nproc) if src != pid
+    )
+    flags = np.asarray(
+        mhu.process_allgather(np.array([1 if visible else 0], np.int32))
+    ).reshape(nproc)
+    mine = [(np.ascontiguousarray(uniq[offs[pid]:offs[pid + 1]]),
+             np.ascontiguousarray(cnts[offs[pid]:offs[pid + 1]]).astype(np.int64))]
+    if flags.all():  # every process sees its inbound part files
+        for src in range(nproc):
+            if src == pid:
+                continue
+            with open(f"{output_path}.runx.{src}.{pid}", "rb") as f:
+                u, c = _unpack_run(f.read())
+            mine.append((u.copy(), c.astype(np.int64)))
+        mhu.sync_global_devices("leon.runx.read")
+    else:  # no shared filesystem: ship whole runs, slice locally
+        for i, blob in enumerate(_allgather_bytes(_pack_run(uniq, cnts))):
+            if i == pid:
+                continue
+            u, c = _unpack_run(blob)
+            o = count.range_split(u, _range_bounds_cache[0])
+            mine.append((np.ascontiguousarray(u[o[pid]:o[pid + 1]]),
+                         c[o[pid]:o[pid + 1]].astype(np.int64)))
+    for part in wrote:
+        try:
+            os.remove(part)
+        except OSError:
+            pass
+    return mine
+
+
+_range_bounds_cache: list = [None]
+
+
+def _gather_solid_to_zero(solid_mine: np.ndarray, counts_mine: np.ndarray,
+                          output_path: str, pid: int, nproc: int):
+    """Gather each process's solid range rows to process 0 (range order =
+    ascending key order, so the concatenation IS the sorted global solid
+    run). Shared-fs primary, allgather fallback. Returns (solid, counts)
+    on process 0, None elsewhere."""
+    from jax.experimental import multihost_utils as mhu
+
+    part = f"{output_path}.solid.{pid}"
+    with open(part, "wb") as f:
+        f.write(_pack_run(solid_mine, counts_mine.astype(np.int32)))
+        f.flush()
+        os.fsync(f.fileno())
+    _TRAFFIC["fs_exchange"] += os.path.getsize(part)
+    mhu.sync_global_devices("leon.solid.written")
+    visible = all(
+        os.path.exists(f"{output_path}.solid.{p}") for p in range(nproc)
+    ) if pid == 0 else True
+    flags = np.asarray(
+        mhu.process_allgather(np.array([1 if visible else 0], np.int32))
+    ).reshape(nproc)
+    out = None
+    if flags[0]:
+        if pid == 0:
+            us, cs = [], []
+            for p in range(nproc):
+                with open(f"{output_path}.solid.{p}", "rb") as f:
+                    u, c = _unpack_run(f.read())
+                us.append(u.copy())
+                cs.append(c.copy())
+            out = (np.concatenate(us), np.concatenate(cs).astype(np.int32))
+        mhu.sync_global_devices("leon.solid.read")
+    else:
+        blobs = _allgather_bytes(_pack_run(solid_mine,
+                                           counts_mine.astype(np.int32)))
+        if pid == 0:
+            pairs = [_unpack_run(b) for b in blobs]
+            out = (np.concatenate([p[0] for p in pairs]),
+                   np.concatenate([p[1] for p in pairs]).astype(np.int32))
+    try:
+        os.remove(part)
+    except OSError:
+        pass
+    return out
+
+
+def _sharded_count_merge(uniq: np.ndarray, cnts: np.ndarray, cfg: LeonConfig,
+                         k: int, W: int, H, seed: int, lossy: bool,
+                         output_path: str, pid: int, nproc: int):
+    """K-MER-SPACE-SHARDED count merge (replaces the all-runs-everywhere
+    allgather + per-process global merge that the round-4 scaling curve
+    exposed as the non-scalable stage): each process owns a deterministic
+    key range (count.range_boundaries), receives only that range's rows,
+    merges + histograms + Bloom-builds its range, and the per-range
+    bitsets OR together (idempotent: ranges are disjoint, the OR of
+    host-built range bitsets is bit-identical to the single-process
+    build). Per-process bulk traffic: ~its shard of the distinct rows out
+    + ~1/nproc of the global rows in (filesystem-mediated when shared),
+    plus one bitset allgather — instead of nproc x whole-run DCN and a
+    duplicated global merge on every process.
+
+    Returns (bitset np, n_words, cutoff, n_solid, H, hist,
+    (solid_mine, counts_mine))."""
+    from leon_tpu.ops import bloom
+    from jax.experimental import multihost_utils as mhu
+
+    bounds = count.range_boundaries(nproc, k, W)
+    _range_bounds_cache[0] = bounds
+    offs = count.range_split(uniq, bounds)
+    parts = _exchange_range_runs(uniq, cnts, offs, output_path, pid, nproc)
+    my_uniq, my_cnts = count.merge_counts(parts)
+
+    hist_local = count.histogram(my_cnts) if my_cnts.size else np.zeros(256, np.int64)
+    _TRAFFIC["dcn_tx"] += hist_local.nbytes
+    gh = np.asarray(mhu.process_allgather(hist_local.astype(np.int64)))
+    _TRAFFIC["dcn_rx"] += gh.nbytes
+    hist = gh.reshape(nproc, -1).sum(axis=0)
+
+    cutoff = cfg.abundance if cfg.abundance is not None else count.auto_cutoff(hist)
+    auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals=lossy)
+    bpk = cfg.bloom_bits_per_kmer if cfg.bloom_bits_per_kmer is not None else auto_bpk
+    H = H if H is not None else auto_h
+    n_solid = int(hist[min(cutoff, 255):].sum())
+    n_words = bloom.choose_n_words(max(1, n_solid), bpk)
+    warn = bloom.saturation_warning(n_solid, n_words, bpk)
+    if warn:
+        import sys as _sys
+
+        print(f"[leon-tpu] {warn}", file=_sys.stderr)
+
+    solid_m = my_cnts >= cutoff
+    solid_mine = np.ascontiguousarray(my_uniq[solid_m])
+    counts_mine = np.minimum(my_cnts[solid_m], np.iinfo(np.int32).max).astype(np.int32)
+    bitset = bloom.build_np(solid_mine, n_words, H, seed, k)
+    # OR-combine the disjoint range bitsets (chunked allgather; on real
+    # multi-host TPU hardware this would be a psum/OR over ICI)
+    for i, blob in enumerate(_allgather_bytes(bitset.tobytes())):
+        if i != pid:
+            bitset |= np.frombuffer(blob, dtype=np.uint32)
+    return bitset, n_words, cutoff, n_solid, H, hist, (solid_mine, counts_mine)
 
 
 def _build_block_index(input_path: str, cfg: LeonConfig, pid: int, nproc: int):
@@ -397,54 +558,84 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
             counter.add(canon, valid)
 
     uniq, cnts = counter.distinct_run()
-    merged = count.DeviceCounter(
-        k, slab_kmers=cfg.count_slab_kmers, merge_factor=cfg.count_merge_factor,
-        spill_rows=cfg.count_spill_rows,
-    )
-    for blob in _allgather_bytes(_pack_run(uniq, cnts)):
-        merged.ingest_run(*_unpack_run(blob))
-    bitset_j, n_words, cutoff, n_solid, _hist, H, solidset = merged.finalize(
-        cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
-        lossy_quals=qual_mode == container.QUAL_LOSSY, want_solid=True,
-        device_max=cfg.unitig_device_max_kmers,
-    )
-    # every process derives the same section decision from the identical
-    # merged solid set (shard invariance: archives match single-process)
+    lossy = qual_mode == container.QUAL_LOSSY
     unitig_payload = None
     unitig_infl = None
-    if (cfg.unitig_sections and solidset is not None and n_solid > 0
-            and n_solid <= cfg.unitig_max_kmers):  # solid-count gate (see config)
-        try:
-            from leon_tpu.ops import unitig as _unitig
+    solid_enum = None  # p0's DICT enumeration (sorted distinct solid set)
+    if nproc > 1:
+        from leon_tpu.ops import bloom as _bloom
 
-            if n_solid > cfg.unitig_device_max_kmers:
-                # compile-cliff fallback: byte-identical host builder
-                # (same decision rule as the single-process pipeline, so
-                # archives stay shard-invariant)
-                hp = solidset[3]
-                if hp is None and solidset[0] is not None:
-                    _w = np.asarray(solidset[0])
-                    _c = np.asarray(solidset[1])
-                    _m = _c >= cutoff
-                    hp = (np.ascontiguousarray(_w[_m]), _c[_m])
-                if hp is not None:
-                    hs, hc = hp
-                    p = _unitig.build_np_payload(hs, hc, cutoff, k, solidset[2])
-                    if p is not None and len(p) < 4 * n_words:
-                        unitig_payload = p
-            else:
-                infl = _unitig.dispatch_build(
-                    solidset[0], solidset[1], cutoff, k, solidset[2],
-                    n_solid=n_solid,
-                )
-                unitig_payload = pipeline._resolve_unitigs(infl, n_words)
-                unitig_infl = infl if unitig_payload is not None else None
-        except Exception:
-            unitig_payload = None
-            unitig_infl = None
-    # device bitset is padded to the alloc grid; container stores the
-    # exact n_words prefix
-    bitset = np.asarray(bitset_j)[:n_words]
+        (bitset, n_words, cutoff, n_solid, H, hist,
+         (solid_mine, counts_mine)) = _sharded_count_merge(
+            uniq, cnts, cfg, k, W, H, seed, lossy, output_path, pid, nproc)
+        bitset_j = jnp.asarray(
+            np.pad(bitset, (0, _bloom.alloc_words(n_words) - n_words))
+        )
+        if (cfg.unitig_sections and n_solid > 0
+                and n_solid <= cfg.unitig_max_kmers):
+            # the solid set gathers to p0 (range order == global sorted
+            # order) and ONLY p0 builds/decides — the decision rule and
+            # payload bytes are the single-process ones (host builder is
+            # byte-identical to the device builder, tested), so archives
+            # stay shard-invariant; other processes never need the
+            # section, only the bitset
+            sp = _gather_solid_to_zero(solid_mine, counts_mine,
+                                       output_path, pid, nproc)
+            if pid == 0 and sp is not None:
+                from leon_tpu.ops import unitig as _unitig
+
+                try:
+                    p = _unitig.build_np_payload(
+                        sp[0], sp[1], cutoff, k, int(hist.sum()))
+                except Exception:
+                    p = None
+                if p is not None and len(p) < 4 * n_words:
+                    unitig_payload = p
+                    solid_enum = sp[0]
+    else:
+        merged = count.DeviceCounter(
+            k, slab_kmers=cfg.count_slab_kmers,
+            merge_factor=cfg.count_merge_factor,
+            spill_rows=cfg.count_spill_rows,
+        )
+        merged.ingest_run(uniq, cnts)
+        bitset_j, n_words, cutoff, n_solid, _hist, H, solidset = merged.finalize(
+            cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
+            lossy_quals=lossy, want_solid=True,
+            device_max=cfg.unitig_device_max_kmers,
+        )
+        if (cfg.unitig_sections and solidset is not None and n_solid > 0
+                and n_solid <= cfg.unitig_max_kmers):  # solid-count gate
+            try:
+                from leon_tpu.ops import unitig as _unitig
+
+                if n_solid > cfg.unitig_device_max_kmers:
+                    # compile-cliff fallback: byte-identical host builder
+                    hp = solidset[3]
+                    if hp is None and solidset[0] is not None:
+                        _w = np.asarray(solidset[0])
+                        _c = np.asarray(solidset[1])
+                        _m = _c >= cutoff
+                        hp = (np.ascontiguousarray(_w[_m]), _c[_m])
+                    if hp is not None:
+                        hs, hc = hp
+                        p = _unitig.build_np_payload(hs, hc, cutoff, k,
+                                                     solidset[2])
+                        if p is not None and len(p) < 4 * n_words:
+                            unitig_payload = p
+                else:
+                    infl = _unitig.dispatch_build(
+                        solidset[0], solidset[1], cutoff, k, solidset[2],
+                        n_solid=n_solid,
+                    )
+                    unitig_payload = pipeline._resolve_unitigs(infl, n_words)
+                    unitig_infl = infl if unitig_payload is not None else None
+            except Exception:
+                unitig_payload = None
+                unitig_infl = None
+        # device bitset is padded to the alloc grid; container stores the
+        # exact n_words prefix
+        bitset = np.asarray(bitset_j)[:n_words]
 
     meta = container.Meta(
         k=k, fmt=out_fmt, qual_mode=qual_mode, header_mode=header_mode,
@@ -575,9 +766,14 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
 
             bloom_sect, is_uni = _frames.frame(unitig_payload), True
             if len(adict):
-                solid_sorted = (_unitig.solid_run_host(unitig_infl)
-                                if unitig_infl is not None else
-                                _unitig.solid_kmers_sorted(unitig_payload, k))
+                if solid_enum is not None:
+                    # sharded path: the gathered range-ordered solid set
+                    # IS the sorted distinct enumeration (FORMAT.md §4a)
+                    solid_sorted = solid_enum
+                elif unitig_infl is not None:
+                    solid_sorted = _unitig.solid_run_host(unitig_infl)
+                else:
+                    solid_sorted = _unitig.solid_kmers_sorted(unitig_payload, k)
         else:
             bloom_sect, is_uni = pipeline.frame_bloom(bitset), False
         c = container.Container(
