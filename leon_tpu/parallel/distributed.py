@@ -4,21 +4,29 @@ The reference's only scaling axis is threads on one node (SURVEY.md §2.4);
 the TPU-native design scales across hosts with process-level data
 parallelism over container blocks:
 
-1. every process STREAMS the (shared-filesystem) input block by block and
-   takes blocks round-robin — no whole-file materialization, peak RSS is
-   one block plus this shard's encoded streams;
+1. every process PARSES ONLY ITS SHARD: a cooperative byte-range block
+   index (newline/'>' scans over each process's byte range,
+   _build_block_index) lets owned blocks seek+parse directly — per-pass
+   IO is O(input/nproc), with a streaming skip-scan fallback for
+   gz/albums/irregular inputs;
 2. each process counts its shard's k-mers on DEVICE (the slab counter,
-   ops/count.py), compacts to the distinct (kmer, count) run, and the runs
-   are exchanged (raw-array allgather, 5-30x smaller than the multiset) and
-   merged back ON DEVICE — the abundance cutoff and the Bloom filter are
-   exact and identical on every host;
+   ops/count.py) and compacts to the sorted distinct (kmer, count) run;
+   the K-MER SPACE is then sharded — deterministic inverse-CDF range
+   boundaries, an all-to-all of range slices (shared-filesystem part
+   files, allgather fallback), per-range merge + histogram (histograms
+   psum via allgather) and per-range Bloom build, with the disjoint
+   range bitsets OR-combined — the abundance cutoff and the filter are
+   exact and identical on every host at ~1/nproc of the old
+   every-run-everywhere exchange + duplicated global merge;
 3. each host walk-encodes its blocks through the same dispatch-ahead
    in-flight queue as the single-process pipeline, deferring
    anchor-dictionary index resolution; per-block first-use key lists are
    exchanged and every host replays them in global block order — the
    global dictionary, and therefore every block payload, is byte-identical
    to a single-process run (shard invariance, SURVEY.md §4.3);
-4. block payloads gather to process 0, which writes the container.
+4. block payloads (and, in UNITIGS mode, the solid set) gather to
+   process 0, which builds the section + DICT enumeration and writes the
+   container.
 
 Works unchanged with one process (all exchanges degenerate to identity).
 """
