@@ -17,6 +17,9 @@
 //
 // Build: g++ -O3 -shared -fPIC (see leon_tpu/native/__init__.py).
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -664,36 +667,39 @@ int64_t leon_hdr_decode(const uint8_t* modes, int64_t n,
 // buffers must hold sum(ns) rows. Returns the distinct row count.
 // ---------------------------------------------------------------------------
 
-extern "C" {
+namespace leon_merge {
 
-int64_t leon_merge_runs(int64_t R, int64_t W, const uint32_t* const* keys,
-                        const int64_t* const* counts, const int64_t* ns,
-                        uint32_t* out_keys, int64_t* out_counts) {
-  if (R <= 0) return 0;
+static inline bool key_less_w(const uint32_t* a, const uint32_t* b,
+                              int64_t W) {
+  for (int64_t w = W - 1; w >= 0; --w) {
+    if (a[w] != b[w]) return a[w] < b[w];
+  }
+  return false;
+}
+
+// Heap k-way merge of run ranges [lo[r], hi[r]) into out; returns rows.
+static int64_t merge_ranges(int64_t R, int64_t W,
+                            const uint32_t* const* keys,
+                            const int64_t* const* counts,
+                            const int64_t* lo, const int64_t* hi,
+                            uint32_t* out_keys, int64_t* out_counts) {
   struct Head {
-    const uint32_t* row;  // current key row
-    int64_t pos;          // row index within run
+    const uint32_t* row;
+    int64_t pos;
     int32_t run;
   };
   std::vector<Head> heap;
   heap.reserve(static_cast<size_t>(R));
-  auto key_less = [W](const uint32_t* a, const uint32_t* b) {
-    for (int64_t w = W - 1; w >= 0; --w) {
-      if (a[w] != b[w]) return a[w] < b[w];
-    }
-    return false;
-  };
-  // heap orders by (key, run) so equal keys pop grouped and deterministic
-  auto head_greater = [&key_less](const Head& x, const Head& y) {
-    if (key_less(x.row, y.row)) return false;
-    if (key_less(y.row, x.row)) return true;
-    return x.run > y.run;
+  auto head_greater = [W](const Head& x, const Head& y) {
+    if (key_less_w(x.row, y.row, W)) return false;
+    if (key_less_w(y.row, x.row, W)) return true;
+    return x.run > y.run;  // equal keys pop grouped and deterministic
   };
   for (int32_t r = 0; r < R; ++r) {
-    if (ns[r] > 0) heap.push_back(Head{keys[r], 0, r});
+    if (hi[r] > lo[r]) heap.push_back(Head{keys[r] + lo[r] * W, lo[r], r});
   }
   std::make_heap(heap.begin(), heap.end(), head_greater);
-  int64_t m = -1;  // last output row
+  int64_t m = -1;
   while (!heap.empty()) {
     std::pop_heap(heap.begin(), heap.end(), head_greater);
     Head h = heap.back();
@@ -705,13 +711,103 @@ int64_t leon_merge_runs(int64_t R, int64_t W, const uint32_t* const* keys,
       memcpy(out_keys + m * W, h.row, sizeof(uint32_t) * W);
       out_counts[m] = counts[h.run][h.pos];
     }
-    if (++h.pos < ns[h.run]) {
+    if (++h.pos < hi[h.run]) {
       h.row += W;
       heap.push_back(h);
       std::push_heap(heap.begin(), heap.end(), head_greater);
     }
   }
   return m + 1;
+}
+
+// first index in keys[0:n) with row >= pivot (rows ascending)
+static int64_t lower_bound_rows(const uint32_t* keys, int64_t n, int64_t W,
+                                const uint32_t* pivot) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    const int64_t mid = (lo + hi) >> 1;
+    if (key_less_w(keys + mid * W, pivot, W)) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo;
+}
+
+}  // namespace leon_merge
+
+extern "C" {
+
+int64_t leon_merge_runs(int64_t R, int64_t W, const uint32_t* const* keys,
+                        const int64_t* const* counts, const int64_t* ns,
+                        uint32_t* out_keys, int64_t* out_counts) {
+  using namespace leon_merge;
+  if (R <= 0) return 0;
+  int64_t total = 0, big = 0;
+  for (int32_t r = 0; r < R; ++r) {
+    total += ns[r];
+    if (ns[r] > ns[big]) big = r;
+  }
+#ifdef _OPENMP
+  const int P0 = omp_get_max_threads();
+#else
+  const int P0 = 1;
+#endif
+  const int P = (total >= (8 << 20) && P0 > 1) ? (P0 > 8 ? 8 : P0) : 1;
+  if (P == 1) {
+    std::vector<int64_t> lo(R, 0);
+    return merge_ranges(R, W, keys, counts, lo.data(), ns, out_keys,
+                        out_counts);
+  }
+  // key-pivot partition into P ranges (pivots = evenly spaced keys of the
+  // largest run; rows == pivot go to the LATER range on every run, so a
+  // key never spans ranges and per-range merges are independent).
+  // Ranges write DISJOINT slices of out at input-row offsets (an upper
+  // bound on their output), then compact left — the chr-scale host merge
+  // of ~340M rows dropped from the count.finalize critical path majority
+  // to ~1/P of it.
+  std::vector<int64_t> los(static_cast<size_t>(P + 1) * R);
+  for (int32_t r = 0; r < R; ++r) {
+    los[r] = 0;
+    los[static_cast<size_t>(P) * R + r] = ns[r];
+  }
+  for (int p = 1; p < P; ++p) {
+    const int64_t pi = ns[big] * p / P;
+    const uint32_t* pivot = keys[big] + pi * W;
+    for (int32_t r = 0; r < R; ++r) {
+      los[static_cast<size_t>(p) * R + r] =
+          lower_bound_rows(keys[r], ns[r], W, pivot);
+    }
+  }
+  std::vector<int64_t> in_off(P + 1, 0);
+  for (int p = 0; p < P; ++p) {
+    int64_t rows = 0;
+    for (int32_t r = 0; r < R; ++r) {
+      rows += los[static_cast<size_t>(p + 1) * R + r] -
+              los[static_cast<size_t>(p) * R + r];
+    }
+    in_off[p + 1] = in_off[p] + rows;
+  }
+  std::vector<int64_t> got(P, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int p = 0; p < P; ++p) {
+    got[p] = merge_ranges(R, W, keys, counts,
+                          &los[static_cast<size_t>(p) * R],
+                          &los[static_cast<size_t>(p + 1) * R],
+                          out_keys + in_off[p] * W, out_counts + in_off[p]);
+  }
+  // compact ranges left (sequential memmove; ranges are key-ordered)
+  int64_t m = got[0];
+  for (int p = 1; p < P; ++p) {
+    if (in_off[p] != m && got[p]) {
+      memmove(out_keys + m * W, out_keys + in_off[p] * W,
+              sizeof(uint32_t) * W * got[p]);
+      memmove(out_counts + m, out_counts + in_off[p],
+              sizeof(int64_t) * got[p]);
+    }
+    m += got[p];
+  }
+  return m;
 }
 
 // Fast sortedness check (ascending, strict or equal allowed) for the W-word
