@@ -95,7 +95,9 @@ def frame(data: bytes, try_rans: bool = True, try_o1: bool = False,
             w = min(range(len(scands)), key=lambda i: (ssizes[i], i))
             STATS["sampled_frames"] += 1
             if _AUDIT:
-                full = [len(fn()) for _, fn in cands]
+                # an encoder may decline (None) on the full payload
+                full = [(len(r) if (r := fn()) is not None else 1 << 62)
+                        for _, fn in cands]
                 true_w = min(range(len(cands)), key=lambda i: (full[i], i))
                 STATS["audit_frames"] += 1
                 STATS["audit_best_bytes"] += full[true_w]
