@@ -380,13 +380,36 @@ class ArrayBlock:
         )
 
 
+def _newline_positions(data, arr):
+    """int64 positions of newline bytes — native memchr scan when the lib
+    is available (the numpy mask+flatnonzero pair is the parse hot spot:
+    0.68 s of a 1.2 s 117 MB parse), numpy fallback otherwise."""
+    import numpy as np
+
+    from leon_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "leon_line_index") and len(data) > (1 << 16):
+        # worst case: every byte a newline — cap at a generous estimate,
+        # growing on the (pathological) overflow
+        cap = max(1024, len(data) // 16)
+        while True:
+            out = np.empty(cap, np.int64)
+            m = lib.leon_line_index(arr.ctypes.data, arr.size,
+                                    out.ctypes.data, cap)
+            if m >= 0:
+                return out[:m]
+            cap *= 4
+    return np.flatnonzero(arr == 10)
+
+
 def _line_index(data):
     """(starts, lens) of the lines of `data` (bytes), excluding the
     final-newline empty tail."""
     import numpy as np
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    nl = np.flatnonzero(arr == 10)
+    nl = _newline_positions(data, arr)
     if data and not data.endswith(b"\n"):
         nl = np.concatenate([nl, np.array([len(data)], dtype=nl.dtype)])
     starts = np.concatenate([np.zeros(1, np.int64), nl[:-1] + 1]) if nl.size else np.zeros(0, np.int64)

@@ -103,6 +103,10 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.leon_line_index.restype = ctypes.c_int64
+    lib.leon_line_index.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.leon_bloom_build.restype = ctypes.c_int32
     lib.leon_bloom_build.argtypes = [
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,

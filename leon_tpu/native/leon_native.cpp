@@ -1212,3 +1212,32 @@ int32_t leon_bloom_build(int64_t M, int32_t W, const uint32_t* words,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Newline index (io/bank.py _line_index): memchr scan writing positions
+// directly. The numpy form (arr == 10 -> flatnonzero) materializes a byte
+// mask + a second pass; this is the parse hot spot (0.68 s of a 1.2 s
+// 117 MB parse, ~2x that again at chr scale). out must hold at least
+// `cap` entries; returns the newline count (callers pre-count via a
+// cheaper pass or size for the worst case).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t leon_line_index(const uint8_t* data, int64_t n, int64_t* out,
+                        int64_t cap) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + n;
+  int64_t m = 0;
+  while (p < end) {
+    const uint8_t* q = static_cast<const uint8_t*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    if (!q) break;
+    if (m >= cap) return -1;
+    out[m++] = q - data;
+    p = q + 1;
+  }
+  return m;
+}
+
+}  // extern "C"

@@ -99,7 +99,7 @@ def main() -> int:
 
     dec = os.path.join(a.out, "chr.out.fastq")
     t0 = time.time()
-    pipeline.decompress(arc, dec, cfg=cfg)
+    dstats = pipeline.decompress(arc, dec, cfg=cfg)
     decompress_s = time.time() - t0
     stop.set()
 
@@ -149,6 +149,7 @@ def main() -> int:
         "stream_bytes": stats.get("stream_bytes"),
         "stages": {kk: stats[kk] for kk in stats if kk.startswith("time_")},
         "span_s": stats.get("span_s"),
+        "decompress_span_s": dstats.get("span_s"),
         "verified": {"headers_exact": n_bad_h == 0, "dna_exact": n_bad_s == 0,
                      "quals_lossy_q1": n_bad_q == 0, "n_reads_match": n == a.reads},
         "ok": ok,
