@@ -111,9 +111,11 @@ def _shr2_ins_t(ws, base, k: int):
 
 
 def _anchor_scan(codes, k: int, seed: int):
-    """One pass over base columns: at every k-mer position, the forward
-    words (for walk-state init) and the two rolling strand-chain values
-    (FORMAT.md §4 v4). Returns (fwds (B,P,W), hs 2x(B,P))."""
+    """One pass over base columns: the two rolling strand-chain values at
+    every k-mer position (FORMAT.md §4 v4). Returns hs 2x(B,P). The
+    k-mer window itself is NOT carried: only the selected anchor's window
+    is ever needed, and _anchor_state repacks it from the codes directly
+    — carrying + stacking (B, P, W) word planes was ~40% of this scan."""
     B, L = codes.shape
     tab = bloom.tables(seed, k)
     T, Tc, Trot, Tcrot = (_tabn(tab, i) for i in range(4))
@@ -122,11 +124,10 @@ def _anchor_scan(codes, k: int, seed: int):
     leave = jnp.concatenate([jnp.zeros((k, B), jnp.int32), cols[:-k] if L > k else cols[:0]], axis=0)
 
     def step(carry, xs):
-        fwd, f, r = carry  # fwd: tuple of W (B,) words
+        f, r = carry
         x, o, j = xs
         is_slide = j >= k
         jm = jnp.minimum(j, k - 1) & 31  # scalar rotate amount (traced)
-        fwd = _shl2_t(fwd, x.astype(U32), k)
 
         # scalarized table lookups (_take4c): no (B, 4) intermediates
         f = _rol1(f ^ jnp.where(is_slide, _take4c(Trot, o), U32(0))) ^ _take4c(T, x)
@@ -134,16 +135,30 @@ def _anchor_scan(codes, k: int, seed: int):
         radd = (radd << jm.astype(U32)) | (radd >> ((U32(32) - jm.astype(U32)) & U32(31)))
         r_slide = _ror1(r ^ _take4c(Tc, o)) ^ _take4c(Tcrot, x)
         r = jnp.where(is_slide, r_slide, r ^ radd)
-        return (fwd, f, r), (fwd, f, r)
+        return (f, r), (f, r)
 
     z = jnp.zeros(B, jnp.uint32)
-    init = (tuple(z for _ in range(words_for_k(k))), z, z)
     js = jnp.arange(L, dtype=jnp.int32)
-    _, ys = lax.scan(step, init, (cols, leave, js))
-    # re-stack the per-word planes OUTSIDE the scan (bulk relayout once)
-    fwds = jnp.stack([jnp.moveaxis(w[k - 1 :], 0, 1) for w in ys[0]], axis=-1)
-    hs = tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys[1:])  # 2 x (B, P)
-    return fwds, hs
+    _, ys = lax.scan(step, (z, z), (cols, leave, js))
+    # re-stack the per-position planes OUTSIDE the scan (bulk relayout)
+    return tuple(jnp.moveaxis(y[k - 1 :], 0, 1) for y in ys)  # 2 x (B, P)
+
+
+def _pack_window(codes, pos, k: int):
+    """(B, W) u32 forward words of the k-mer window codes[i, pos[i]:+k]
+    (kmer_words layout: base i at bit 2*(k-1-i))."""
+    B, L = codes.shape
+    idx = jnp.clip(pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :], 0, L - 1)
+    win = jnp.take_along_axis(codes, idx, axis=1).astype(jnp.uint32)
+    words = []
+    for j in range(words_for_k(k)):
+        acc = jnp.zeros(B, jnp.uint32)
+        for i in range(k):
+            t = 2 * (k - 1 - i)
+            if t // 32 == j:
+                acc = acc | (win[:, i] << U32(t % 32))
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
 
 
 def _probe4_rolling(bitset, cf, cr, H, n_words):
@@ -343,8 +358,8 @@ def _anchor_state(codes, lengths, bitset, k: int, H: int, n_words, seed: int):
     """Anchor search: (anchored (B,), apos (B,) i32, state0) where state0 =
     (afwd (B, W), f, r) is the walk state at the anchor."""
     lengths = lengths.astype(jnp.int32)
-    fwds, (hf, hr) = _anchor_scan(codes, k, seed)
-    P = fwds.shape[1]
+    hf, hr = _anchor_scan(codes, k, seed)
+    P = hf.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
     # membership at every position (B, P)
@@ -361,7 +376,7 @@ def _anchor_state(codes, lengths, bitset, k: int, H: int, n_words, seed: int):
         jnp.where(member, hh, jnp.uint32(0xFFFFFFFF)), axis=1
     ).astype(jnp.int32)
     sel = apos[:, None]
-    afwd = jnp.take_along_axis(fwds, sel[..., None], axis=1)[:, 0, :]
+    afwd = _pack_window(codes, apos, k)
     a_h = tuple(jnp.take_along_axis(h, sel, axis=1)[:, 0] for h in (hf, hr))
     return anchored, apos, (afwd, *a_h)
 

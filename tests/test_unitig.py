@@ -332,6 +332,41 @@ class TestDictV2:
             p_np = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
         assert p_native == p_np
 
+    @pytest.mark.parametrize("extra", [0, 1, 2])
+    def test_native_chains_cycle_matches_numpy(self, rng, extra):
+        """Cycle cut + palindromic twins through the NATIVE chain builder
+        must match the numpy reference byte-for-byte (the cycle-breaking
+        rule — cut the edge into the cycle's min-id node — is the
+        subtlest shared semantic)."""
+        from leon_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        k = 15
+        n = 200 + extra
+        contig = rng.integers(0, 4, n, dtype=np.uint8)
+        circ = np.concatenate([contig, contig[: k - 1]])
+        # a reverse-complement palindromic stretch provokes self-twin
+        # chains alongside the pure cycle
+        pal = rng.integers(0, 4, 40, dtype=np.uint8)
+        pal_seq = np.concatenate([pal, (3 - pal)[::-1]])
+        codes = [circ] * 3 + [pal_seq] * 3
+        L = max(len(c) for c in codes)
+        mat = np.zeros((len(codes), L), np.uint8)
+        lengths = np.zeros(len(codes), np.int32)
+        for i, c in enumerate(codes):
+            mat[i, : len(c)] = c
+            lengths[i] = len(c)
+        canon, _, valid = K.kmer_scan(mat, lengths, k)
+        uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+        counts = counts.astype(np.int32)
+        import unittest.mock as _mock
+
+        p_native = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
+        with _mock.patch.object(unitig, "_native_chains", lambda *a: None):
+            p_np = unitig.build_np_payload(uniq, counts, 2, k, uniq.shape[0])
+        assert p_native == p_np
+
     @pytest.mark.parametrize("k", [15, 31, 33, 63])
     def test_spell_canon_native_matches_numpy(self, rng, k):
         """The native rolling spell and the numpy chunked spell must be
