@@ -93,13 +93,9 @@ def main() -> int:
     src_small = _ensure(workdir, SMALL)
 
     def make_cfg():
-        # archives are batch-invariant (tested); 8192 lanes measured ~27%
-        # faster than 16384 on the CPU backend (shorter XLA-CPU scans),
-        # while the TPU tunnel is launch-bound and prefers fewer chunks
-        return LeonConfig(
-            noheader=True, noqual=True,
-            batch_reads=8192 if os.environ.get("LEON_BENCH_CPU") == "1" else 16384,
-        )
+        # batch_reads auto-resolves per backend (config.resolved): 65536
+        # TPU lanes / 8192 CPU; archives are batch-invariant (tested)
+        return LeonConfig(noheader=True, noqual=True)
 
     cfg = make_cfg()
 

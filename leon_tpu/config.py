@@ -36,10 +36,17 @@ class LeonConfig:
     seed: int = 0x1234ABCD
     # parallel-decode unit; also the granularity at which block-finish
     # host work overlaps the next block's device walks (and decode's
-    # depth-2 block pipeline). 32768 measured ~30% faster compress and
-    # 3-6x faster decompress than 65536 for a 0.1-0.7% size cost
-    reads_per_block: int = 32768
-    batch_reads: int = 16384         # device batch lanes
+    # depth-2 block pipeline). Round-5: 65536 (one full-width TPU chunk
+    # per block) — the tunnel charges per-launch overhead, so fewer,
+    # larger chunks win end-to-end (probe_r5.py: the encode kernel itself
+    # is 24% faster per read at 65536 lanes than 16384)
+    reads_per_block: int = 65536
+    # device batch lanes. None = auto per backend: 65536 on TPU (scan
+    # per-step overhead amortizes, fewer launches over the tunnel), 8192
+    # on CPU (shorter XLA-CPU scans measured faster; tests stay quick).
+    # Archives are batch-invariant (tested), so auto-resolution never
+    # changes output bytes.
+    batch_reads: Optional[int] = None
     max_device_len: int = 2048       # longer reads take the raw host path
     # slab size for the streaming device counter (ops/count.py): the
     # multiset is sorted+compacted in fixed slabs of this many k-mers, so
@@ -113,6 +120,17 @@ class LeonConfig:
     # natural restart midpoint (SURVEY.md §5.4: DSK's solid-kmer set)
     checkpoint: Optional[str] = None
     verbose: int = 1
+
+    def resolved(self) -> "LeonConfig":
+        """Concrete copy with backend-dependent fields filled in (the
+        pipeline entry points call this once; jitted code never sees
+        None)."""
+        if self.batch_reads is not None:
+            return self
+        import jax
+
+        b = 65536 if jax.default_backend() == "tpu" else 8192
+        return dataclasses.replace(self, batch_reads=b)
 
     def __post_init__(self) -> None:
         # the reference supports k up to 256 but only via recompilation with

@@ -31,6 +31,17 @@ from jax import lax
 from leon_tpu.utils.trace import tr
 
 
+def _next_boundary(boundary):
+    """(n,) int32: for each row, the index of the NEXT boundary strictly
+    after it (n when none). Reverse associative min-scan over marked
+    positions — log-depth, no scatters."""
+    n = boundary.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    marked = jnp.where(boundary, pos, n)
+    revmin = lax.associative_scan(jnp.minimum, marked, reverse=True)
+    return jnp.concatenate([revmin[1:], jnp.full(1, n, jnp.int32)])
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _sort_count_device(words_t: tuple, valid, k: int = 0):
     """words_t: tuple of W (N,) uint32 arrays, most-significant first.
@@ -59,9 +70,18 @@ def _sort_count_device(words_t: tuple, valid, k: int = 0):
     for w in skeys:
         prev_ne = prev_ne | jnp.concatenate([jnp.ones(1, dtype=bool), w[1:] != w[:-1]])
     boundary = prev_ne & svalid
-    seg = jnp.maximum(jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0)
-    counts_per_seg = jax.ops.segment_sum(svalid.astype(jnp.int32), seg, num_segments=n)
-    counts = jnp.where(boundary, counts_per_seg[seg], 0)
+    # run length at boundary i = next boundary index - i (clamped to the
+    # valid count). Scan arithmetic, NOT segment_sum: the scatter-based
+    # segment_sum chain measured ~1.1 s at 33.5M rows on v5e where the
+    # sort itself is 0.15 s (probe_r5.py); the reverse min-scan is
+    # log-depth elementwise work.
+    nv = jnp.sum(svalid.astype(jnp.int32))  # invalids sort last: runs of
+    # valid rows end at the next boundary or at nv, whichever is first
+    counts = jnp.where(
+        boundary,
+        jnp.minimum(_next_boundary(boundary), nv) - jnp.arange(n, dtype=jnp.int32),
+        0,
+    )
     return skeys, boundary, counts
 
 
@@ -216,9 +236,20 @@ def _merge_sorted_runs(words_t: tuple, counts):
     prev_ne = jnp.zeros(n, dtype=bool)
     for w in skeys:
         prev_ne = prev_ne | jnp.concatenate([jnp.ones(1, dtype=bool), w[1:] != w[:-1]])
-    seg = jnp.maximum(jnp.cumsum(prev_ne.astype(jnp.int32)) - 1, 0)
-    total = jax.ops.segment_sum(scnt, seg, num_segments=n)
-    summed = jnp.where(prev_ne, total[seg], 0)
+    # Per-segment totals via prefix sums + ONE gather at the next-boundary
+    # index (see _sort_count_device: segment_sum's scatter was ~7x the
+    # sort cost at slab size). The prefix sum runs in u32 with wraparound:
+    # each SEGMENT total fits u32, so E[next]-E[i] is exact mod 2^32 even
+    # when the global count mass exceeds 2^31 (genome-scale merges).
+    cu = scnt.astype(jnp.uint32)
+    e_incl = jnp.cumsum(cu)
+    e_excl = e_incl - cu
+    nxt = _next_boundary(prev_ne)
+    e_at_nxt = jnp.where(nxt >= n, e_incl[n - 1], e_excl[jnp.minimum(nxt, n - 1)])
+    summed_u = e_at_nxt - e_excl
+    summed = jnp.where(
+        prev_ne, jnp.minimum(summed_u, jnp.uint32(0x7FFFFFFF)), jnp.uint32(0)
+    ).astype(jnp.int32)
     boundary = prev_ne & (summed > 0)
     return skeys, boundary, summed
 

@@ -466,7 +466,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
 
     from leon_tpu import pipeline
 
-    cfg = cfg or LeonConfig()
+    cfg = (cfg or LeonConfig()).resolved()
     t0 = time.time()
     for _k in _TRAFFIC:
         _TRAFFIC[_k] = 0

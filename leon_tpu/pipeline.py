@@ -441,7 +441,7 @@ def drain_walk_chunk(ch: Chunk, inflight, bitset_j, k: int, H: int,
 
 
 def compress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
-    cfg = cfg or LeonConfig()
+    cfg = (cfg or LeonConfig()).resolved()
     if cfg.profile_dir:
         import dataclasses as _dc
 
@@ -1126,7 +1126,7 @@ def _assemble_block_seqs(db: blockcodec.DecodedBlock, dispatched: list) -> tuple
 def decompress(input_path: str, output_path: Optional[str] = None, cfg: Optional[LeonConfig] = None) -> dict:
     import jax.numpy as jnp
 
-    cfg = cfg or LeonConfig()
+    cfg = (cfg or LeonConfig()).resolved()
     span_reset()
     t0 = time.time()
     r = container.Reader(input_path)

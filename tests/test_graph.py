@@ -63,3 +63,94 @@ def test_node_index(dbg_and_contig):
     hits = ni._as_sortable(junk)
     # nearly all random kmers are absent from a 400-base contig set
     assert (jidx == -1).mean() > 0.9
+
+
+@pytest.fixture
+def bubble_graph(rng):
+    """A contig plus a SNP variant: the classic bubble. Both arms at
+    coverage 3 so every arm k-mer is solid."""
+    k, H, seed = 15, 4, 3
+    contig = rng.integers(0, 4, 200, dtype=np.uint8)
+    variant = contig.copy()
+    variant[100] = (variant[100] + 1) & 3
+    codes = np.stack([contig] * 3 + [variant] * 3)
+    lengths = np.full(6, 200, dtype=np.int32)
+    canon, _, valid = K.kmer_scan(codes, lengths, k)
+    uniq, counts = count.count_batch(np.asarray(canon), np.asarray(valid))
+    solid = uniq[counts >= 2]
+    n_words = bloom.choose_n_words(max(1, len(solid)), 24.0)
+    import jax.numpy as jnp
+
+    bits = jnp.asarray(bloom.build_np_classic(solid, n_words, H, seed, k))
+    g = graph.DBG(bitset=bits, k=k, n_hashes=H, n_words=n_words, seed=seed)
+    return g, contig, variant, solid, k
+
+
+def test_walk_stops_at_bubble(bubble_graph):
+    g, contig, variant, solid, k = bubble_graph
+    start = K.pack_codes_batch_np(contig[None, :k], k)
+    bases, n = g.walk(start, max_steps=150)
+    n = int(np.asarray(n)[0])
+    # the simple walk must stop when the bubble's branch node appears
+    # (branch at the k-mer ending just before position 100)
+    assert n <= 100 - k
+    np.testing.assert_array_equal(np.asarray(bases)[0, :n], contig[k : k + n])
+
+
+def test_traverse_crosses_bubble(bubble_graph):
+    g, contig, variant, solid, k = bubble_graph
+    start = K.pack_codes_batch_np(contig[None, :k], k)
+    bases, n = g.traverse(start, max_steps=150)
+    bases, n = np.asarray(bases), int(np.asarray(n)[0])
+    # crosses the SNP bubble and reaches (nearly) the contig end: the
+    # emitted path must match ONE of the two arms through the bubble and
+    # the shared sequence elsewhere
+    assert n > 150 - k, f"traverse stopped early: {n}"
+    got = bases[0, :n]
+    ref_a = contig[k : k + n]
+    ref_b = variant[k : k + n]
+    match_a = (got == ref_a).mean()
+    match_b = (got == ref_b).mean()
+    # everything off-bubble agrees; the single SNP position may take
+    # either arm (lexicographic consensus)
+    assert max(match_a, match_b) == 1.0 or (got != ref_a).sum() <= 1 or (
+        got != ref_b
+    ).sum() <= 1
+
+
+def test_traverse_matches_walk_on_simple_path(dbg_and_contig):
+    g, contig, solid, k = dbg_and_contig
+    start = K.pack_codes_batch_np(contig[None, :k], k)
+    wb, wn = g.walk(start, max_steps=100)
+    tb, tn = g.traverse(start, max_steps=100)
+    wn, tn = int(np.asarray(wn)[0]), int(np.asarray(tn)[0])
+    assert tn >= wn
+    np.testing.assert_array_equal(
+        np.asarray(tb)[0, :wn], np.asarray(wb)[0, :wn]
+    )
+
+
+def test_graph_facade_iteration(bubble_graph):
+    g, contig, variant, solid, k = bubble_graph
+    G = graph.Graph(dbg=g, index=graph.NodeIndex.from_solid(solid))
+    assert G.n_nodes == len(solid)
+    seen = np.concatenate(list(G.iter_nodes(batch=64)), axis=0)
+    assert seen.shape[0] == len(solid)
+    # every node is queryable and ranks are a permutation
+    ranks = G.node_rank(seen)
+    assert (ranks >= 0).all() and len(set(ranks.tolist())) == len(solid)
+    # branching iteration finds the bubble's fork/join neighborhoods
+    br = list(G.iter_branching(batch=64))
+    assert br and sum(b.shape[0] for b in br) >= 2
+    # contig driver runs end to end
+    total = 0
+    for seeds, bases, n in G.contigs(max_len=32, batch=128):
+        total += seeds.shape[0]
+    assert total == len(solid)
+
+
+def test_graph_from_solid(dbg_and_contig):
+    _, contig, solid, k = dbg_and_contig
+    G = graph.Graph.from_solid(solid, k)
+    assert G.n_nodes == len(solid)
+    assert np.asarray(G.dbg.contains(solid[:32])).all()
