@@ -49,12 +49,29 @@ def _build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     import os
 
+    import jax
+
     if os.environ.get("LEON_FORCE_CPU") == "1":
         # some axon sitecustomize versions override JAX_PLATFORMS at
         # interpreter startup; the config update is authoritative
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache: a cold CLI process would otherwise
+    # recompile the big walk/count programs on every invocation (~minutes
+    # on CPU, tens of seconds per program on TPU). The reference is a
+    # single precompiled binary whose users pay no warmup
+    # (/root/reference/src/main.cpp:44); the cache is the JAX equivalent.
+    # LEON_CACHE_DIR overrides; empty string disables.
+    cache_dir = os.environ.get(
+        "LEON_CACHE_DIR", os.path.expanduser("~/.cache/leon_tpu/xla")
+    )
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except (OSError, AttributeError):
+            pass  # read-only home / older jax: run uncached
     args = _build_parser().parse_args(argv)
 
     if args.version:

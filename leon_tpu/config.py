@@ -58,9 +58,15 @@ class LeonConfig:
     # device runs larger than this many rows spill to host RAM (the DSK
     # temp-disk analog): HBM stays bounded at ~spill + merge_factor*slab
     # rows of sort transient no matter how large the distinct set grows
-    # (chr-/genome-scale inputs). Spilled and unspilled runs produce
-    # byte-identical archives (tested)
-    count_spill_rows: int = 48 << 20
+    # (genome-scale inputs). Spilled and unspilled runs produce
+    # byte-identical archives (tested). Round-5: 192M (was 48M) — the
+    # scan-based merge made device merging ~8x cheaper, and every spilled
+    # row later costs host k-way merge + host Bloom build (75 s + 8.5 s
+    # of the round-4 chr-scale count stage); 192M keeps chr-scale
+    # distinct sets (~220M rows with error singletons) on device. Peak
+    # sort transient ~ (spill + 4*slab) rows x 12 B x ~2.5 ≈ 9-10 GB of
+    # the 16 GB v5e HBM.
+    count_spill_rows: int = 192 << 20
     # inputs larger than this stream through both passes (re-parsed per
     # pass, constant memory — the TPU analog of the reference's
     # disk-streaming design, README.md:13); smaller inputs are held in RAM
@@ -103,14 +109,16 @@ class LeonConfig:
     # Past the gate the BLOOM section is written as before.
     unitig_sections: bool = True
     unitig_max_kmers: int = 128 << 20
-    # largest solid set the DEVICE builder takes: the remote XLA compile
-    # service on this environment crashes compiling the build program
-    # past ~8M rows (measured cliff; 8M compiles and runs, 16M dies with
-    # HTTP 500 from tpu_compile_helper). Above this the byte-identical
-    # host (numpy) builder runs instead, in a thread overlapped with the
-    # encode stage (chr-scale solid sets arrive on host anyway via the
-    # count spill path).
-    unitig_device_max_kmers: int = 8 << 20
+    # largest solid set the DEVICE builder takes. Round-5 default 0 = the
+    # native HOST builder always runs instead, on a background thread
+    # overlapped with the encode stage: the device build is serial device
+    # work the walk chunks queue behind (measured ~2.8 s at 2M solid
+    # rows — a third of the 500k-bench device budget), while the host
+    # thread hides entirely and the solid rows ship via async D2H.
+    # Raising this re-enables the device builder (byte-identical
+    # payloads, tested); the remote XLA compile service crashes past ~8M
+    # rows (HTTP 500 cliff measured round 4), so keep it <= 8M.
+    unitig_device_max_kmers: int = 0
     # when set, wrap compress/decompress in a jax.profiler trace written
     # here (the TPU-native analog of GATB TimeInfo/Progress tracing,
     # SURVEY.md §5.1)

@@ -959,9 +959,17 @@ extern "C" {
 int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
                            const int32_t* counts, int32_t cutoff, int32_t k,
                            uint32_t* rc_out, int64_t* nxt, int64_t* head,
-                           int64_t* rank, uint8_t* kept, uint8_t* keep_head) {
+                           int64_t* rank, uint8_t* kept, uint8_t* keep_head,
+                           int32_t nthreads) {
   using namespace leon_unitig;
   if (M <= 0) return 0;
+#ifdef _OPENMP
+  // callers running this from a background thread under a live encode
+  // loop cap the team so the pipeline's drain/frame threads keep a core
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#else
+  (void)nthreads;
+#endif
   const int64_t N = 2 * M;
   const int32_t top_bits = (2 * k) % 32;
   const uint32_t top_mask =
@@ -1002,6 +1010,16 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
     if (lo < M && row_eq(words + lo * W, key, W)) return lo;
     return -1;
   };
+  auto lower_bound_row = [&](const uint32_t* key) -> int64_t {
+    const uint32_t hi = key[W - 1] >> 16;
+    int64_t lo = bucket[hi], hiX = bucket[hi + 1];
+    while (lo < hiX) {
+      const int64_t mid = (lo + hiX) >> 1;
+      if (row_less(words + mid * W, key, W)) lo = mid + 1;
+      else hiX = mid;
+    }
+    return lo;
+  };
 
   std::vector<int64_t> succ(N, -1);
   std::vector<int32_t> outc(N, 0);
@@ -1021,17 +1039,30 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
 #pragma omp parallel for schedule(static)
 #endif
   for (int64_t did = 0; did < N; ++did) {
-    uint32_t y[16], yr[16];
+    uint32_t y[16], yr[16], y0[16];
     const int64_t i = did >> 1;
     const int32_t o = static_cast<int32_t>(did & 1);
     const uint32_t* x = o ? rc_out + i * W : words + i * W;
     const uint32_t* xr = o ? words + i * W : rc_out + i * W;
+    // The 4 forward candidates y_b = (x<<2)|b are CONSECUTIVE keys: ONE
+    // lower-bound on y_0 plus a <=4-row scan answers all 4 memberships
+    // (the reverse candidates yr_b spread across the key space and keep
+    // individual searches). Cuts searches/node from 8 to ~3.
+    shl2(x, 0u, W, top_mask, y0);
+    int64_t ymatch[4] = {-1, -1, -1, -1};
+    for (int64_t t = lower_bound_row(y0); t < M; ++t) {
+      const uint32_t* r = words + t * W;
+      bool hi_eq = (r[0] & ~3u) == y0[0];
+      for (int32_t w = 1; hi_eq && w < W; ++w) hi_eq = r[w] == y0[w];
+      if (!hi_eq) break;
+      ymatch[r[0] & 3u] = t;
+    }
     for (uint32_t b = 0; b < 4; ++b) {
-      shl2(x, b, W, top_mask, y);
+      memcpy(y, y0, sizeof(uint32_t) * W);
+      y[0] |= b;
       shr2_ins(xr, 3u - b, W, k, yr);
       const bool take_rc = row_less(yr, y, W);
-      const uint32_t* cy = take_rc ? yr : y;
-      const int64_t j = find(cy);
+      const int64_t j = take_rc ? find(yr) : ymatch[b];
       if (j >= 0 && counts[j] >= cutoff) {
         outc[did]++;
         if (outc[did] == 1) succ[did] = j * 2 + (take_rc ? 1 : 0);
@@ -1052,88 +1083,62 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
     if (nxt[did] >= 0) prev[nxt[did]] = did;  // ascending = np last-writer
   }
 
-  // cycle cut: for each nxt-cycle, hv = min id in cycle; cut edge into hv
-  {
-    std::vector<uint8_t> color(N, 0);  // 0 unvisited, 1 on path, 2 done
-    std::vector<int64_t> path;
-    for (int64_t s0 = 0; s0 < N; ++s0) {
-      if (color[s0]) continue;
-      path.clear();
-      int64_t x = s0;
-      while (x >= 0 && color[x] == 0) {
-        color[x] = 1;
-        path.push_back(x);
-        x = nxt[x];
-      }
-      if (x >= 0 && color[x] == 1) {
-        // found a new cycle: nodes from x onward in path
-        int64_t hv = x;
-        size_t ci = path.size();
-        while (ci > 0 && path[ci - 1] != x) --ci;
-        for (size_t t = ci - 1; t < path.size(); ++t) {
-          if (path[t] < hv) hv = path[t];
-        }
-        const int64_t pv = prev[hv];
-        if (pv >= 0) nxt[pv] = -1;
-        prev[hv] = -1;
-      }
-      for (int64_t p : path) color[p] = 2;
-    }
-  }
-
-  // chain min-id / min-twin-id: suffix minima over nxt-orbits (memoized)
-  std::vector<int64_t> msuf(N, -2), tmsuf(N, -2);
-  {
-    std::vector<int64_t> stack;
-    for (int64_t s0 = 0; s0 < N; ++s0) {
-      if (msuf[s0] != -2) continue;
-      stack.clear();
-      int64_t x = s0;
-      while (x >= 0 && msuf[x] == -2) {
-        msuf[x] = -3;  // on stack
-        stack.push_back(x);
-        x = nxt[x];
-      }
-      int64_t m = (x >= 0) ? msuf[x] : N;
-      int64_t tm = (x >= 0) ? tmsuf[x] : N;
-      for (size_t t = stack.size(); t-- > 0;) {
-        const int64_t v = stack[t];
-        if (solid2[v]) {
-          if (v < m) m = v;
-          if ((v ^ 1) < tm) tm = v ^ 1;
-        }
-        msuf[v] = m;
-        tmsuf[v] = tm;
-      }
-    }
-  }
-
-  // head/rank via prev-chains: walk forward from each head, continuing
-  // x -> nxt[x] only while prev[nxt[x]] == x (numpy derives these from
-  // the prev pointers)
-  for (int64_t did = 0; did < N; ++did) {
-    head[did] = did;
-    rank[did] = 0;
-  }
-  for (int64_t h = 0; h < N; ++h) {
-    if (prev[h] >= 0) continue;
-    int64_t x = h, r = 0;
+  // --- merged chain resolution: ONE buffered pointer chase per
+  // component (replaces the former cycle-cut + suffix-min + head/rank +
+  // kept passes, each of which chased every chain again — chains over
+  // sorted-random keys pay a cache miss per hop, so the PASS COUNT is
+  // the serial wall; a 2M-row single-chain build spent ~3.5 s here).
+  // Components of the nxt-graph are pure chains or pure cycles (module
+  // contract, see the python mirror's docstring): a head-rooted walk
+  // never enters a cycle, and within a chain prev[nxt[x]] == x always
+  // (in-degree 1), so the walk needs no guard. Semantics are
+  // bit-identical to the numpy reference: per-chain min-id / min-twin-id
+  // evaluated over the buffered path, keep_head/kept from the same rule.
+  std::vector<uint8_t> visited(N, 0);
+  std::vector<int64_t> buf;
+  auto process_chain = [&](int64_t h) {
+    buf.clear();
+    int64_t x = h;
     for (;;) {
-      head[x] = h;
-      rank[x] = r;
+      visited[x] = 1;
+      buf.push_back(x);
       const int64_t nx = nxt[x];
-      if (nx < 0 || prev[nx] != x) break;
+      if (nx < 0) break;
       x = nx;
-      ++r;
     }
+    int64_t m = N, tm = N;
+    for (size_t t = buf.size(); t-- > 0;) {
+      const int64_t v = buf[t];
+      if (solid2[v]) {
+        if (v < m) m = v;
+        if ((v ^ 1) < tm) tm = v ^ 1;
+      }
+    }
+    const uint8_t kh = (solid2[h] && prev[h] < 0 && m <= tm) ? 1 : 0;
+    int64_t r = 0;
+    for (size_t t = 0; t < buf.size(); ++t, ++r) {
+      const int64_t v = buf[t];
+      head[v] = h;
+      rank[v] = r;
+      keep_head[v] = (t == 0) ? kh : 0;
+      kept[v] = (solid2[v] && kh) ? 1 : 0;
+    }
+  };
+  for (int64_t h = 0; h < N; ++h) {
+    if (prev[h] < 0 && !visited[h]) process_chain(h);
   }
-
-  for (int64_t did = 0; did < N; ++did) {
-    keep_head[did] = (solid2[did] && prev[did] < 0 &&
-                      msuf[did] <= tmsuf[did]) ? 1 : 0;
-  }
-  for (int64_t did = 0; did < N; ++did) {
-    kept[did] = (solid2[did] && keep_head[head[did]]) ? 1 : 0;
+  // leftovers are pure cycles: cut the edge into the min-id node, then
+  // the former cycle is a chain rooted there
+  for (int64_t s0 = 0; s0 < N; ++s0) {
+    if (visited[s0] || nxt[s0] < 0) continue;
+    int64_t hv = s0;
+    for (int64_t x = nxt[s0]; x != s0; x = nxt[x]) {
+      if (x < hv) hv = x;
+    }
+    const int64_t pv = prev[hv];
+    if (pv >= 0) nxt[pv] = -1;
+    prev[hv] = -1;
+    process_chain(hv);
   }
   return 0;
 }

@@ -38,7 +38,7 @@ def _next_boundary(boundary):
     n = boundary.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     marked = jnp.where(boundary, pos, n)
-    revmin = lax.associative_scan(jnp.minimum, marked, reverse=True)
+    revmin = lax.cummin(marked, axis=0, reverse=True)
     return jnp.concatenate([revmin[1:], jnp.full(1, n, jnp.int32)])
 
 
@@ -686,6 +686,21 @@ class DeviceCounter:
             else:
                 solidset = (None, None, nu_total, host_pair)
         return bitset, n_words, cutoff, n_solid, hist, H, solidset
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def compact_solid(words, counts, cutoff, out_size: int):
+    """Order-preserving device compaction of a padded distinct run to its
+    rows with count >= cutoff — shrinks the solid-run D2H (the host
+    unitig builder's input) ~2x at sequencing coverage. Returns
+    ((out_size, W) u32, (out_size,) i32), zero-padded at the tail."""
+    m = counts >= cutoff
+    dst = jnp.where(m, jnp.cumsum(m.astype(jnp.int32)) - 1, out_size)
+    ow = jnp.zeros((out_size + 1, words.shape[1]), jnp.uint32).at[dst].set(
+        words, mode="drop")[:out_size]
+    oc = jnp.zeros(out_size + 1, jnp.int32).at[dst].set(
+        counts, mode="drop")[:out_size]
+    return ow, oc
 
 
 def range_boundaries(nproc: int, k: int, W: int) -> np.ndarray:

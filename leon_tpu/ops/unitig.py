@@ -202,7 +202,7 @@ def _np_chains(words: np.ndarray, counts: np.ndarray, cutoff: int, k: int):
 
 
 def _native_chains(words: np.ndarray, counts: np.ndarray, cutoff: int,
-                   k: int):
+                   k: int, nthreads: int = 0):
     """_np_chains via the native O(n) builder (leon_unitig_chains):
     serial chain walking + prefix-bucketed successor search instead of
     structured-dtype searchsorted + pointer-doubling gathers (~18 s per
@@ -226,7 +226,7 @@ def _native_chains(words: np.ndarray, counts: np.ndarray, cutoff: int,
     rcode = lib.leon_unitig_chains(
         M, W, words_c.ctypes.data, counts_c.ctypes.data, int(cutoff), k,
         rc.ctypes.data, nxt.ctypes.data, head.ctypes.data, rank.ctypes.data,
-        kept.ctypes.data, keep_head.ctypes.data,
+        kept.ctypes.data, keep_head.ctypes.data, int(nthreads),
     )
     if rcode != 0:
         return None
@@ -235,7 +235,8 @@ def _native_chains(words: np.ndarray, counts: np.ndarray, cutoff: int,
 
 
 def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
-                     k: int, nu: int | None = None) -> bytes | None:
+                     k: int, nu: int | None = None,
+                     nthreads: int = 0) -> bytes | None:
     """Numpy unitig build. words: (M, W) u32 LSW-first distinct canonical
     k-mers sorted ascending (pad rows, if any, must sort last with count
     0). Returns the raw (unframed) payload, or None when the chain count
@@ -247,7 +248,7 @@ def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
         nu = M
     if M == 0:
         return None
-    nat = _native_chains(words, counts, cutoff, k)
+    nat = _native_chains(words, counts, cutoff, k, nthreads)
     if nat is not None:
         F, nxt, head, rank, kept, keep_head = nat
     else:

@@ -72,9 +72,9 @@ def _bucket_len(maxlen: int, k: int) -> int:
 class Chunk:
     """One device sub-batch of SEGMENTS (FORMAT.md §2 "Segmentation").
 
-    `codes`/`dev_len` are padded to exactly cfg.batch_reads lanes (a fixed
-    device shape — unpadded tail chunks would each trigger a fresh XLA
-    compile); the seg_* arrays cover only the n true segments. `packed`
+    `codes`/`dev_len` are padded to cfg.batch_reads lanes (full chunks) or
+    to the _lane_bucket grid (tail/small-input chunks) — a bounded set of
+    device shapes; the seg_* arrays cover only the n true segments. `packed`
     is the 2-bit H2D form (kmer.pack_codes_np): sequences ship packed and
     unpack on device — 4x fewer bytes over the bandwidth-bound tunnel.
     It is computed lazily: the encode pass never packs when the count
@@ -97,6 +97,20 @@ class Chunk:
         return self._packed
 
 
+def _lane_bucket(m: int, B: int) -> int:
+    """Padded lane count for a chunk of m true rows: full chunks stay at
+    B; partial (tail / small-input) chunks pad to a 1/8-octave grid with
+    floor 4096 instead of all the way to B — bounded distinct XLA shapes
+    (the decode side shares the same grid) without charging a 50k-read
+    CLI run a full 65536-lane walk. Grid points are multiples of 4096, so
+    mesh lane-sharding (power-of-two device counts) always divides."""
+    if m >= B:
+        return B
+    n = max(4096, m)
+    gran = max(4096, 1 << max(0, (n - 1).bit_length() - 3))
+    return min(B, -(-n // gran) * gran)
+
+
 def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator[Chunk]:
     B = cfg.batch_reads
     total = prep.n_segs
@@ -109,13 +123,13 @@ def chunk_block(prep: blockcodec.BlockPrep, cfg: LeonConfig, k: int) -> Iterator
         sl = prep.seg_len[s : s + B]
         m = sl.shape[0]
         Lb = _bucket_len(int(sl.max()) if m else 0, k)
-        codes = np.zeros((B, Lb), dtype=np.uint8)
+        codes = np.zeros((_lane_bucket(m, B), Lb), dtype=np.uint8)
         if flat.size:
             # copy each segment's sl[i] bytes into its zeroed row (no
             # index materialization, no tail masking)
             ragged.move(codes.reshape(-1), np.arange(m, dtype=np.int64) * Lb,
                         flat, starts_all[s : s + B], sl)
-        dev_pad = np.zeros(B, dtype=np.int32)
+        dev_pad = np.zeros(codes.shape[0], dtype=np.int32)
         dev_pad[:m] = sl
         yield Chunk(
             codes=codes, dev_len=dev_pad, L=Lb, n=m,
@@ -609,42 +623,63 @@ def _compress_impl(input_path: str, output_path: Optional[str],
             and n_solid > 0 and n_solid <= cfg.unitig_max_kmers
         )
         if (unitig_planned and n_solid > cfg.unitig_device_max_kmers):
-            # too large for the device builder (compile-service cliff,
-            # see config): run the byte-identical numpy builder in a
-            # thread — it touches no device state, so it overlaps the
-            # whole encode stage instead of queuing behind the walks
+            # host builder (the round-5 default for EVERY size, see
+            # config.unitig_device_max_kmers): the device build is
+            # serial device work the walk chunks queue behind (~2.8 s at
+            # 2M solid rows, a third of the 500k-bench device budget),
+            # while the byte-identical native host builder runs on a
+            # thread UNDER the encode stage. Device-resident solid runs
+            # compact on device and ship down BEFORE the walks claim the
+            # tunnel (see unitig.solid_d2h below).
             unitig_planned = False
-            if solidset[3] is None and solidset[0] is not None:
-                # mid-size set counted entirely on device (no spill):
-                # pull the distinct run once and filter to solid rows so
-                # the host builder can run — the same section decision
-                # the spill path would make
-                _w = np.asarray(solidset[0])
-                _c = np.asarray(solidset[1])
-                _m = _c >= cutoff
-                solidset = (solidset[0], solidset[1], solidset[2],
-                            (np.ascontiguousarray(_w[_m]), _c[_m]))
-            if solidset[3] is not None:
+            host_pair = solidset[3]
+            dev_words = None
+            if host_pair is None and solidset[0] is not None:
+                # compact to solid rows ON DEVICE first: the distinct run
+                # is mostly sub-cutoff error singletons, so the D2H the
+                # host builder waits on shrinks ~2x. Counts never ship at
+                # all — rows [0, n_solid) are solid by construction, so
+                # the host side synthesizes counts = cutoff (the builder
+                # only tests counts >= cutoff).
+                dev_words, _ = count.compact_solid(
+                    solidset[0], solidset[1], np.int32(cutoff),
+                    count._bucket_size(max(1, n_solid)),
+                )
+                try:
+                    dev_words.copy_to_host_async()
+                except AttributeError:
+                    pass
+            if host_pair is not None or dev_words is not None:
                 import threading as _threading
 
                 from leon_tpu.ops import unitig as _unitig
 
-                _host_solid, _host_counts = solidset[3]
                 unitig_thread_out: list = []
 
-                def _host_build(out=unitig_thread_out, hs=_host_solid,
-                                hc=_host_counts, nu=solidset[2]):
+                def _host_build(out=unitig_thread_out, hp=host_pair,
+                                dw=dev_words, ns=n_solid, nu=solidset[2]):
                     try:
-                        out.append(_unitig.build_np_payload(hs, hc, cutoff, k, nu))
+                        if hp is None:
+                            with span("unitig.thread_d2h"):
+                                _w = np.asarray(dw)[:ns]
+                            hp = (np.ascontiguousarray(_w),
+                                  np.full(ns, cutoff, np.int32))
+                        # nthreads=3 leaves one core for the encode
+                        # loop's drain/frame work this thread overlaps
+                        with span("unitig.thread_build"):
+                            out.append(
+                                (_unitig.build_np_payload(hp[0], hp[1], cutoff,
+                                                          k, nu, nthreads=3),
+                                 hp[0])
+                            )
                     except Exception as e:
                         print(f"[leon-tpu] host unitig build failed "
                               f"({type(e).__name__}: {str(e)[:200]})",
                               file=sys.stderr)
-                        out.append(None)
+                        out.append((None, None))
 
                 unitig_thread = _threading.Thread(target=_host_build, daemon=True)
                 unitig_thread.start()
-                unitig_solid_src = ("host", _host_solid)
         if unitig_planned:
             # dispatch the build NOW, before any walk chunk enters the
             # device FIFO: the build compute is serial device work either
@@ -703,9 +738,10 @@ def _compress_impl(input_path: str, output_path: Optional[str],
         # must write the byte-identical archive), so resolve it now
         if unitig_thread is not None:
             unitig_thread.join()
-            p = unitig_thread_out[0] if unitig_thread_out else None
+            p, hs = unitig_thread_out[0] if unitig_thread_out else (None, None)
             if p is not None and len(p) < 4 * n_words:
                 unitig_payload = p
+                unitig_solid_src = ("host", hs)
             unitig_thread = None
         if unitig_inflight is not None:
             unitig_payload = _resolve_unitigs(unitig_inflight, n_words)
@@ -882,9 +918,10 @@ def _compress_impl(input_path: str, output_path: Optional[str],
     if unitig_thread is not None and unitig_payload is None:
         with span("tail.unitig_join"):
             unitig_thread.join()
-        p = unitig_thread_out[0] if unitig_thread_out else None
+        p, hs = unitig_thread_out[0] if unitig_thread_out else (None, None)
         if p is not None and len(p) < 4 * n_words:  # frozen size rule
             unitig_payload = p
+            unitig_solid_src = ("host", hs)
         unitig_thread = None
     if unitig_inflight is not None and unitig_payload is None:
         with span("tail.unitig_drain"):
@@ -1048,10 +1085,15 @@ def _dispatch_block_decode(db: blockcodec.DecodedBlock, meta, dict_words: np.nda
         b1 = int(db.bif_base[e]) if e < n_segs else db.bifs.size
         scal[:, 7] -= e0
         scal[:, 8] -= b0
-        if mesh_n > 1 and (e - s) % mesh_n:
-            # pad lanes to the mesh width (inactive lanes decode to
-            # nothing; the assembled output only reads the real rows)
-            pad = mesh_n - (e - s) % mesh_n
+        # pad lanes to the shared _lane_bucket grid (inactive lanes decode
+        # to nothing; the assembled output only reads the real rows) — an
+        # unpadded tail would compile one fresh XLA shape per odd size.
+        # The 4096 grid also satisfies mesh divisibility.
+        want = _lane_bucket(e - s, B)
+        if mesh_n > 1 and want % mesh_n:
+            want += mesh_n - want % mesh_n
+        if want > e - s:
+            pad = want - (e - s)
             sl = np.concatenate([sl, np.zeros(pad, sl.dtype)])
             anch = np.concatenate([anch, np.zeros(pad, bool)])
             scal = np.concatenate([scal, np.zeros((pad, scal.shape[1]), np.int32)])

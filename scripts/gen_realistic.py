@@ -45,17 +45,23 @@ def make_genome(rng: np.random.Generator, size: int) -> np.ndarray:
     return g
 
 
-def make_quals(rng: np.random.Generator, n: int, L: int, legacy: bool) -> np.ndarray:
+def make_quals(rng: np.random.Generator, n: int, L: int, legacy: bool,
+               run_degrade: bool = True) -> np.ndarray:
     """Illumina-shaped quality matrix (n, L) of ASCII bytes.
 
     Latent per-cycle error logit: read-level offset + positional profile
     (ramp-up over the first ~5 cycles, slow 3' decay) + AR(1) noise +
-    rare mid-read dips. Quantized to 8 RTA3 bins (default) or 40 levels
-    (legacy mode)."""
+    rare mid-read dips + RUN-END degradation (reads later in the run —
+    i.e. later rows — shift down, the reagent-decay curve real runs
+    show). Quantized to 8 RTA3 bins (default) or 40 levels (legacy)."""
     pos = np.arange(L)
     profile = 38.0 - 6.0 * (pos / max(1, L - 1)) ** 2  # 3' decay
     profile[: min(5, L)] -= np.linspace(4, 0, min(5, L))  # warm-up
     read_off = rng.normal(0.0, 2.0, (n, 1))
+    if run_degrade and n > 1:
+        # flowcell/reagent decay over the run: up to ~4Q drop by run end,
+        # superlinear (most decay in the last third)
+        read_off = read_off - 4.0 * (np.arange(n)[:, None] / (n - 1)) ** 2
     ar = np.empty((n, L))
     ar[:, 0] = rng.normal(0, 1.5, n)
     alpha = 0.85
@@ -92,10 +98,27 @@ def read_lengths(rng: np.random.Generator, n: int, read_len: int,
     return lens
 
 
+def _header(style: str, i: int, tile: int, x: int, y: int, pair: int) -> bytes:
+    """Instrument header shapes seen in real archives (the Zhang-2017
+    breaker class is dominated by header variety, README.md:90-91):
+    - rta3:  @SIM:1:FC705VJ:1:t:x:y p:N:0:ATCACG   (CASAVA 1.8 comment)
+    - sra:   @SRR387476.i HWI-EAS209_0006_FC706VJ:5:t:x:y/p  (mixed
+             separators: dot, space, underscores, colons, slash)
+    - mixed: alternates between the two per read"""
+    if style == "mixed":
+        style = "sra" if i % 2 else "rta3"
+    if style == "sra":
+        return b"@SRR387476.%d HWI-EAS209_0006_FC706VJ:5:%d:%d:%d/%d" % (
+            i + 1, tile, x, y, pair,
+        )
+    return b"@SIM:1:FC705VJ:1:%d:%d:%d %d:N:0:ATCACG" % (tile, x, y, pair)
+
+
 def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
-        legacy: bool, paired: bool = True, len_model: str = "fixed") -> None:
+        legacy: bool, paired: bool = True, len_model: str = "fixed",
+        header_style: str = "rta3", n_rate: float = 0.0) -> None:
     rng = np.random.default_rng(seed)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
     g = make_genome(rng, genome)
     lmax = read_len if len_model == "fixed" else 4 * read_len
     lens = read_lengths(rng, n_reads, read_len, len_model)
@@ -105,6 +128,7 @@ def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
     tiles = np.sort(rng.integers(1101, 1120, n_reads))
     xs = rng.integers(1000, 29000, n_reads)
     ys = rng.integers(1000, 29000, n_reads)
+    qmin = int(quals.min())
     with open(path, "wb") as f:
         out = []
         for i in range(n_reads):
@@ -119,10 +143,15 @@ def gen(path: str, n_reads: int, read_len: int, genome: int, seed: int,
                 r[mut] = (r[mut] + rng.integers(1, 4, nmut)) & 3
             if i % 2:
                 r = (3 - r)[::-1]
+            if n_rate > 0.0:
+                # basecaller no-calls: N at the lowest-quality positions
+                # (exercises the IUPAC exception streams)
+                qrow = quals[i, :ln] if i % 2 == 0 else quals[i, :ln][::-1]
+                ncall = (qrow == qmin) & (rng.random(ln) < n_rate)
+                r[ncall] = 4
             pair = 2 if (paired and i % 2) else 1
-            hdr = b"@SIM:1:FC705VJ:1:%d:%d:%d %d:N:0:ATCACG" % (
-                tiles[i], xs[i], ys[i], pair,
-            )
+            hdr = _header(header_style, i, int(tiles[i]), int(xs[i]),
+                          int(ys[i]), pair)
             out.append(b"%s\n%s\n+\n%s\n" % (hdr, bases[r].tobytes(),
                                              quals[i, :ln].tobytes()))
             if len(out) >= 4096:
@@ -192,8 +221,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--legacy-quals", action="store_true",
                     help="40-level Phred alphabet instead of 8 RTA3 bins")
+    ap.add_argument("--header-style", choices=("rta3", "sra", "mixed"),
+                    default="rta3")
+    ap.add_argument("--len-model", choices=("fixed", "longtail"),
+                    default="fixed")
+    ap.add_argument("--n-rate", type=float, default=0.0,
+                    help="no-call (N) probability at minimum-quality positions")
     a = ap.parse_args()
-    gen(a.out, a.reads, a.read_len, a.genome, a.seed, a.legacy_quals)
+    gen(a.out, a.reads, a.read_len, a.genome, a.seed, a.legacy_quals,
+        len_model=a.len_model, header_style=a.header_style, n_rate=a.n_rate)
     return 0
 
 

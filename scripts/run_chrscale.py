@@ -103,9 +103,18 @@ def main() -> int:
     decompress_s = time.time() - t0
     stop.set()
 
-    # --- streamed verification ---
+    # --- streamed verification + LOSSY-Q1 distortion accounting
+    # (VERDICT r4 #7c: quantify the lossy transform, don't just assert it:
+    # % of quality bytes changed, max |delta Q|, mean |delta Q| over
+    # changed positions — the measurable content of the reference's "the
+    # loss is in fact a gain" claim, README.md:55) ---
+    import numpy as np
+
     t0 = time.time()
     n_bad_h = n_bad_s = n_bad_q = n = 0
+    q_total = q_changed = 0
+    dq_max = 0
+    dq_sum = 0
     it_a = bank.read_blocks(src, 1 << 14)
     it_b = bank.read_blocks(dec, 1 << 14)
     for ba, bb in zip(it_a, it_b):
@@ -115,18 +124,31 @@ def main() -> int:
         if ba.seqs != bb.seqs:
             n_bad_s += 1
         for qa, qb in zip(ba.quals, bb.quals):
+            q_total += len(qa)
             if qa == qb:
                 continue
-            import numpy as np
-
             x = np.frombuffer(qa, np.uint8)
             y = np.frombuffer(qb, np.uint8)
             # LOSSY-Q1: only bytes >= '@' may change, and only to 'I'
             diff = x != y
             if not ((x[diff] >= ord("@")).all() and (y[diff] == ord("I")).all()):
                 n_bad_q += 1
+            nd = int(diff.sum())
+            q_changed += nd
+            if nd:
+                dq = np.abs(x[diff].astype(np.int32) - y[diff].astype(np.int32))
+                dq_max = max(dq_max, int(dq.max()))
+                dq_sum += int(dq.sum())
     verify_s = time.time() - t0
     ok = n_bad_h == 0 and n_bad_s == 0 and n_bad_q == 0 and n == a.reads
+    lossy_distortion = {
+        "q_bytes": q_total,
+        "pct_changed": round(100.0 * q_changed / max(1, q_total), 3),
+        "max_abs_dq": dq_max,
+        "mean_abs_dq_changed": round(dq_sum / max(1, q_changed), 3),
+        "note": "changes only raise Q>=31 bases to Q40 at graph-confirmed "
+                "positions (LOSSY-Q1, FORMAT.md 9)",
+    }
 
     result = {
         "config": "chr-scale full-default (headers + lossy quals), stream mode",
@@ -152,6 +174,7 @@ def main() -> int:
         "decompress_span_s": dstats.get("span_s"),
         "verified": {"headers_exact": n_bad_h == 0, "dna_exact": n_bad_s == 0,
                      "quals_lossy_q1": n_bad_q == 0, "n_reads_match": n == a.reads},
+        "lossy_distortion": lossy_distortion,
         "ok": ok,
         "backend": jax.default_backend(),
     }

@@ -49,7 +49,7 @@ def _write(path, recs, wrap, final_nl):
                     f.truncate(f.tell() - 1)
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(fasta_file())
 def test_arbitrary_fasta_roundtrips(tmp_path_factory, data):
@@ -105,7 +105,7 @@ def _write_fastq(path, recs, wrap, final_nl):
                     f.truncate(f.tell() - 1)
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(fastq_file())
 def test_arbitrary_fastq_roundtrips(tmp_path_factory, data):
@@ -138,3 +138,77 @@ def test_arbitrary_fastq_roundtrips(tmp_path_factory, data):
                 assert la[i] == lb[i] and la[i + 1] == lb[i + 1]
                 assert la[i + 2] == lb[i + 2]
                 assert len(la[i + 3]) == len(lb[i + 3])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(fasta_file())
+def test_arbitrary_fasta_k63_roundtrips(tmp_path_factory, data):
+    """The multiword k-mer path (k=63 -> W=4 u32 words) under the same
+    fuzz corpus (VERDICT r4 #7b: property tests never drove k>31)."""
+    recs, wrap, final_nl = data
+    tmp = tmp_path_factory.mktemp("prop63")
+    src = tmp / "p.fasta"
+    _write(src, recs, wrap, final_nl)
+    cfg = LeonConfig(kmer_size=63, batch_reads=32, reads_per_block=16)
+    try:
+        pipeline.compress(str(src), str(tmp / "p.leon"), cfg=cfg)
+    except ValueError:
+        return
+    d = pipeline.decompress(str(tmp / "p.leon"), str(tmp / "p.out"), cfg=cfg)
+    assert open(d["output"], "rb").read() == open(src, "rb").read()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(fastq_file(), fastq_file())
+def test_album_roundtrips(tmp_path_factory, da, db):
+    """Composite-bank (album) fuzz: two FASTQ members compressed as one
+    archive must decompress to the byte concatenation (reference
+    BankAlbum semantics)."""
+    recs_a, wrap_a, nl_a, _ = da
+    recs_b, wrap_b, _nl_b, _ = db
+    tmp = tmp_path_factory.mktemp("propalb")
+    a_, b_ = tmp / "a.fastq", tmp / "b.fastq"
+    # every member except the last must end with a newline (concatenation
+    # is only well-formed then); the bank enforces the same
+    _write_fastq(a_, recs_a, wrap_a, True)
+    _write_fastq(b_, recs_b, wrap_b, nl_a)
+    cfg = LeonConfig(kmer_size=15, batch_reads=32, reads_per_block=16,
+                     lossless=True, verbose=0)
+    spec = f"{a_},{b_}"
+    try:
+        pipeline.compress(spec, str(tmp / "p.leon"), cfg=cfg)
+    except ValueError:
+        return
+    d = pipeline.decompress(str(tmp / "p.leon"), str(tmp / "p.out"), cfg=cfg)
+    want = open(a_, "rb").read() + open(b_, "rb").read()
+    assert open(d["output"], "rb").read() == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(fastq_file())
+def test_stream_mode_archive_invariance(tmp_path_factory, data):
+    """Streaming mode (re-parse per pass, constant memory) must produce
+    the BYTE-IDENTICAL archive to RAM mode on the same input — the
+    archive must never depend on the ingestion strategy."""
+    recs, wrap, final_nl, lossless = data
+    tmp = tmp_path_factory.mktemp("propstream")
+    src = tmp / "p.fastq"
+    _write_fastq(src, recs, wrap, final_nl)
+    base = dict(kmer_size=15, batch_reads=32, reads_per_block=16,
+                lossless=lossless, verbose=0)
+    try:
+        pipeline.compress(str(src), str(tmp / "ram.leon"),
+                          cfg=LeonConfig(**base))
+    except ValueError:
+        return
+    pipeline.compress(str(src), str(tmp / "st.leon"),
+                      cfg=LeonConfig(stream_threshold_bytes=0, **base))
+    assert (open(tmp / "ram.leon", "rb").read()
+            == open(tmp / "st.leon", "rb").read())
+    d = pipeline.decompress(str(tmp / "st.leon"), str(tmp / "p.out"),
+                            cfg=LeonConfig(**base))
+    if lossless:
+        assert open(d["output"], "rb").read() == open(src, "rb").read()

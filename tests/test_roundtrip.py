@@ -457,3 +457,30 @@ def test_realistic_generator_roundtrip(tmp_path):
         d = pipeline.decompress(out, str(tmp_path / f"real{int(legacy)}.out"),
                                 cfg=small_cfg(lossless=True))
         assert open(src, "rb").read() == open(d["output"], "rb").read()
+
+
+def test_realistic_generator_hard_shapes(tmp_path):
+    """Round-5 oracle hardening (VERDICT r4 #7a): mixed-separator SRA-style
+    headers, run-end quality degradation, no-call Ns at min-quality
+    positions, long-tail lengths — all byte-exact lossless."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_realistic",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_realistic.py"),
+    )
+    gr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gr)
+    cases = [
+        dict(header_style="sra", n_rate=0.0, len_model="fixed"),
+        dict(header_style="mixed", n_rate=0.3, len_model="fixed"),
+        dict(header_style="rta3", n_rate=0.1, len_model="longtail"),
+    ]
+    for ci, kw in enumerate(cases):
+        src = str(tmp_path / f"hard{ci}.fastq")
+        gr.gen(src, 300, 100, 20_000, 41 + ci, legacy=bool(ci % 2), **kw)
+        out = str(tmp_path / f"hard{ci}.leon")
+        pipeline.compress(src, out, cfg=small_cfg(lossless=True))
+        d = pipeline.decompress(out, str(tmp_path / f"hard{ci}.out"),
+                                cfg=small_cfg(lossless=True))
+        assert open(src, "rb").read() == open(d["output"], "rb").read(), kw
