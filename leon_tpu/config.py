@@ -59,14 +59,13 @@ class LeonConfig:
     # temp-disk analog): HBM stays bounded at ~spill + merge_factor*slab
     # rows of sort transient no matter how large the distinct set grows
     # (genome-scale inputs). Spilled and unspilled runs produce
-    # byte-identical archives (tested). Round-5: 192M (was 48M) — the
-    # scan-based merge made device merging ~8x cheaper, and every spilled
-    # row later costs host k-way merge + host Bloom build (75 s + 8.5 s
-    # of the round-4 chr-scale count stage); 192M keeps chr-scale
-    # distinct sets (~220M rows with error singletons) on device. Peak
-    # sort transient ~ (spill + 4*slab) rows x 12 B x ~2.5 ≈ 9-10 GB of
-    # the 16 GB v5e HBM.
-    count_spill_rows: int = 192 << 20
+    # byte-identical archives (tested). Round-5: 64M (was 48M). Larger
+    # values were probed: the merge program itself runs at 224M rows, but
+    # inside the pipeline (merged run + slab runs + sort transient all
+    # live) a 128M threshold OOMed the 16 GB HBM at chr scale — the
+    # worst-case merge input is (spill + 4 slabs + pending) rows with
+    # inputs alive during the sort, ~12 B x 2.5 per row.
+    count_spill_rows: int = 64 << 20
     # inputs larger than this stream through both passes (re-parsed per
     # pass, constant memory — the TPU analog of the reference's
     # disk-streaming design, README.md:13); smaller inputs are held in RAM

@@ -611,8 +611,9 @@ def _compress_impl(input_path: str, output_path: Optional[str],
         except Exception as e:  # device/compiler failure: fall back
             import sys as _sys
 
-            print(f"[leon-tpu] device count failed ({type(e).__name__}); "
-                  "falling back to host-merge counting", file=_sys.stderr)
+            print(f"[leon-tpu] device count failed ({type(e).__name__}: "
+                  f"{str(e)[:400]}); falling back to host-merge counting",
+                  file=_sys.stderr)
             use_host_count = True
             prep_iter = iter_preps()
         # gate on the SOLID count: dispatch_build compacts the run to its

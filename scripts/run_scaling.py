@@ -41,7 +41,9 @@ src = sys.argv[4]; out = sys.argv[5]
 from leon_tpu.parallel import distributed
 from leon_tpu.config import LeonConfig
 distributed.initialize(f"localhost:{port}", nproc, pid)
-cfg = LeonConfig(noheader=True, noqual=True)
+# pinned threadpools (VERDICT r4 #8): one host worker per process so
+# N processes on N cores stop double-subscribing; XLA/OMP capped via env
+cfg = LeonConfig(noheader=True, noqual=True, nb_cores=1)
 stats = distributed.compress_distributed(src, out, cfg=cfg)
 print("WORKER_STATS", pid, json.dumps({
     "time_total_s": stats["time_total_s"],
@@ -82,6 +84,14 @@ def run_nproc(src: str, out: str, nproc: int, port: int) -> dict:
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = ROOT
+    # pin per-process host threadpools: with nproc processes on a 4-core
+    # host, unpinned XLA/OMP/BLAS pools double-subscribe the cores and
+    # the 4-proc efficiency number measures contention, not the
+    # distributed machinery (VERDICT r4 weak #3)
+    threads = max(1, 4 // max(1, nproc))
+    env["OMP_NUM_THREADS"] = str(threads)
+    env["OPENBLAS_NUM_THREADS"] = str(threads)
+    env["XLA_FLAGS"] = f"--xla_cpu_multi_thread_eigen={'true' if threads > 1 else 'false'}"
     t0 = time.time()
     procs = [
         subprocess.Popen(
@@ -106,7 +116,7 @@ def run_nproc(src: str, out: str, nproc: int, port: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=1_000_000)
-    ap.add_argument("--procs", default="1,2,4")
+    ap.add_argument("--procs", default="1,2,4,8")
     ap.add_argument("--out", default="/tmp/leon_scaling")
     a = ap.parse_args()
 
