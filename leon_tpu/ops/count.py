@@ -265,8 +265,13 @@ def _hist_of_sorted(boundary, counts):
 
 
 def _bucket_size(n: int, floor: int = 1 << 12) -> int:
-    """1/8-octave size buckets: few compile shapes, <=12.5% waste."""
-    gran = max(floor, 1 << max(0, (n - 1).bit_length() - 3))
+    """1/8-octave size buckets: few compile shapes, <=12.5% waste.
+    Above 64M rows the grid coarsens to 1/4-octave (<=25% waste): every
+    fresh giant shape is a spin at the remote compile service's
+    intermittent HTTP-500 roulette (observed at chr scale), so fewer,
+    reusable big shapes beat tighter padding there."""
+    shift = 3 if n <= (64 << 20) else 2
+    gran = max(floor, 1 << max(0, (n - 1).bit_length() - shift))
     return -(-n // gran) * gran
 
 

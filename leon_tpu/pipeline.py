@@ -608,14 +608,30 @@ def _compress_impl(input_path: str, output_path: Optional[str],
                 lossy_quals=qual_mode == container.QUAL_LOSSY,
             )
             bitset = None  # transferred lazily for the container
-        except Exception as e:  # device/compiler failure: fall back
+        except Exception as e:  # device/compiler failure
             import sys as _sys
 
             print(f"[leon-tpu] device count failed ({type(e).__name__}: "
-                  f"{str(e)[:400]}); falling back to host-merge counting",
-                  file=_sys.stderr)
-            use_host_count = True
-            prep_iter = iter_preps()
+                  f"{str(e)[:400]}); retrying once", file=_sys.stderr)
+            # ONE retry: the remote XLA compile service intermittently
+            # 500s on big fresh shapes (observed at chr scale); a retry
+            # usually hits the now-cached program or a healthy service.
+            # Only then fall back to host-merge counting (which is
+            # orders slower at genome scale).
+            try:
+                prep_iter = iter_preps()
+                dev_cache = {} if not stream_mode else None
+                bitset_j, n_words, cutoff, n_solid, H, solidset = _count_pass_device(
+                    prep_iter, cfg, k, H, seed, placer, dev_cache,
+                    lossy_quals=qual_mode == container.QUAL_LOSSY,
+                )
+                bitset = None
+            except Exception as e2:
+                print(f"[leon-tpu] device count retry failed "
+                      f"({type(e2).__name__}: {str(e2)[:400]}); falling "
+                      "back to host-merge counting", file=_sys.stderr)
+                use_host_count = True
+                prep_iter = iter_preps()
         # gate on the SOLID count: dispatch_build compacts the run to its
         # solid rows before the graph build, so error-singleton-dominated
         # distinct sets (the chr-scale norm) do not disqualify the section
