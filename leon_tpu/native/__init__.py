@@ -125,6 +125,12 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32,
     ]
+    lib.leon_unitig_build.restype = ctypes.c_int64
+    lib.leon_unitig_build.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.leon_hdr_decode.restype = ctypes.c_int64
     lib.leon_hdr_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,

@@ -21,8 +21,12 @@
 #include <omp.h>
 #endif
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 namespace {
@@ -954,15 +958,17 @@ static inline void shr2_ins(const uint32_t* x, uint32_t b, int32_t W,
 
 }  // namespace leon_unitig
 
-extern "C" {
+namespace leon_unitig {
 
-int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
-                           const int32_t* counts, int32_t cutoff, int32_t k,
-                           uint32_t* rc_out, int64_t* nxt, int64_t* head,
-                           int64_t* rank, uint8_t* kept, uint8_t* keep_head,
-                           int32_t nthreads) {
-  using namespace leon_unitig;
-  if (M <= 0) return 0;
+// Shared link-building: rc rows, successor search, internal-edge nxt/prev.
+// Fills rc_out (M, W) and the N = 2M directed-node link arrays. The solid
+// hash fast path and the non-solid skip are semantics-preserving against
+// the numpy mirror (outc/succ of non-solid nodes are never read).
+static void build_links(int64_t M, int32_t W, const uint32_t* words,
+                        const int32_t* counts, int32_t cutoff, int32_t k,
+                        uint32_t* rc_out, std::vector<int64_t>& nxt,
+                        std::vector<int64_t>& prev,
+                        std::vector<uint8_t>& solid2, int32_t nthreads) {
 #ifdef _OPENMP
   // callers running this from a background thread under a live encode
   // loop cap the team so the pipeline's drain/frame threads keep a core
@@ -999,6 +1005,65 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
   }
   for (int64_t b = 0; b < 65536; ++b) bucket[b + 1] += bucket[b];
 
+  // SOLID-key open-addressing hash (2k < 64 bits): the successor search
+  // below is the build's hot loop, and its prefix-bucketed binary search
+  // costs ~20 dependent cache misses per probe over a multi-GB sorted
+  // array at genome scale. A linear-probe table of only the SOLID keys
+  // (the only matches the candidate test keeps) answers each probe in
+  // ~1-2 misses. Capped so the table stays a modest fraction of the row
+  // memory; bigger sets keep the binary search.
+  const bool use_hash =
+      ((W == 2 && 2 * k < 64) || (W == 1 && 2 * k < 32)) &&
+      (M <= (int64_t)1 << 27);
+  std::vector<uint64_t> hkeys;
+  std::vector<uint32_t> hvals;
+  uint64_t hmask = 0;
+  const uint64_t HEMPTY = ~0ull;
+  auto mix64 = [](uint64_t x) -> uint64_t {
+    x *= 0x9E3779B97F4A7C15ull;
+    x ^= x >> 29;
+    x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 32;
+    return x;
+  };
+  if (use_hash) {
+    int64_t cap = 64;
+    while (cap < 2 * M) cap <<= 1;
+    hmask = (uint64_t)cap - 1;
+    hkeys.assign(cap, HEMPTY);
+    hvals.resize(cap);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < M; ++i) {
+      if (counts[i] < cutoff) continue;  // only solid rows can match
+      const uint64_t key =
+          (uint64_t)words[i * W] |
+          (W > 1 ? ((uint64_t)words[i * W + 1] << 32) : 0ull);
+      uint64_t h = mix64(key) & hmask;
+      for (;;) {
+        uint64_t expected = HEMPTY;
+        auto* slot = reinterpret_cast<std::atomic<uint64_t>*>(&hkeys[h]);
+        if (slot->compare_exchange_strong(expected, key,
+                                          std::memory_order_relaxed)) {
+          hvals[h] = (uint32_t)i;  // rows are distinct: no duplicate race
+          break;
+        }
+        h = (h + 1) & hmask;
+      }
+    }
+  }
+  auto hash_find_solid = [&](const uint32_t* key) -> int64_t {
+    const uint64_t kk =
+        (uint64_t)key[0] | (W > 1 ? ((uint64_t)key[1] << 32) : 0ull);
+    uint64_t h = mix64(kk) & hmask;
+    while (hkeys[h] != HEMPTY) {
+      if (hkeys[h] == kk) return (int64_t)hvals[h];
+      h = (h + 1) & hmask;
+    }
+    return -1;
+  };
+
   auto find = [&](const uint32_t* key) -> int64_t {
     const uint32_t hi = key[W - 1] >> 16;
     int64_t lo = bucket[hi], hiX = bucket[hi + 1];
@@ -1023,47 +1088,57 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
 
   std::vector<int64_t> succ(N, -1);
   std::vector<int32_t> outc(N, 0);
-  std::vector<uint8_t> solid2(N);
+  solid2.assign(N, 0);
   for (int64_t i = 0; i < M; ++i) {
     const uint8_t s = counts[i] >= cutoff ? 1 : 0;
     solid2[2 * i] = s;
     solid2[2 * i + 1] = s;
   }
 
-  // successor search: independent per directed node — the build's hot
-  // loop (8 prefix-bucketed binary searches per k-mer); parallelized
-  // when the lib is built with OpenMP (it overlaps the encode stage from
-  // a background thread, and at 36M rows the serial form outlived it —
-  // tail.unitig_join 99 s in CHRSCALE.json)
+  // successor search: independent per directed node — the build's hot loop
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
   for (int64_t did = 0; did < N; ++did) {
+    // outc/succ of a NON-solid directed node are never read (`internal`
+    // requires solid2[did], and s = succ[did] only dereferences under
+    // it) — skip the searches entirely. At genome scale the distinct
+    // run is mostly sub-cutoff error singletons, so this alone removes
+    // the majority of the probe work when callers pass full runs.
+    if (!solid2[did]) continue;
     uint32_t y[16], yr[16], y0[16];
     const int64_t i = did >> 1;
     const int32_t o = static_cast<int32_t>(did & 1);
     const uint32_t* x = o ? rc_out + i * W : words + i * W;
     const uint32_t* xr = o ? words + i * W : rc_out + i * W;
-    // The 4 forward candidates y_b = (x<<2)|b are CONSECUTIVE keys: ONE
-    // lower-bound on y_0 plus a <=4-row scan answers all 4 memberships
-    // (the reverse candidates yr_b spread across the key space and keep
-    // individual searches). Cuts searches/node from 8 to ~3.
     shl2(x, 0u, W, top_mask, y0);
     int64_t ymatch[4] = {-1, -1, -1, -1};
-    for (int64_t t = lower_bound_row(y0); t < M; ++t) {
-      const uint32_t* r = words + t * W;
-      bool hi_eq = (r[0] & ~3u) == y0[0];
-      for (int32_t w = 1; hi_eq && w < W; ++w) hi_eq = r[w] == y0[w];
-      if (!hi_eq) break;
-      ymatch[r[0] & 3u] = t;
+    if (!use_hash) {
+      // The 4 forward candidates y_b = (x<<2)|b are CONSECUTIVE keys:
+      // ONE lower-bound on y_0 plus a <=4-row scan answers all 4
+      // memberships (the reverse candidates yr_b spread across the key
+      // space and keep individual searches). Cuts searches/node 8 -> 3.
+      for (int64_t t = lower_bound_row(y0); t < M; ++t) {
+        const uint32_t* r = words + t * W;
+        bool hi_eq = (r[0] & ~3u) == y0[0];
+        for (int32_t w = 1; hi_eq && w < W; ++w) hi_eq = r[w] == y0[w];
+        if (!hi_eq) break;
+        ymatch[r[0] & 3u] = t;
+      }
     }
     for (uint32_t b = 0; b < 4; ++b) {
       memcpy(y, y0, sizeof(uint32_t) * W);
       y[0] |= b;
       shr2_ins(xr, 3u - b, W, k, yr);
       const bool take_rc = row_less(yr, y, W);
-      const int64_t j = take_rc ? find(yr) : ymatch[b];
-      if (j >= 0 && counts[j] >= cutoff) {
+      int64_t j;
+      if (use_hash) {
+        j = hash_find_solid(take_rc ? yr : y);  // table holds solid only
+      } else {
+        j = take_rc ? find(yr) : ymatch[b];
+        if (j >= 0 && counts[j] < cutoff) j = -1;
+      }
+      if (j >= 0) {
         outc[did]++;
         if (outc[did] == 1) succ[did] = j * 2 + (take_rc ? 1 : 0);
       }
@@ -1071,6 +1146,7 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
   }
 
   // inc(did) = outc(twin); internal -> nxt
+  nxt.assign(N, -1);
   for (int64_t did = 0; did < N; ++did) {
     const int64_t s = succ[did];
     const bool internal = solid2[did] && outc[did] == 1 && s >= 0 &&
@@ -1078,10 +1154,29 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
     nxt[did] = internal ? s : -1;
   }
 
-  std::vector<int64_t> prev(N, -1);
+  prev.assign(N, -1);
   for (int64_t did = 0; did < N; ++did) {
     if (nxt[did] >= 0) prev[nxt[did]] = did;  // ascending = np last-writer
   }
+}
+
+}  // namespace leon_unitig
+
+extern "C" {
+
+int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
+                           const int32_t* counts, int32_t cutoff, int32_t k,
+                           uint32_t* rc_out, int64_t* nxt, int64_t* head,
+                           int64_t* rank, uint8_t* kept, uint8_t* keep_head,
+                           int32_t nthreads) {
+  using namespace leon_unitig;
+  if (M <= 0) return 0;
+  const int64_t N = 2 * M;
+  std::vector<int64_t> nxt_v, prev;
+  std::vector<uint8_t> solid2;
+  build_links(M, W, words, counts, cutoff, k, rc_out, nxt_v, prev, solid2,
+              nthreads);
+  memcpy(nxt, nxt_v.data(), sizeof(int64_t) * N);
 
   // --- merged chain resolution: ONE buffered pointer chase per
   // component (replaces the former cycle-cut + suffix-min + head/rank +
@@ -1141,6 +1236,123 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
     process_chain(hv);
   }
   return 0;
+}
+
+// One-call unitig build: chain resolution PARALLEL over roots plus direct
+// base emission — the numpy caller's scatter phase (bases[start + (k-1) +
+// rank] etc., ~1 s at 2M rows under the encode-stage GIL) collapses into
+// the chase itself. Chain enumeration order (ascending head directed id),
+// per-chain lengths and bases are bit-identical to leon_unitig_chains +
+// the numpy scatter (tested against it).
+//
+// Outputs (caller-allocated):
+//   rc_out    (M, W) u32   revcomp rows (head prefix codes need them)
+//   len_nodes i64[M]       node count per chain   [first n_chains valid]
+//   head_ids  i64[M]       directed head id per chain, ascending
+//   interior  u8[M]        kept-node bases, chains concatenated in order
+// Returns n_chains >= 0, or -1 on error.
+int64_t leon_unitig_build(int64_t M, int32_t W, const uint32_t* words,
+                          const int32_t* counts, int32_t cutoff, int32_t k,
+                          uint32_t* rc_out, int64_t* len_nodes,
+                          int64_t* head_ids, uint8_t* interior,
+                          int32_t nthreads) {
+  using namespace leon_unitig;
+  if (M <= 0) return 0;
+  const int64_t N = 2 * M;
+  std::vector<int64_t> nxt, prev;
+  std::vector<uint8_t> solid2;
+  build_links(M, W, words, counts, cutoff, k, rc_out, nxt, prev, solid2,
+              nthreads);
+
+  // roots (ascending): chain starts. Cycles have no root; found below.
+  std::vector<int64_t> roots;
+  roots.reserve(1024);
+  for (int64_t h = 0; h < N; ++h) {
+    if (prev[h] < 0) roots.push_back(h);
+  }
+  const int64_t R = (int64_t)roots.size();
+  std::vector<int64_t> rlen(R, 0);   // chain length when kept, else 0
+  std::vector<uint8_t> rkeep(R, 0);
+  std::vector<uint8_t> visited(N, 0);
+
+  // phase B: parallel walk per root — min-id/min-twin-id keep rule,
+  // length count, visited marking (components are disjoint).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t ri = 0; ri < R; ++ri) {
+    const int64_t h = roots[ri];
+    int64_t m = N, tm = N, n_nodes = 0;
+    for (int64_t x = h;; x = nxt[x]) {
+      visited[x] = 1;
+      ++n_nodes;
+      if (solid2[x]) {
+        if (x < m) m = x;
+        if ((x ^ 1) < tm) tm = x ^ 1;
+      }
+      if (nxt[x] < 0) break;
+    }
+    if (solid2[h] && m <= tm) {
+      rkeep[ri] = 1;
+      rlen[ri] = n_nodes;
+    }
+  }
+
+  // cycles: ascending scan finds each cycle at its min member (all
+  // smaller ids are visited), cut the incoming edge, keep-rule as usual
+  std::vector<std::pair<int64_t, int64_t>> chains;  // (head, len)
+  chains.reserve(1024);
+  for (int64_t ri = 0; ri < R; ++ri) {
+    if (rkeep[ri]) chains.emplace_back(roots[ri], rlen[ri]);
+  }
+  for (int64_t s0 = 0; s0 < N; ++s0) {
+    if (visited[s0] || nxt[s0] < 0) continue;
+    int64_t hv = s0;
+    for (int64_t x = nxt[s0]; x != s0; x = nxt[x]) {
+      if (x < hv) hv = x;
+    }
+    const int64_t pv = prev[hv];
+    if (pv >= 0) nxt[pv] = -1;
+    prev[hv] = -1;
+    int64_t m = N, tm = N, n_nodes = 0;
+    for (int64_t x = hv;; x = nxt[x]) {
+      visited[x] = 1;
+      ++n_nodes;
+      if (solid2[x]) {
+        if (x < m) m = x;
+        if ((x ^ 1) < tm) tm = x ^ 1;
+      }
+      if (nxt[x] < 0) break;
+    }
+    if (solid2[hv] && m <= tm) chains.emplace_back(hv, n_nodes);
+  }
+  std::sort(chains.begin(), chains.end());
+  const int64_t n_chains = (int64_t)chains.size();
+  if (n_chains > M) return -1;  // capacity contract violated
+
+  std::vector<int64_t> off(n_chains + 1, 0);
+  for (int64_t c = 0; c < n_chains; ++c) {
+    head_ids[c] = chains[c].first;
+    len_nodes[c] = chains[c].second;
+    off[c + 1] = off[c] + chains[c].second;
+  }
+  if (off[n_chains] > M) return -1;  // kept nodes exceed rows: impossible
+
+  // phase C: parallel re-walk emitting each kept node's last base in
+  // chain order. F[v] = words[v>>1] (fwd) or rc_out[v>>1] (rc).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t c = 0; c < n_chains; ++c) {
+    int64_t p = off[c];
+    for (int64_t x = head_ids[c];; x = nxt[x]) {
+      const int64_t i = x >> 1;
+      const uint32_t w0 = (x & 1) ? rc_out[i * W] : words[i * W];
+      interior[p++] = (uint8_t)(w0 & 3u);
+      if (nxt[x] < 0) break;
+    }
+  }
+  return n_chains;
 }
 
 }  // extern "C"

@@ -263,7 +263,8 @@ def probe_classic(bitset, words, n_hashes: int, n_words: int, seed: int, k: int)
 
 
 def auto_params(hist: np.ndarray, cutoff: int,
-                lossy_quals: bool = False) -> tuple[float, int]:
+                lossy_quals: bool = False,
+                stored_filter: bool = True) -> tuple[float, int]:
     """(bits_per_kmer, n_hashes) from the count histogram. The stored
     filter and the extra walk events it prevents trade off against each
     other, and the optimum shifts with coverage: every false-positive
@@ -275,6 +276,17 @@ def auto_params(hist: np.ndarray, cutoff: int,
     at 35 — i.e. bpk tracks 1.2x mean_cov over the practical range, and
     H=5 measured worse than H=4 everywhere. Rule: bpk = clip(1.2 *
     mean_cov, 4, 24); H steps 2/3/4 at bpk 6/10.
+
+    stored_filter=False (the UNITIGS-section regime, round 5): when the
+    archive stores the solid set as unitigs and REBUILDS the filter at
+    decode (FORMAT.md §4a), bits_per_kmer costs HBM only — zero archive
+    bytes — while every false positive still inflates the bif/err event
+    streams (and, in lossy mode, forfeits quality smoothing). The
+    optimum therefore detaches from the stored-size tradeoff the rules
+    below were swept for: floor bpk at 24 (blocked-addressing FP ~
+    (H*32/bpk/32)^H = 0.08% at H=4, vs ~4% at the lossless auto choice
+    for 7x coverage), H = 4. The decoder reads n_words/H from META, so
+    the choice is format-transparent.
 
     lossy_quals shifts the optimum hard toward a DENSE filter: the LOSSY-Q1
     transform only smooths qualities at graph-CONFIRMED positions
@@ -289,8 +301,11 @@ def auto_params(hist: np.ndarray, cutoff: int,
         return (16.0, 4) if lossy_quals else (8.0, 3)
     mean_cov = float((np.arange(hist.size) * hist)[c:].sum()) / n_solid
     if lossy_quals:
-        return float(np.clip(3.4 * mean_cov, 12.0, 24.0)), 4
+        bpk = float(np.clip(3.4 * mean_cov, 12.0, 24.0))
+        return (max(bpk, 24.0), 4) if not stored_filter else (bpk, 4)
     bpk = float(np.clip(1.2 * mean_cov, 4.0, 24.0))
+    if not stored_filter:
+        return max(bpk, 24.0), 4
     H = 2 if bpk < 6.0 else (3 if bpk < 10.0 else 4)
     return bpk, H
 

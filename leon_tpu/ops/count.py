@@ -552,7 +552,7 @@ class DeviceCounter:
 
     def finalize(self, abundance, bits_per_kmer, H, seed: int,
                  lossy_quals: bool = False, want_solid: bool = False,
-                 device_max: int = 1 << 62):
+                 device_max: int = 1 << 62, unitig_max: int = 0):
         """Returns (bitset device array, n_words, cutoff, n_solid, hist, H).
         With want_solid=True a 7th element is appended: the device solid
         run (words (Mcap, W) LSW-first sorted ascending with 0xFFFFFFFF
@@ -592,7 +592,8 @@ class DeviceCounter:
             # same (word, bit) set) and uploaded once; the solid run is
             # uploaded only when the unitig section needs it
             return self._finalize_host(abundance, bits_per_kmer, H, seed,
-                                       lossy_quals, want_solid, device_max)
+                                       lossy_quals, want_solid, device_max,
+                                       unitig_max)
         if (len(self._runs) == 1 and not self._pend
                 and self._pending_compact is None):
             # already one compacted run — reuse it directly
@@ -610,12 +611,16 @@ class DeviceCounter:
                                          _bucket_size(max(1, nu)))
             tr("count.fin.compacted")
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
-        auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
+        n_solid = int(hist[min(cutoff, 255):].sum())
+        # stored_filter=False: the UNITIGS section will replace the
+        # stored bitset, so bits_per_kmer costs HBM only (bloom.auto_params)
+        auto_bpk, auto_h = bloom.auto_params(
+            hist, cutoff, lossy_quals,
+            stored_filter=not (0 < n_solid <= unitig_max))
         if bits_per_kmer is None:
             bits_per_kmer = auto_bpk
         if H is None:
             H = auto_h
-        n_solid = int(hist[min(cutoff, 255):].sum())
         n_words = bloom.choose_n_words(max(1, n_solid), bits_per_kmer)
         W = self.W
         words = jnp.stack([keys_c[W - 1 - j] for j in range(W)], axis=-1)  # LSW-first
@@ -633,7 +638,7 @@ class DeviceCounter:
 
     def _finalize_host(self, abundance, bits_per_kmer, H, seed: int,
                        lossy_quals: bool, want_solid: bool,
-                       device_max: int = 1 << 62):
+                       device_max: int = 1 << 62, unitig_max: int = 0):
         """finalize() for inputs that spilled runs to host RAM. Bounded
         HBM: the device never holds more than the solid run (uploaded for
         the Bloom/unitig builds) regardless of distinct-set size."""
@@ -644,13 +649,15 @@ class DeviceCounter:
             uniq, counts = self._host_merged()
         hist = histogram(np.minimum(counts, np.iinfo(np.int64).max))
         cutoff = abundance if abundance is not None else auto_cutoff(hist)
-        auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals)
+        solid_m = counts >= cutoff
+        n_solid = int(solid_m.sum())
+        auto_bpk, auto_h = bloom.auto_params(
+            hist, cutoff, lossy_quals,
+            stored_filter=not (0 < n_solid <= unitig_max))
         if bits_per_kmer is None:
             bits_per_kmer = auto_bpk
         if H is None:
             H = auto_h
-        solid_m = counts >= cutoff
-        n_solid = int(solid_m.sum())
         n_words = bloom.choose_n_words(max(1, n_solid), bits_per_kmer)
         solid = np.ascontiguousarray(uniq[solid_m])
         with span("count.fin.bloom_np"):

@@ -234,6 +234,65 @@ def _native_chains(words: np.ndarray, counts: np.ndarray, cutoff: int,
     return F, nxt, head, rank, kept.astype(bool), keep_head.astype(bool)
 
 
+def _native_build_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
+                          k: int, nu: int, nthreads: int = 0):
+    """One-call native build (leon_unitig_build): parallel chain
+    resolution + direct base emission, skipping the head/rank/kept
+    scatter arrays and the numpy bases scatter entirely (those phases
+    were ~2/3 of the host-thread build at bench scale, and they run
+    under the encode loop's GIL). Returns (payload_or_None,) when the
+    native path ran — payload None means the frozen chains_cap rule says
+    BLOOM — or None when the native lib is unavailable (caller falls
+    through to the two-phase path). Bit-identical to build_np_payload's
+    numpy assembly (tested)."""
+    import ctypes
+
+    from leon_tpu import native
+    from leon_tpu.ops.kmer import pack_2bit_np, words_to_codes_batch_np
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "leon_unitig_build"):
+        return None
+    M, W = words.shape
+    words_c = np.ascontiguousarray(words, dtype=np.uint32)
+    counts_c = np.ascontiguousarray(counts, dtype=np.int32)
+    rc = np.empty((M, W), np.uint32)
+    len_nodes = np.empty(M, np.int64)
+    head_ids = np.empty(M, np.int64)
+    interior = np.empty(M, np.uint8)
+    n_chains = lib.leon_unitig_build(
+        M, W, words_c.ctypes.data, counts_c.ctypes.data, int(cutoff), k,
+        rc.ctypes.data, len_nodes.ctypes.data, head_ids.ctypes.data,
+        interior.ctypes.data, int(nthreads),
+    )
+    if n_chains < 0:
+        return None
+    if n_chains == 0 or n_chains > chains_cap(nu) * RETRY_FACTOR:
+        return (None,)
+    heads = head_ids[:n_chains]
+    ln = len_nodes[:n_chains]
+    bases_per = ln + (k - 1)
+    start = np.concatenate([[0], np.cumsum(bases_per)[:-1]])
+    total = int(bases_per.sum())
+    bases = np.zeros(total, np.uint8)
+    # temporaries must stay referenced across the call (.ctypes.data is a
+    # bare address — a freed temporary dangles)
+    dst_starts = np.ascontiguousarray(start + (k - 1))
+    src_starts = np.ascontiguousarray(np.concatenate([[0], np.cumsum(ln)[:-1]]))
+    ln_c = np.ascontiguousarray(ln)
+    lib.leon_ragged_move(
+        bases.ctypes.data, dst_starts.ctypes.data,
+        interior.ctypes.data, src_starts.ctypes.data,
+        ln_c.ctypes.data, n_chains,
+    )
+    hi = (heads >> 1).astype(np.int64)
+    hrows = np.where((heads & 1).astype(bool)[:, None], rc[hi], words_c[hi])
+    codes = words_to_codes_batch_np(hrows, k)
+    for j in range(k - 1):
+        bases[start + j] = codes[:, j]
+    return (payload_from(n_chains, ln, pack_2bit_np(bases), total, k),)
+
+
 def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
                      k: int, nu: int | None = None,
                      nthreads: int = 0) -> bytes | None:
@@ -248,6 +307,9 @@ def build_np_payload(words: np.ndarray, counts: np.ndarray, cutoff: int,
         nu = M
     if M == 0:
         return None
+    fast = _native_build_payload(words, counts, cutoff, k, nu, nthreads)
+    if fast is not None:
+        return fast[0]
     nat = _native_chains(words, counts, cutoff, k, nthreads)
     if nat is not None:
         F, nxt, head, rank, kept, keep_head = nat

@@ -354,10 +354,14 @@ def _sharded_count_merge(uniq: np.ndarray, cnts: np.ndarray, cfg: LeonConfig,
     hist = gh.reshape(nproc, -1).sum(axis=0)
 
     cutoff = cfg.abundance if cfg.abundance is not None else count.auto_cutoff(hist)
-    auto_bpk, auto_h = bloom.auto_params(hist, cutoff, lossy_quals=lossy)
+    n_solid = int(hist[min(cutoff, 255):].sum())
+    # global hist -> every process picks the same params (shard-invariant)
+    auto_bpk, auto_h = bloom.auto_params(
+        hist, cutoff, lossy_quals=lossy,
+        stored_filter=not (cfg.unitig_sections
+                           and 0 < n_solid <= cfg.unitig_max_kmers))
     bpk = cfg.bloom_bits_per_kmer if cfg.bloom_bits_per_kmer is not None else auto_bpk
     H = H if H is not None else auto_h
-    n_solid = int(hist[min(cutoff, 255):].sum())
     n_words = bloom.choose_n_words(max(1, n_solid), bpk)
     warn = bloom.saturation_warning(n_solid, n_words, bpk)
     if warn:
@@ -611,6 +615,7 @@ def compress_distributed(input_path: str, output_path: Optional[str] = None,
             cfg.abundance, cfg.bloom_bits_per_kmer, H, seed,
             lossy_quals=lossy, want_solid=True,
             device_max=cfg.unitig_device_max_kmers,
+            unitig_max=cfg.unitig_max_kmers if cfg.unitig_sections else 0,
         )
         if (cfg.unitig_sections and solidset is not None and n_solid > 0
                 and n_solid <= cfg.unitig_max_kmers):  # solid-count gate

@@ -343,6 +343,7 @@ def _count_pass_device(preps: list, cfg: LeonConfig, k: int, H: int, seed: int,
         bitset, n_words, cutoff, n_solid, _hist, H_used, solidset = counter.finalize(
             cfg.abundance, cfg.bloom_bits_per_kmer, H, seed, lossy_quals,
             want_solid=True, device_max=cfg.unitig_device_max_kmers,
+            unitig_max=cfg.unitig_max_kmers if cfg.unitig_sections else 0,
         )
     tr("count.finalize.end")
     return bitset, n_words, cutoff, n_solid, H_used, solidset
@@ -726,13 +727,15 @@ def _compress_impl(input_path: str, output_path: Optional[str],
             cutoff = cfg.abundance
         else:
             cutoff = count.auto_cutoff(hist) if counts.size else 2
+        solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
+        n_solid = int(solid.shape[0])
         auto_bpk, auto_h = bloom.auto_params(
-            hist, cutoff, lossy_quals=qual_mode == container.QUAL_LOSSY
+            hist, cutoff, lossy_quals=qual_mode == container.QUAL_LOSSY,
+            stored_filter=not (cfg.unitig_sections
+                               and 0 < n_solid <= cfg.unitig_max_kmers),
         )
         bpk = cfg.bloom_bits_per_kmer if cfg.bloom_bits_per_kmer is not None else auto_bpk
         H = cfg.bloom_hashes if cfg.bloom_hashes is not None else auto_h
-        solid = uniq[counts >= cutoff] if counts.size else np.zeros((0, W), np.uint32)
-        n_solid = int(solid.shape[0])
         n_words = bloom.choose_n_words(max(1, n_solid), bpk)
         warn = bloom.saturation_warning(n_solid, n_words, bpk)
         if warn:

@@ -315,9 +315,12 @@ def test_checkpoint_not_shared_across_qual_modes(tmp_path, rng, contig):
             q = rng.integers(35, 74, len(s)).astype(np.uint8).tobytes()
             f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, q))
     ck = str(tmp_path / "q.ckpt")
-    cfg_ll = small_cfg(checkpoint=ck, lossless=True)
+    # stored-filter regime (no unitig section): in the UNITIGS regime both
+    # modes hit the same filter-free bpk floor and the observable below
+    # (lossy filter strictly denser) would vanish
+    cfg_ll = small_cfg(checkpoint=ck, lossless=True, unitig_sections=False)
     st_ll = pipeline.compress(str(src), str(tmp_path / "ll.leon"), cfg=cfg_ll)
-    cfg_lossy = small_cfg(checkpoint=ck)
+    cfg_lossy = small_cfg(checkpoint=ck, unitig_sections=False)
     st_lo = pipeline.compress(str(src), str(tmp_path / "lo.leon"), cfg=cfg_lossy)
     # lossy auto-sizing is denser: had the lossless checkpoint been reused,
     # the lossy archive's bloom would equal the lossless one
