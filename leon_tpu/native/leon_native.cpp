@@ -27,6 +27,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <sys/sysinfo.h>
 #include <vector>
 
 namespace {
@@ -964,10 +965,12 @@ namespace leon_unitig {
 // Fills rc_out (M, W) and the N = 2M directed-node link arrays. The solid
 // hash fast path and the non-solid skip are semantics-preserving against
 // the numpy mirror (outc/succ of non-solid nodes are never read).
+template <typename I>  // int32_t when 2M < 2^31 (halves link-array RSS
+                       // at genome scale), int64_t otherwise
 static void build_links(int64_t M, int32_t W, const uint32_t* words,
                         const int32_t* counts, int32_t cutoff, int32_t k,
-                        uint32_t* rc_out, std::vector<int64_t>& nxt,
-                        std::vector<int64_t>& prev,
+                        uint32_t* rc_out, std::vector<I>& nxt,
+                        std::vector<I>& prev,
                         std::vector<uint8_t>& solid2, int32_t nthreads) {
 #ifdef _OPENMP
   // callers running this from a background thread under a live encode
@@ -1012,9 +1015,22 @@ static void build_links(int64_t M, int32_t W, const uint32_t* words,
   // (the only matches the candidate test keeps) answers each probe in
   // ~1-2 misses. Capped so the table stays a modest fraction of the row
   // memory; bigger sets keep the binary search.
+  int64_t hash_cap_rows = (int64_t)1 << 27;
+  {
+    // allow bigger tables when the host has the RAM: cap the table at
+    // 1/8 of physical memory (12 B/slot, 2 slots/row)
+    struct sysinfo si;
+    if (sysinfo(&si) == 0) {
+      const int64_t budget = (int64_t)(si.totalram * (uint64_t)si.mem_unit / 8);
+      while (hash_cap_rows * 2 * 12 * 2 <= budget &&
+             hash_cap_rows < ((int64_t)1 << 31)) {
+        hash_cap_rows <<= 1;
+      }
+    }
+  }
   const bool use_hash =
       ((W == 2 && 2 * k < 64) || (W == 1 && 2 * k < 32)) &&
-      (M <= (int64_t)1 << 27);
+      (M <= hash_cap_rows);
   std::vector<uint64_t> hkeys;
   std::vector<uint32_t> hvals;
   uint64_t hmask = 0;
@@ -1086,8 +1102,8 @@ static void build_links(int64_t M, int32_t W, const uint32_t* words,
     return lo;
   };
 
-  std::vector<int64_t> succ(N, -1);
-  std::vector<int32_t> outc(N, 0);
+  std::vector<I> succ(N, I(-1));
+  std::vector<uint8_t> outc(N, 0);
   solid2.assign(N, 0);
   for (int64_t i = 0; i < M; ++i) {
     const uint8_t s = counts[i] >= cutoff ? 1 : 0;
@@ -1140,23 +1156,23 @@ static void build_links(int64_t M, int32_t W, const uint32_t* words,
       }
       if (j >= 0) {
         outc[did]++;
-        if (outc[did] == 1) succ[did] = j * 2 + (take_rc ? 1 : 0);
+        if (outc[did] == 1) succ[did] = (I)(j * 2 + (take_rc ? 1 : 0));
       }
     }
   }
 
   // inc(did) = outc(twin); internal -> nxt
-  nxt.assign(N, -1);
+  nxt.assign(N, I(-1));
   for (int64_t did = 0; did < N; ++did) {
-    const int64_t s = succ[did];
+    const I s = succ[did];
     const bool internal = solid2[did] && outc[did] == 1 && s >= 0 &&
                           outc[s ^ 1] == 1 && solid2[s];
-    nxt[did] = internal ? s : -1;
+    nxt[did] = internal ? s : I(-1);
   }
 
-  prev.assign(N, -1);
+  prev.assign(N, I(-1));
   for (int64_t did = 0; did < N; ++did) {
-    if (nxt[did] >= 0) prev[nxt[did]] = did;  // ascending = np last-writer
+    if (nxt[did] >= 0) prev[nxt[did]] = (I)did;  // ascending = np last-writer
   }
 }
 
@@ -1174,8 +1190,8 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
   const int64_t N = 2 * M;
   std::vector<int64_t> nxt_v, prev;
   std::vector<uint8_t> solid2;
-  build_links(M, W, words, counts, cutoff, k, rc_out, nxt_v, prev, solid2,
-              nthreads);
+  build_links<int64_t>(M, W, words, counts, cutoff, k, rc_out, nxt_v, prev,
+                       solid2, nthreads);
   memcpy(nxt, nxt_v.data(), sizeof(int64_t) * N);
 
   // --- merged chain resolution: ONE buffered pointer chase per
@@ -1238,6 +1254,8 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
   return 0;
 }
 
+}  // extern "C"
+
 // One-call unitig build: chain resolution PARALLEL over roots plus direct
 // base emission — the numpy caller's scatter phase (bases[start + (k-1) +
 // rank] etc., ~1 s at 2M rows under the encode-stage GIL) collapses into
@@ -1251,18 +1269,18 @@ int32_t leon_unitig_chains(int64_t M, int32_t W, const uint32_t* words,
 //   head_ids  i64[M]       directed head id per chain, ascending
 //   interior  u8[M]        kept-node bases, chains concatenated in order
 // Returns n_chains >= 0, or -1 on error.
-int64_t leon_unitig_build(int64_t M, int32_t W, const uint32_t* words,
-                          const int32_t* counts, int32_t cutoff, int32_t k,
-                          uint32_t* rc_out, int64_t* len_nodes,
-                          int64_t* head_ids, uint8_t* interior,
-                          int32_t nthreads) {
+template <typename I>
+static int64_t unitig_build_impl(int64_t M, int32_t W, const uint32_t* words,
+                                 const int32_t* counts, int32_t cutoff,
+                                 int32_t k, uint32_t* rc_out,
+                                 int64_t* len_nodes, int64_t* head_ids,
+                                 uint8_t* interior, int32_t nthreads) {
   using namespace leon_unitig;
-  if (M <= 0) return 0;
   const int64_t N = 2 * M;
-  std::vector<int64_t> nxt, prev;
+  std::vector<I> nxt, prev;
   std::vector<uint8_t> solid2;
-  build_links(M, W, words, counts, cutoff, k, rc_out, nxt, prev, solid2,
-              nthreads);
+  build_links<I>(M, W, words, counts, cutoff, k, rc_out, nxt, prev, solid2,
+                 nthreads);
 
   // roots (ascending): chain starts. Cycles have no root; found below.
   std::vector<int64_t> roots;
@@ -1312,8 +1330,8 @@ int64_t leon_unitig_build(int64_t M, int32_t W, const uint32_t* words,
       if (x < hv) hv = x;
     }
     const int64_t pv = prev[hv];
-    if (pv >= 0) nxt[pv] = -1;
-    prev[hv] = -1;
+    if (pv >= 0) nxt[pv] = I(-1);
+    prev[hv] = I(-1);
     int64_t m = N, tm = N, n_nodes = 0;
     for (int64_t x = hv;; x = nxt[x]) {
       visited[x] = 1;
@@ -1353,6 +1371,22 @@ int64_t leon_unitig_build(int64_t M, int32_t W, const uint32_t* words,
     }
   }
   return n_chains;
+}
+
+extern "C" {
+
+int64_t leon_unitig_build(int64_t M, int32_t W, const uint32_t* words,
+                          const int32_t* counts, int32_t cutoff, int32_t k,
+                          uint32_t* rc_out, int64_t* len_nodes,
+                          int64_t* head_ids, uint8_t* interior,
+                          int32_t nthreads) {
+  if (M <= 0) return 0;
+  if (2 * M < ((int64_t)1 << 31)) {  // i32 links: halves link-array RSS
+    return unitig_build_impl<int32_t>(M, W, words, counts, cutoff, k, rc_out,
+                                      len_nodes, head_ids, interior, nthreads);
+  }
+  return unitig_build_impl<int64_t>(M, W, words, counts, cutoff, k, rc_out,
+                                    len_nodes, head_ids, interior, nthreads);
 }
 
 }  // extern "C"
