@@ -261,3 +261,26 @@ def test_merge_counts_unsorted_fallback():
     u, c = count.merge_counts([(a, ca)])
     got = {tuple(u[i]): int(c[i]) for i in range(u.shape[0])}
     assert got == {(1, 0): 3, (5, 0): 2}
+
+
+def test_auto_params_free_filter_floor():
+    """stored_filter=False (UNITIGS-section regime): bits_per_kmer floors
+    at 24 with H=4 — the filter costs HBM only, so the sizing detaches
+    from the stored-bytes tradeoff (bloom.auto_params docstring)."""
+    from leon_tpu.ops import bloom
+
+    hist = np.zeros(256, np.int64)
+    hist[7] = 1_000_000  # mean solid coverage 7 -> stored bpk ~8.4
+    bpk_s, h_s = bloom.auto_params(hist, 3)
+    bpk_f, h_f = bloom.auto_params(hist, 3, stored_filter=False)
+    assert bpk_s < 12 and bpk_f == 24.0 and h_f == 4
+    # never DECREASES an already-denser stored choice
+    hist2 = np.zeros(256, np.int64)
+    hist2[40] = 1_000_000
+    bpk_s2, _ = bloom.auto_params(hist2, 3)
+    bpk_f2, _ = bloom.auto_params(hist2, 3, stored_filter=False)
+    assert bpk_f2 >= bpk_s2
+    # lossy rule floors too
+    bpk_lo, h_lo = bloom.auto_params(hist, 3, lossy_quals=True,
+                                     stored_filter=False)
+    assert bpk_lo >= 24.0 and h_lo == 4
