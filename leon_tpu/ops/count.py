@@ -495,7 +495,11 @@ class DeviceCounter:
             return None
         if len(self._runs) > 1:
             self._merge_runs()
-        return self._runs[0]
+        # _merge_runs (or _resolve_compact's merge) SPILLS the collapsed
+        # run to host RAM when it exceeds spill_rows, leaving _runs empty
+        # — the genome-scale norm for distinct_run() callers (the
+        # distributed exchange); the spilled run is in _host_runs
+        return self._runs[0] if self._runs else None
 
     def _host_merged(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Collapse device runs + host-spilled runs to ONE host run

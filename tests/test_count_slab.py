@@ -98,3 +98,26 @@ def test_host_spill_byte_identical(tmp_path, rng):
     assert open(a, "rb").read() == open(b, "rb").read()
     d = pipeline.decompress(a, cfg=LeonConfig(**common))
     assert open(d["output"], "rb").read() == src.read_bytes()
+
+
+def test_distinct_run_after_final_merge_spill():
+    """distinct_run when the FINAL merge itself crosses spill_rows: the
+    collapsed run moves to host RAM and _runs empties — the genome-scale
+    distributed-exchange path (regression: IndexError at WG scale)."""
+    import numpy as np
+
+    from leon_tpu.ops import kmer as K
+    from leon_tpu.ops.count import DeviceCounter
+
+    k = 5
+    counter = DeviceCounter(k, slab_kmers=512, merge_factor=1, spill_rows=256)
+    rng = np.random.default_rng(3)
+    seqs = rng.integers(0, 4, (8, 64), dtype=np.uint8)
+    lens = np.full(8, 64, np.int32)
+    for _ in range(4):
+        canon, _, valid = K.kmer_scan(seqs, lens, k)
+        counter.add(canon, valid)
+    uniq, counts = counter.distinct_run()
+    assert uniq.shape[0] > 0
+    # exact multiset: every k-mer appeared 4x its single-pass count
+    assert int(counts.sum()) == 4 * 8 * (64 - k + 1)
