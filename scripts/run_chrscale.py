@@ -53,6 +53,13 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--batch", type=int, default=0,
                     help="override cfg.batch_reads (smoke runs)")
+    ap.add_argument("--slab-mb-rows", type=int, default=0,
+                    help="override count_slab_kmers (in M rows); with "
+                         "--merge-factor/--spill-mb-rows caps every count "
+                         "program's shape — the workaround when the remote "
+                         "XLA compile service 500s on giant merge programs")
+    ap.add_argument("--merge-factor", type=int, default=0)
+    ap.add_argument("--spill-mb-rows", type=int, default=0)
     a = ap.parse_args()
 
     import jax
@@ -80,7 +87,16 @@ def main() -> int:
     from leon_tpu.io import bank, container
 
     # full default: headers + LOSSY quals, k=31, auto abundance
-    cfg = LeonConfig(**({"batch_reads": a.batch} if a.batch else {}))
+    over = {}
+    if a.batch:
+        over["batch_reads"] = a.batch
+    if a.slab_mb_rows:
+        over["count_slab_kmers"] = a.slab_mb_rows << 20
+    if a.merge_factor:
+        over["count_merge_factor"] = a.merge_factor
+    if a.spill_mb_rows:
+        over["count_spill_rows"] = a.spill_mb_rows << 20
+    cfg = LeonConfig(**over)
     rss = {"peak_rss_kb": 0}
     stop = threading.Event()
     thr = threading.Thread(target=peak_rss_tracker, args=(stop, rss), daemon=True)
